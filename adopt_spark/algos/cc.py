@@ -1,0 +1,122 @@
+"""Connected components: large-star / small-star hash-min.
+
+Algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond"): alternate two vertex-local rewrites of the edge set until
+fixpoint, at which point the edges form a star forest with every
+vertex pointing at its component's minimum id.
+
+  * large-star(u): m = min({u} ∪ N(u)); replace each (u, v) with
+    v > u by (v, m).
+  * small-star(u): over lower neighbors N<(u); m = min(N<(u));
+    emit (v, m) for v ∈ N<(u) ∪ {u}, v ≠ m.
+
+Both are one shuffle each (groupBy(u).min + re-key) — O(log n) rounds
+on any graph, robust to supernode components (the min aggregate is
+partially aggregated map-side, so a 10^9-vertex component never
+funnels raw rows to one reducer).
+
+The reference has no CC (pure motif-count engine); this is north-rule
+surface. Convergence detection uses (count, xxhash64-sum) of the edge
+set — an O(1)-state fingerprint instead of a full set-difference join.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from adopt_spark.checkpoint import CheckpointManager
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    fwd = edges.select(F.col("sid").alias("u"), F.col("tid").alias("v"))
+    rev = edges.select(F.col("tid").alias("u"), F.col("sid").alias("v"))
+    return fwd.unionAll(rev).where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    both = _symmetrize(e)
+    mins = both.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        both.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("sid"), F.col("m").alias("tid"))
+        .where(F.col("sid") != F.col("tid"))
+        .dropDuplicates(["sid", "tid"])
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    both = _symmetrize(e)
+    lower = both.where(F.col("v") < F.col("u"))
+    mins = lower.groupBy("u").agg(F.min("v").alias("m"))
+    from_lower = lower.join(mins, "u").select(F.col("v").alias("sid"),
+                                              F.col("m").alias("tid"))
+    from_self = mins.select(F.col("u").alias("sid"), F.col("m").alias("tid"))
+    return (
+        from_lower.unionAll(from_self)
+        .where(F.col("sid") != F.col("tid"))
+        .dropDuplicates(["sid", "tid"])
+    )
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    # decimal(38,0) sum: exact and overflow-proof under ANSI mode
+    h = F.sum(F.xxhash64("sid", "tid").cast("decimal(38,0)"))
+    row = e.agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(h, F.lit(0)).alias("h")).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Returns (labels DataFrame[v: long, component: long], metrics).
+
+    ``component`` is the minimum vertex id of each component — exact,
+    deterministic, parallelism-independent.
+    """
+    e0 = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
+              .where(F.col("sid") != F.col("tid")).dropDuplicates(["sid", "tid"])
+    vertices = (
+        e0.select(F.col("sid").alias("v"))
+        .unionAll(e0.select(F.col("tid").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    cm = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    start_iter = 0
+    e = e0
+    if cm and resume and cm.latest() is not None:
+        start_iter = cm.latest() + 1
+        e = cm.load(spark, cm.latest())
+    e = e.localCheckpoint(eager=True)
+
+    metrics: list[dict] = []
+    prev_fp = _fingerprint(e)
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
+        e = _small_star(_large_star(e))
+        if cm:
+            e = cm.save(e, it, phase="large+small")
+        else:
+            e = e.localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        metrics.append({"iteration": it, "edges": fp[0],
+                        "sec": round(time.time() - t0, 4)})
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # e is now a star forest: (v, root). Roots + isolated originals map to self.
+    labels = e.select(F.col("sid").alias("v"), F.col("tid").alias("component"))
+    covered = labels.select("v")
+    roots = vertices.join(covered, "v", "left_anti") \
+                    .select("v", F.col("v").alias("component"))
+    return labels.unionAll(roots), metrics

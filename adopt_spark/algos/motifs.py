@@ -1,0 +1,113 @@
+"""n-clique / n-cycle counting — the reference's full graph-query suite.
+
+The reference ships ten count queries over ``edge(sid, tid)``
+(graph_query/{3..7}_{clique,cycle}.sql) and executes them with its
+adaptive WCOJ engine. We regenerate the *same query semantics*
+programmatically as ANSI SQL — runnable identically by Spark SQL
+(Catalyst plans the multi-join; AQE handles skew) and by the DuckDB
+oracle — rather than hand-copying query text.
+
+Encodings (verified against each reference file):
+  * n-clique: one alias per vertex pair (i<j), every alias constrained
+    ``sid < tid`` → counts id-ordered n-cliques of the lt-filtered
+    edge set (3_clique.sql, 4_clique.sql, ...).
+  * n-cycle: an increasing chain v1<v2<...<vn of n-1 lt-aliases plus a
+    closing edge; the closing alias is the raw table (vn, v1) for
+    n∈{4,5} (4_cycle.sql, 5_cycle.sql) and an lt alias (v1, vn) for
+    n∈{6,7} (6_cycle.sql, 7_cycle.sql). 3_cycle.sql ≡ 3_clique.sql.
+
+Scale: these are pure declarative plans — predicate pushdown puts the
+lt-filter into the scan, and Catalyst chooses broadcast joins whenever
+the (heavily filtered) edge table fits, exactly what you want on a
+1000-executor cluster. For the quadratic blowup cases (5+ motifs on
+dense graphs) the range-predicate variants (range_motif) mirror the
+reference's graph_selectivity_query suite.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _alias_conditions(alias_ends: list[tuple[str, int, int]]) -> list[str]:
+    """Equality conjuncts tying alias endpoints to shared vertex vars.
+
+    alias_ends: (alias, sid_var, tid_var). The first occurrence of each
+    variable becomes its representative expression; later occurrences
+    emit an equality against it (the same column-equivalence-class
+    construction the reference does at analysis time,
+    query/QueryInfo.java:346-373).
+    """
+    rep: dict[int, str] = {}
+    conds: list[str] = []
+    for alias, sv, tv in alias_ends:
+        for var, col in ((sv, f"{alias}.sid"), (tv, f"{alias}.tid")):
+            if var in rep:
+                conds.append(f"{col} = {rep[var]}")
+            else:
+                rep[var] = col
+    return conds
+
+
+def clique_sql(n: int, edge_view: str = "edge",
+               range_preds: dict[int, int] | None = None) -> str:
+    """COUNT(*) SQL for id-ordered n-cliques.
+
+    ``range_preds`` maps vertex index (1-based) → upper bound, giving
+    the reference's selectivity variants
+    (graph_selectivity_query/.../a0.25_b0.25_c0.25.sql adds
+    ``e1.sid < K`` per variable).
+    """
+    if n < 3:
+        raise ValueError("clique size must be >= 3")
+    pairs = list(combinations(range(1, n + 1), 2))
+    aliases = [(f"e{k + 1}", i, j) for k, (i, j) in enumerate(pairs)]
+    froms = ", ".join(f"{edge_view} {a}" for a, _, _ in aliases)
+    conds = _alias_conditions(aliases)
+    conds += [f"{a}.sid < {a}.tid" for a, _, _ in aliases]
+    if range_preds:
+        rep: dict[int, str] = {}
+        for a, sv, tv in aliases:
+            rep.setdefault(sv, f"{a}.sid")
+            rep.setdefault(tv, f"{a}.tid")
+        for var, ub in sorted(range_preds.items()):
+            conds.append(f"{rep[var]} < {ub}")
+    return f"SELECT count(*) AS n FROM {froms} WHERE {' AND '.join(conds)}"
+
+
+def cycle_sql(n: int, edge_view: str = "edge") -> str:
+    """COUNT(*) SQL for increasing n-cycles, reference encoding."""
+    if n < 3:
+        raise ValueError("cycle size must be >= 3")
+    if n == 3:
+        return clique_sql(3, edge_view)
+    # chain aliases e1..e(n-1): ei = (v_i, v_{i+1}), all sid < tid
+    aliases = [(f"e{i}", i, i + 1) for i in range(1, n)]
+    lt_aliases = [a for a, _, _ in aliases]
+    close = f"e{n}"
+    if n in (4, 5):
+        aliases.append((close, n, 1))          # raw closing edge (vn, v1)
+    else:
+        aliases.append((close, 1, n))          # lt closing edge (v1, vn)
+        lt_aliases.append(close)
+    froms = ", ".join(f"{edge_view} {a}" for a, _, _ in aliases)
+    conds = _alias_conditions(aliases)
+    conds += [f"{a}.sid < {a}.tid" for a in lt_aliases]
+    return f"SELECT count(*) AS n FROM {froms} WHERE {' AND '.join(conds)}"
+
+
+def run_motif(spark: SparkSession, edges: DataFrame, sql: str) -> DataFrame:
+    """Run a generated motif query over an edge DataFrame."""
+    edges.createOrReplaceTempView("edge")
+    return spark.sql(sql)
+
+
+def count_clique(spark: SparkSession, edges: DataFrame, n: int,
+                 range_preds: dict[int, int] | None = None) -> DataFrame:
+    return run_motif(spark, edges, clique_sql(n, range_preds=range_preds))
+
+
+def count_cycle(spark: SparkSession, edges: DataFrame, n: int) -> DataFrame:
+    return run_motif(spark, edges, cycle_sql(n))
