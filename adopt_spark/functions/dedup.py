@@ -1,0 +1,226 @@
+"""Deduplication suite for a large-scale training-data pipeline.
+
+Five strategies, scale-ordered:
+
+  * exact_dedup          — hash-groupBy on sha256(text); one shuffle.
+  * minhash_lsh_pairs    — shingle → k minhashes → banded LSH buckets
+                           → within-bucket candidate pairs (+ exact
+                           Jaccard verify). The classic near-dup path:
+                           no O(n²) stage, every step a shuffle on a
+                           bounded key.
+  * simhash_pairs        — 64-bit simhash + Hamming-ball bucketing by
+                           band masks.
+  * ngram_jaccard_pairs  — exact n-gram Jaccard verification (used as
+                           the verify stage of minhash and standalone
+                           for small blocks).
+  * embedding_near_dup   — cosine-threshold pairs over the embeddings
+                           table (delegates to similarity.py).
+
+Everything numeric is deterministic: hash functions are FNV-1a /
+xxhash64 with fixed seeds, minhash permutations (aᵢx+bᵢ) mod p with a
+seeded numpy Generator — identical output at any parallelism
+(north-rule reproducibility).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per distinct text; adds group size.
+
+    Plan: sha256 of text → groupBy hash (partial agg map-side) →
+    min(id), count. Returns [doc_id, text_sha, n_copies].
+    """
+    h = F.sha2(F.col(text_col), 256).alias("text_sha")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_sha")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "text_sha", "n_copies")
+    )
+
+
+def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE_P, size=k, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE_P, size=k, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Character n-gram hashes (FNV-1a over rolling windows), unique."""
+    s = " ".join(text.split()).lower()
+    if len(s) < n:
+        s = s.ljust(n)
+    arr = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(arr) < n:
+        return np.zeros(1, dtype=np.int64)
+    # vectorized rolling FNV-ish: polynomial over byte windows
+    windows = np.lib.stride_tricks.sliding_window_view(arr, n).astype(np.int64)
+    weights = np.power(257, np.arange(n - 1, -1, -1), dtype=object)
+    vals = (windows * weights).sum(axis=1) % _MERSENNE_P
+    return np.unique(vals.astype(np.int64))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle: int = 5, seed: int = 42) -> DataFrame:
+    """[id, sig: array<long>] — k minhashes per doc, Arrow-batched."""
+    a, b = _minhash_params(num_hashes, seed)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for t in pdf[text_col].fillna(""):
+                sh = _shingle_hashes(t, shingle)
+                # (a*x + b) mod p, rowwise min  -> k-vector
+                vals = (a[:, None] * sh[None, :] % _MERSENNE_P
+                        + b[:, None]) % _MERSENNE_P
+                sigs.append(vals.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "sig": sigs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, sig array<long>"
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become a candidate pair.
+
+    Band key = xxhash64 of the band's slice → groupBy-free self-join on
+    the band key; pairs deduped with a < b. Skew note: a band bucket
+    containing B docs yields B² pairs — degenerate buckets (all-equal
+    texts) are exactly the true-duplicate clusters, so the quadratic
+    term is output-bound, not skew.
+    """
+    k = len(sigs.select("sig").first()["sig"])
+    rows_per_band = k // bands
+    banded = sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.lit(i),
+                    *[F.col("sig")[j] for j in range(i * rows_per_band,
+                                                     (i + 1) * rows_per_band)]
+                )
+                for i in range(bands)
+            ])
+        ).alias("band", "bkey"),
+    )
+    l = banded.select(F.col(id_col).alias("a"), "band", "bkey")
+    r = banded.select(F.col(id_col).alias("b"), "band", "bkey")
+    return (
+        l.join(r, ["band", "bkey"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        shingle: int = 5, threshold: float = 0.8) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+
+    Joins texts onto pairs (two shuffles on doc id) then computes
+    |A∩B|/|A∪B| in an Arrow kernel. Returns [a, b, jaccard] ≥ threshold.
+    """
+    t = docs.select(F.col(id_col), F.col(text_col))
+    withtext = (
+        pairs.join(t.withColumnRenamed(id_col, "a").withColumnRenamed(text_col, "ta"), "a")
+        .join(t.withColumnRenamed(id_col, "b").withColumnRenamed(text_col, "tb"), "b")
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for i, (ta, tb) in enumerate(zip(pdf["ta"], pdf["tb"])):
+                sa = _shingle_hashes(ta or "", shingle)
+                sb = _shingle_hashes(tb or "", shingle)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[i] = inter / union if union else 1.0
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": jac})
+
+    out = withtext.mapInPandas(kernel, schema="a long, b long, jaccard double")
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 64,
+                           bands: int = 16, shingle: int = 5,
+                           threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH buckets → exact verify."""
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle, seed)
+    cand = lsh_candidate_pairs(sigs, id_col, bands)
+    return ngram_jaccard_pairs(docs, cand, text_col, id_col, shingle, threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit simhash per doc: weighted bit votes of token FNV hashes."""
+    from adopt_spark.functions.text import _token_hashes
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf[text_col].fillna("")):
+                hs = _token_hashes(t)
+                if hs.size == 0:
+                    out[i] = 0
+                    continue
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+                votes = bits.astype(np.int64).sum(axis=0) * 2 - hs.size
+                word = np.uint64(0)
+                for bit in np.nonzero(votes > 0)[0]:
+                    word |= np.uint64(1) << np.uint64(bit)
+                out[i] = int(word.astype(np.int64))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} long, simhash long"
+    )
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
+
+    Bucketing: split 64 bits into (max_hamming+1) bands — any pair
+    within the Hamming ball shares at least one identical band
+    (pigeonhole), so candidates come from equality joins on band
+    values, never a cross join.
+    """
+    sh = simhash(docs, text_col, id_col)
+    nb = max_hamming + 1
+    width = 64 // nb
+    bandcols = [
+        F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        ).alias(f"b{i}")
+        for i in range(nb)
+    ]
+    banded = sh.select(id_col, "simhash", *bandcols)
+    pairs = None
+    for i in range(nb):
+        l = banded.select(F.col(id_col).alias("a"), F.col("simhash").alias("ha"),
+                          F.col(f"b{i}").alias("bk"))
+        r = banded.select(F.col(id_col).alias("b"), F.col("simhash").alias("hb"),
+                          F.col(f"b{i}").alias("bk"))
+        p = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.where(ham <= max_hamming).select("a", "b", ham.alias("hamming"))

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Image/audio/video are opaque ``binary`` columns with a metadata
+struct. The Spark-side machinery — schema, partition sizing, Arrow
+batch shape through mapInPandas, and the metadata bookkeeping — is
+real and tested; the codec step itself is STUBBED (this container has
+no image/audio libraries): ``decode_images`` routes to a
+deterministic fake decoder unless a real one is injected, and
+``require_real_codecs()`` raises NotImplementedError so production
+callers fail loudly rather than silently using the fake.
+
+Batch-shape contract (what matters at 100 TB): payloads are large, so
+``spark.sql.files.maxPartitionBytes`` (not row count) governs scan
+partitioning, and the kernels iterate Arrow batches without
+concatenating them — peak memory per task stays one batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+
+def require_real_codecs() -> None:
+    """Production gate: real decode needs PIL/ffmpeg, absent here."""
+    raise NotImplementedError(
+        "image/audio codecs are not available in this environment; "
+        "inject a decoder via decode_images(..., decoder=...) or install PIL/ffmpeg"
+    )
+
+
+def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42,
+                    kind: str = "image") -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        payload = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        rows.append((i, kind, bytearray(payload), (w, h, 0, 1)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for a real image codec: bytes → HxW u8."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    need = width * height
+    if arr.size < need:
+        arr = np.pad(arr, (0, need - arr.size))
+    return arr[:need].reshape(height, width)
+
+
+FEATURE_SCHEMA = (
+    "media_id long, sha string, mean_px double, std_px double, "
+    "hist array<long>, thumb_w int, thumb_h int"
+)
+
+
+def decode_images(media: DataFrame,
+                  decoder: Callable[[bytes, int, int], np.ndarray] | None = None,
+                  thumb: int = 8) -> DataFrame:
+    """Decode → feature-extract → resize, one Arrow batch at a time.
+
+    Output per row: payload sha256 (the per-row invariant), mean/std
+    pixel, 16-bin histogram, thumbnail dims after an integer resize.
+    ``decoder=None`` uses the deterministic fake (see module note).
+    """
+    decode = decoder or _fake_decode
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            sha = [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]]
+            mean = np.empty(n); std = np.empty(n)
+            hists = []; tw = np.empty(n, dtype=np.int32); th = np.empty(n, dtype=np.int32)
+            for i, (p, m) in enumerate(zip(pdf["payload"], pdf["meta"])):
+                img = decode(bytes(p), int(m["width"]), int(m["height"]))
+                mean[i] = float(img.mean()); std[i] = float(img.std())
+                hists.append(np.histogram(img, bins=16, range=(0, 256))[0].astype(np.int64))
+                sy = max(1, img.shape[0] // thumb); sx = max(1, img.shape[1] // thumb)
+                small = img[::sy, ::sx]
+                th[i], tw[i] = small.shape
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(), "sha": sha,
+                "mean_px": mean, "std_px": std, "hist": hists,
+                "thumb_w": tw, "thumb_h": th,
+            })
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
+    """Video frame sampling stub: emits (media_id, frame_idx) rows for
+    every ``every``-th frame per the metadata — the explode-side
+    plumbing of a real frame extractor."""
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id",
+                F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1,
+                                     F.lit(every))).alias("frame_idx"))
+    )

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * brute_force_topk — exact cosine top-k. The dot product is a pure
+    Column expression (F.zip_with + F.aggregate — JVM-side, codegen),
+    top-k per query via max_by-free window row_number. O(Q·N) pairs:
+    correct baseline and the verifier for the approximate path.
+  * lsh_topk — random-hyperplane LSH: sign-bit signature per vector,
+    candidates = same bucket (multi-probe over all bands), exact
+    cosine re-rank inside buckets. The scale path: pair count drops
+    from N² to Σ bucket².
+
+Hyperplanes come from a seeded numpy Generator and are broadcast as
+literal arrays — deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm_col(vec: str):
+    return F.sqrt(F.aggregate(F.col(vec), F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k: [q_id, vec_id, cos] with rank ≤ k per query.
+
+    Broadcast the query side (queries ≪ corpus in the retrieval
+    pattern); corpus side streams — no shuffle until the final
+    per-query top-k aggregation.
+    """
+    e = embeddings.select(F.col(id_col), F.col(vec_col),
+                          _norm_col(vec_col).alias("_n1"))
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       _norm_col(q_vec_col).alias("_n2"))
+    pairs = e.crossJoin(F.broadcast(q))
+    cos = (_dot(F.col(vec_col), F.col(q_vec_col))
+           / (F.col("_n1") * F.col("_n2"))).alias("cos")
+    scored = pairs.select(q_id_col, id_col, cos).where(~F.isnan("cos"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_signature(df: DataFrame, vec_col: str, planes: np.ndarray,
+                  out: str = "sig") -> DataFrame:
+    """Sign-bit signature as a long (bits ≤ 63), pure Column math.
+
+    bit_i = 1 if <v, h_i> > 0; the dot products are F.aggregate
+    expressions over literal hyperplane arrays — JVM-side, no UDF.
+    """
+    bits = []
+    for i, h in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in h])
+        d = _dot(F.col(vec_col), lit)
+        bits.append(F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return df.withColumn(out, sig.cast("long"))
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             bits: int = 12, bands: int = 3, seed: int = 42,
+             dim: int | None = None) -> DataFrame:
+    """Approximate cosine top-k via banded hyperplane LSH.
+
+    ``bits`` hyperplanes split into ``bands`` bands; candidate =
+    same band value in any band (union). Exact cosine re-rank within
+    candidates. Recall grows with bands; cost with 2^(bits/bands).
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    per_band = bits // bands
+
+    e = lsh_signature(
+        embeddings.select(F.col(id_col), F.col(vec_col),
+                          _norm_col(vec_col).alias("_n1")),
+        vec_col, planes)
+    q = lsh_signature(
+        queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       _norm_col(q_vec_col).alias("_n2")),
+        q_vec_col, planes)
+
+    mask = (1 << per_band) - 1
+    cand = None
+    for b in range(bands):
+        key = lambda c: F.shiftrightunsigned(F.col(c), b * per_band).bitwiseAND(F.lit(mask))
+        le = e.withColumn("_bk", key("sig")).drop("sig")
+        lq = q.withColumn("_bk", key("sig")).drop("sig")
+        p = le.join(lq, "_bk").drop("_bk")
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.dropDuplicates([q_id_col, id_col])
+    cos = (_dot(F.col(vec_col), F.col(q_vec_col))
+           / (F.col("_n1") * F.col("_n2"))).alias("cos")
+    scored = cand.select(q_id_col, id_col, cos).where(~F.isnan("cos"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       bits: int = 12, bands: int = 4, seed: int = 42) -> DataFrame:
+    """Cosine-threshold near-dup pairs via the same banded LSH.
+
+    Returns [a, b, cos] with cos ≥ threshold, a < b. Approximate
+    (LSH recall), exact within retrieved candidates.
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+    per_band = bits // bands
+    e = lsh_signature(
+        embeddings.select(F.col(id_col), F.col(vec_col),
+                          _norm_col(vec_col).alias("_n")),
+        vec_col, planes)
+    mask = (1 << per_band) - 1
+    cand = None
+    for b in range(bands):
+        key = F.shiftrightunsigned(F.col("sig"), b * per_band).bitwiseAND(F.lit(mask))
+        side = e.withColumn("_bk", key)
+        l = side.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                        F.col("_n").alias("na"), "_bk")
+        r = side.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                        F.col("_n").alias("nb"), "_bk")
+        p = l.join(r, "_bk").where(F.col("a") < F.col("b")).drop("_bk")
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.dropDuplicates(["a", "b"])
+    cos = (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos")
+    return cand.select("a", "b", cos).where(F.col("cos") >= threshold)

@@ -1,0 +1,80 @@
+"""Dedup suite: exact vs DuckDB; near-dup pipelines find planted dups."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from adopt_spark.functions.dedup import (
+    exact_dedup, minhash_near_dup_pairs, minhash_signatures, simhash_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    """Testdata documents + planted exact and near duplicates."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    base = [r for r in docs.limit(5).collect()]
+    extra = []
+    for i, r in enumerate(base):
+        extra.append((10_000 + i, r["text"]))                      # exact dup
+        words = r["text"].split()
+        words[len(words) // 2] = "MUTATED"
+        extra.append((20_000 + i, " ".join(words)))                # near dup
+    extra_df = spark.createDataFrame(extra, "doc_id long, text string")
+    return docs.unionAll(extra_df)
+
+
+def test_exact_dedup_vs_duckdb(spark, docs_with_dups):
+    got = exact_dedup(docs_with_dups)
+    pdf = docs_with_dups.toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    exp_groups = con.execute(
+        "SELECT count(*) FROM (SELECT text, min(doc_id), count(*) FROM d GROUP BY text)"
+    ).fetchone()[0]
+    assert got.count() == exp_groups
+    # the 5 planted exact dups collapse onto the original min ids
+    dup_rows = {r["doc_id"]: r["n_copies"] for r in got.where(F.col("n_copies") > 1).collect()}
+    assert set(dup_rows) == {0, 1, 2, 3, 4}
+    assert all(v == 2 for v in dup_rows.values())
+
+
+def test_minhash_finds_planted_near_dups(spark, docs_with_dups):
+    pairs = minhash_near_dup_pairs(docs_with_dups, threshold=0.5)
+    rows = pairs.collect()
+    got = {(r["a"], r["b"]) for r in rows}
+    for i in range(5):
+        assert (i, 10_000 + i) in got        # exact dup: jaccard 1.0
+        assert (i, 20_000 + i) in got        # near dup: high jaccard
+    # every reported jaccard is truthful: recompute exactly in python
+    # (the driver testdata itself contains planted organic near-dups,
+    # e.g. doc 8 ≈ doc 12, so we verify values, not absence of pairs)
+    import numpy as np
+
+    from adopt_spark.functions.dedup import _shingle_hashes
+
+    texts = {r["doc_id"]: r["text"] for r in docs_with_dups.collect()}
+    for r in rows[:20]:
+        sa = _shingle_hashes(texts[r["a"]], 5)
+        sb = _shingle_hashes(texts[r["b"]], 5)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        exp = inter / (sa.size + sb.size - inter)
+        assert r["jaccard"] == pytest.approx(exp, abs=1e-12)
+        assert r["jaccard"] >= 0.5
+
+
+def test_minhash_signature_deterministic(spark, docs_with_dups):
+    s1 = minhash_signatures(docs_with_dups.limit(20)).collect()
+    s2 = minhash_signatures(docs_with_dups.limit(20).repartition(7)).collect()
+    d1 = {r["doc_id"]: list(r["sig"]) for r in s1}
+    d2 = {r["doc_id"]: list(r["sig"]) for r in s2}
+    assert d1 == d2
+
+
+def test_simhash_pairs_find_exact_dups(spark, docs_with_dups):
+    pairs = simhash_pairs(docs_with_dups, max_hamming=3)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, 10_000 + i) in got        # identical text → hamming 0

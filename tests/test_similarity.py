@@ -1,0 +1,73 @@
+"""Similarity search: brute force vs numpy truth; LSH recall vs brute."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from adopt_spark.functions.similarity import brute_force_topk, embedding_near_dup, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    rows = emb.limit(5).collect()
+    return spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows],
+        "q_id long, q_vec array<float>",
+    )
+
+
+def numpy_topk(emb_rows, q_rows, k):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    M = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    out = {}
+    for qid, qv in q_rows:
+        q = np.asarray(qv, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        cos = M @ q
+        # tie-break by id ascending, rank by cos desc
+        order = np.lexsort((ids, -cos))[:k]
+        out[qid] = [int(ids[i]) for i in order]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    k = 5
+    got_rows = brute_force_topk(emb, queries, k=k).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["q_id"], r["rank"])):
+        got.setdefault(r["q_id"], []).append(r["vec_id"])
+    exp = numpy_topk(emb.collect(), [(r["q_id"], r["q_vec"]) for r in queries.collect()], k)
+    assert got == exp
+    # self-match is always rank 1 with cos ≈ 1
+    for r in got_rows:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["q_id"]
+            assert r["cos"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall(spark, emb, queries):
+    k = 5
+    brute = brute_force_topk(emb, queries, k=k).collect()
+    approx = lsh_topk(emb, queries, k=k, bits=12, bands=4).collect()
+    bset = {(r["q_id"], r["vec_id"]) for r in brute}
+    aset = {(r["q_id"], r["vec_id"]) for r in approx}
+    recall = len(bset & aset) / len(bset)
+    assert recall >= 0.4          # banded LSH on 64-dim random-ish vectors
+    # rank-1 self matches must survive LSH (identical vector → same buckets)
+    for q in {r["q_id"] for r in brute}:
+        assert (q, q) in aset
+
+
+def test_embedding_near_dup_self_excluded(spark, emb):
+    pairs = embedding_near_dup(emb.limit(100), threshold=0.99)
+    for r in pairs.collect():
+        assert r["a"] < r["b"]
+        assert r["cos"] >= 0.99

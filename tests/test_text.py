@@ -1,0 +1,76 @@
+"""Text analysis functions vs hand-computed and DuckDB-computed truth."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from adopt_spark.functions.text import (
+    doc_fingerprint, lang_id, quality_score, text_stats, token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_count_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("one",), ("x\ty\nz w",)], "text string"
+    )
+    got = [r[0] for r in df.select(token_count("text")).collect()]
+    assert got == [3, 0, 0, 1, 4]
+
+
+def test_token_count_matches_duckdb(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = docs.select(F.sum(token_count("text")).alias("s")).collect()[0]["s"]
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""SELECT sum(CASE WHEN length(trim(text))=0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+            FROM '{SF}/documents.parquet'"""
+    ).fetchone()[0]
+    assert got == exp
+
+
+def test_quality_score_bounds(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    row = docs.select(
+        F.min(quality_score("text")).alias("lo"),
+        F.max(quality_score("text")).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= row["lo"] <= row["hi"] <= 1.0
+
+
+def test_lang_id_on_known_text(spark):
+    samples = [
+        ("the cat and the dog went to the house of friends", "en"),
+        ("der Hund und die Katze sind nicht mit dem Auto", "de"),
+        ("le chat et la maison dans les montagnes pour une vie", "fr"),
+        ("el perro y la casa de los amigos en un lugar", "es"),
+        ("我 的 朋友 是 一个 好 人 他 不 在 这", "zh"),
+        ("zzz qqq xxx", "unk"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in samples], "text string")
+    got = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert got == [lang for _, lang in samples]
+
+
+def test_fingerprint_deterministic_and_whitespace_robust(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  world foo"), (2, "hello world   foo"), (3, "hello world bar")],
+        "id long, text string",
+    )
+    fps = {r["id"]: r["fp"] for r in
+           df.select("id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2]          # whitespace-insensitive
+    assert fps[1] != fps[3]          # content-sensitive
+    # order-sensitive
+    df2 = spark.createDataFrame([(1, "world hello foo")], "id long, text string")
+    fp2 = df2.select(doc_fingerprint(F.col("text"))).collect()[0][0]
+    assert fp2 != fps[1]
+
+
+def test_text_stats_schema(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    out = text_stats(docs)
+    assert {"n_tokens", "n_chars_calc", "quality", "lang_pred"} <= set(out.columns)
+    assert out.count() == 50
