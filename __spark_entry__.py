@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship: lineitem-derived edge table → WCOJ-style CSR
+             cogroup triangle count (the reference's 3-clique,
+             graph_query/3_clique.sql, recast per SURVEY.md §4.3).
+queries()  — one entry per implemented operator from SURVEY.md §2
+             (see adopt_spark/queries/registry.py).
+oracle_sql() — matching DuckDB SQL; omitted for non-SQL-expressible
+             ops (iterative algorithms, LSH bucketing, pandas-UDF
+             heuristics) which get rows-only checks.
 """
 
 from __future__ import annotations
@@ -13,26 +16,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from adopt_spark.queries.registry import all_oracles, all_queries
+
+SF_TINY = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from adopt_spark.algos.triangles import triangle_count_csr
+    from adopt_spark.edges import derived_edges
+
+    edges = derived_edges(spark, SF_TINY)
+    return triangle_count_csr(edges)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for every SQL-expressible query."""
+    return all_oracles()

@@ -1,0 +1,599 @@
+"""The engine's query surface as (Spark callable, DuckDB oracle) pairs.
+
+Every operator family from SURVEY.md §2 gets at least one entry here:
+scans/filters/projections (§2.1-2.2), multiway equi-joins + the whole
+graph-motif suite (§2.3), aggregation set {min,max,avg,count,sum} +
+DISTINCT + HAVING (§2.4), windows (§2.5), sorts/limits (§2.6), set
+ops (§2.7), scalar expressions CASE/LIKE/date-extract (§2.8),
+streaming (§2.9 — north-of-reference), plus the training-data
+pipeline surface (dedup/similarity/text) and the iterative graph
+algorithms (rows-only checks — not SQL-expressible).
+
+Contract rules honored throughout:
+  * every computed column aliased identically in Spark and SQL;
+  * double aggregates rounded (4-6 dp) on BOTH sides — the two
+    engines sum in different orders, so raw doubles differ in the
+    last bits;
+  * sums of integers cast to BIGINT in DuckDB (it widens to HUGEINT);
+  * timestamps rendered as strings via identical format patterns.
+
+Graph queries run over the deterministic lineitem-derived edge table
+(edges.DERIVED_EDGE_SQL) so the DuckDB oracle can build the identical
+graph with a CTE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from adopt_spark.algos.cc import connected_components
+from adopt_spark.algos.lpa import label_propagation
+from adopt_spark.algos.motifs import clique_sql, cycle_sql
+from adopt_spark.algos.pagerank import pagerank
+from adopt_spark.algos.triangles import triangle_count_csr
+from adopt_spark.edges import DERIVED_EDGE_SQL, derived_edges
+from adopt_spark.functions.dedup import (
+    exact_dedup, minhash_near_dup_pairs, simhash_pairs,
+)
+from adopt_spark.functions.similarity import brute_force_topk, lsh_topk
+from adopt_spark.functions.text import (
+    doc_fingerprint, lang_id, quality_score, token_count,
+)
+from adopt_spark.streaming.windowed import hourly_event_counts_stream
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_EDGE_CTE = f"WITH edge AS (\n{DERIVED_EDGE_SQL}\n)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------- graph motifs (§2.3: the reference's live suite) ----------
+
+def _motif(sql_body: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        derived_edges(spark, sf_dir).createOrReplaceTempView("edge")
+        return spark.sql(sql_body)
+    return fn
+
+
+def q_csr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCOJ-style cogroup triangle counter; oracle = 3-clique SQL."""
+    e = derived_edges(spark, sf_dir)
+    return triangle_count_csr(e)
+
+
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    return e.groupBy(F.col("sid").alias("v")).agg(F.count(F.lit(1)).alias("outdeg"))
+
+
+def q_top_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("tid").alias("v")).agg(F.count(F.lit(1)).alias("indeg"))
+        .orderBy(F.desc("indeg"), F.asc("v")).limit(20)
+    )
+
+
+def q_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derived_edges(spark, sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+
+_RANGE_PREDS = {1: 1000, 2: 1500, 3: 2000}
+
+# ---------------- relational surface (§2.1-2.8) -----------------------------
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "1999-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)
+                 & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+def q_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+        .where(F.col("n_cust") > 50)
+    )
+
+
+def q_join_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_join_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        r.where(F.col("r_name") == "ASIA")
+        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_semi") \
+            .select("c_custkey", "c_nationkey")
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti") \
+            .select("c_custkey", "c_nationkey")
+
+
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, F.col("c_nationkey") == F.col("n_nationkey"), "left_outer")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_cust"))
+    )
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+def q_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") > 300000, F.lit("big"))
+        .when(F.col("o_totalprice") > 100000, F.lit("mid"))
+        .otherwise(F.lit("small"))
+    ).alias("bucket")
+    return o.select(bucket).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").like("%green%") | F.col("p_type").like("PROMO%"))
+        .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+             F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+def q_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")),
+                         "yyyy-MM-dd HH:mm:ss").alias("hour")
+    return e.select(hour).groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path; oracle = equivalent batch SQL."""
+    out = hourly_event_counts_stream(spark, sf_dir)
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
+# ---------------- documents / text ------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+
+
+def q_doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(token_count("text")).alias("total_tokens"),
+             F.round(F.avg(F.length("text")), 4).alias("avg_chars"))
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF language ID — rows-only check (heuristic, no SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d, threshold=0.8).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+# ---------------- embeddings / similarity -----------------------------------
+
+def _queries_from_embeddings(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(emb)
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN — rows-only (bucketing not SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(emb)
+    return lsh_topk(emb, q, k=5, bits=12, bands=4).select(
+        "q_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+# ---------------- iterative graph algorithms (rows-only) --------------------
+
+def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    ranks, _ = pagerank(spark, e, tol=1e-6, max_iter=30)
+    return (ranks.orderBy(F.desc("rank"), F.asc("v")).limit(20)
+            .select("v", F.round("rank", 6).alias("rank")))
+
+
+def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    labels, _ = connected_components(spark, e)
+    return labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = derived_edges(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, max_iter=10)
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+
+# ---------------- oracle SQL ------------------------------------------------
+
+_TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+               "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+
+_QUALITY_SQL = f"""
+CAST(round(
+  0.4 * least(CAST({_TOKENS_SQL} AS DOUBLE) / 200.0, 1.0)
+  + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+      THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE)
+      ELSE 0.0 END))
+  + 0.3 * ((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1.0 ELSE 0.0 END
+          + CASE WHEN regexp_matches(lower(text), '\\ba\\b') THEN 1.0 ELSE 0.0 END
+          + CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1.0 ELSE 0.0 END
+          + CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1.0 ELSE 0.0 END
+          + CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1.0 ELSE 0.0 END) / 5.0)
+, 4) AS DOUBLE)
+""".strip()
+
+ORACLES: dict[str, str] = {
+    # graph motifs over the derived edge CTE
+    "g_triangle_count": f"{_EDGE_CTE}\n{clique_sql(3)}",
+    "g_4clique": f"{_EDGE_CTE}\n{clique_sql(4)}",
+    "g_4cycle": f"{_EDGE_CTE}\n{cycle_sql(4)}",
+    "g_5cycle": f"{_EDGE_CTE}\n{cycle_sql(5)}",
+    "g_range_3clique": f"{_EDGE_CTE}\n{clique_sql(3, range_preds=_RANGE_PREDS)}",
+    "g_csr_triangles": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_triangles "
+                       f"FROM ({clique_sql(3)})",
+    "g_degree_hist": f"{_EDGE_CTE}\nSELECT sid AS v, count(*) AS outdeg "
+                     "FROM edge GROUP BY sid",
+    "g_top_indegree": f"{_EDGE_CTE}\nSELECT tid AS v, count(*) AS indeg FROM edge "
+                      "GROUP BY tid ORDER BY indeg DESC, v LIMIT 20",
+    "g_edge_count": f"{_EDGE_CTE}\nSELECT count(*) AS n FROM edge",
+    # relational
+    "r_q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,
+               CAST(round(sum(l_extendedprice), 4) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS sum_disc_price,
+               CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+               CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus""",
+    "r_filter_project": """
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_discount > 0.05""",
+    "r_topk_orders": """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice, 2) AS DOUBLE) AS price
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "r_group_having": """
+        SELECT c_nationkey, count(*) AS n_cust FROM customer
+        GROUP BY c_nationkey HAVING count(*) > 50""",
+    "r_join_q3": """
+        SELECT o_orderkey,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "r_join_q5ish": """
+        SELECT n_name,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE) AS revenue
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+          AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+          AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          AND s_nationkey = c_nationkey
+        GROUP BY n_name""",
+    "r_semi_join": """
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "r_anti_join": """
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "r_outer_join": """
+        SELECT n_name, count(c_custkey) AS n_cust
+        FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "r_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "r_case_expr": """
+        SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'small' END AS bucket, count(*) AS n
+        FROM orders GROUP BY 1""",
+    "r_like_filter": """
+        SELECT p_brand, count(*) AS n FROM part
+        WHERE p_name LIKE '%green%' OR p_type LIKE 'PROMO%'
+        GROUP BY p_brand""",
+    "r_date_extract": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n_orders,
+               CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+        FROM orders GROUP BY 1""",
+    "r_window_rank": """
+        SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 2""",
+    "r_union": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000""",
+    "r_intersect": """
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000""",
+    "r_agg_minmax": """
+        SELECT c_nationkey,
+               CAST(round(min(c_acctbal), 4) AS DOUBLE) AS min_bal,
+               CAST(round(max(c_acctbal), 4) AS DOUBLE) AS max_bal,
+               CAST(round(avg(c_acctbal), 4) AS DOUBLE) AS avg_bal,
+               count(*) AS n
+        FROM customer GROUP BY c_nationkey""",
+    # events
+    "e_event_agg": """
+        SELECT event_type, count(*) AS n,
+               CAST(round(sum(value), 4) AS DOUBLE) AS total_value,
+               CAST(round(avg(value), 4) AS DOUBLE) AS avg_value
+        FROM events GROUP BY event_type""",
+    "e_event_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               count(*) AS n
+        FROM events GROUP BY 1""",
+    "e_stream_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n,
+               CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2""",
+    # documents / text
+    "t_token_count": f"SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens "
+                     "FROM documents",
+    "t_exact_dedup": """
+        SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
+               count(*) AS n_copies
+        FROM documents GROUP BY sha256(text)""",
+    "t_quality": f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents",
+    "t_doc_stats_by_lang": f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum({_TOKENS_SQL}) AS BIGINT) AS total_tokens,
+               CAST(round(avg(length(text)), 4) AS DOUBLE) AS avg_chars
+        FROM documents GROUP BY lang""",
+    # embeddings: exact knn via unnest dot product
+    "s_knn_bruteforce": """
+        WITH ex AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings
+        ), norms AS (
+          SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+        ), dots AS (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.x * e.x) AS dot
+          FROM ex q JOIN ex e USING (i)
+          WHERE q.vec_id < 3
+          GROUP BY q.vec_id, e.vec_id
+        ), scored AS (
+          SELECT d.q_id, d.vec_id,
+                 d.dot / (nq.nrm * ne.nrm) AS cos_raw
+          FROM dots d
+          JOIN norms nq ON nq.vec_id = d.q_id
+          JOIN norms ne ON ne.vec_id = d.vec_id
+        )
+        SELECT q_id, vec_id, CAST(round(cos_raw, 6) AS DOUBLE) AS cos,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (SELECT q_id, vec_id, cos_raw,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos_raw DESC, vec_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 5""",
+}
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {
+        "g_triangle_count": _motif(clique_sql(3)),
+        "g_4clique": _motif(clique_sql(4)),
+        "g_4cycle": _motif(cycle_sql(4)),
+        "g_5cycle": _motif(cycle_sql(5)),
+        "g_range_3clique": _motif(clique_sql(3, range_preds=_RANGE_PREDS)),
+        "g_csr_triangles": q_csr_triangles,
+        "g_degree_hist": q_degree_hist,
+        "g_top_indegree": q_top_indegree,
+        "g_edge_count": q_edge_count,
+        "r_q1_pricing": q_q1_pricing,
+        "r_filter_project": q_filter_project,
+        "r_topk_orders": q_topk_orders,
+        "r_group_having": q_group_having,
+        "r_join_q3": q_join_q3,
+        "r_join_q5ish": q_join_q5ish,
+        "r_semi_join": q_semi_join,
+        "r_anti_join": q_anti_join,
+        "r_outer_join": q_outer_join,
+        "r_distinct": q_distinct,
+        "r_case_expr": q_case_expr,
+        "r_like_filter": q_like_filter,
+        "r_date_extract": q_date_extract,
+        "r_window_rank": q_window_rank,
+        "r_union": q_union,
+        "r_intersect": q_intersect,
+        "r_agg_minmax": q_agg_minmax,
+        "e_event_agg": q_event_agg,
+        "e_event_hourly": q_event_hourly,
+        "e_stream_hourly": q_stream_hourly,
+        "t_token_count": q_token_count,
+        "t_exact_dedup": q_exact_dedup,
+        "t_quality": q_quality,
+        "t_doc_stats_by_lang": q_doc_stats_by_lang,
+        "t_lang_id": q_lang_id,                      # rows-only
+        "t_fingerprint": q_fingerprint,              # rows-only
+        "t_minhash_near_dup": q_minhash_near_dup,    # rows-only
+        "t_simhash_pairs": q_simhash_pairs,          # rows-only
+        "s_knn_bruteforce": q_knn_bruteforce,
+        "s_knn_lsh": q_knn_lsh,                      # rows-only
+        "a_pagerank_top": q_pagerank_top,            # rows-only (iterative)
+        "a_cc_sizes": q_cc_sizes,                    # rows-only (iterative)
+        "a_lpa_communities": q_lpa_communities,      # rows-only (iterative)
+    }
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,58 @@
+"""Windowed streaming aggregation over the events table.
+
+The reference engine has no streaming at all (SURVEY.md §2.9); the
+north-rule engine adds the canonical Structured Streaming pattern:
+file source → event-time tumbling window + watermark → memory sink,
+driven to completion synchronously for test/oracle parity (the result
+at completion must equal the equivalent batch SQL — that equivalence
+IS the correctness check).
+
+At scale the same plan runs on a real stream (kafka source, parquet
+sink) unchanged — that is the point of declaring it as a streaming
+DataFrame rather than a batch loop.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str,
+                               watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window counts per event_type, via readStream.
+
+    Returns the completed result as a batch DataFrame
+    [window_start: string, event_type, n, total_value].
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Spark's file-stream source requires a directory; the testdata table
+    # is a single file, so expose it through a symlinked temp dir (a real
+    # deployment would read a directory/kafka topic to begin with).
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        # parquet stores TIMESTAMP_NTZ; watermarks need session-tz timestamps
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    name = f"evt_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "total_value",
+    )
