@@ -22,6 +22,7 @@ set — an O(1)-state fingerprint instead of a full set-difference join.
 
 from __future__ import annotations
 
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -90,10 +91,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    cm = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="cc_ckpt_"))
     start_iter = 0
     e = e0
-    if cm and resume and cm.latest() is not None:
+    if resume and cm.latest() is not None:
         start_iter = cm.latest() + 1
         e = cm.load(spark, cm.latest())
     e = e.localCheckpoint(eager=True)
@@ -103,10 +104,7 @@ def connected_components(
     for it in range(start_iter, max_iter):
         t0 = time.time()
         e = _small_star(_large_star(e))
-        if cm:
-            e = cm.save(e, it, phase="large+small")
-        else:
-            e = e.localCheckpoint(eager=True)
+        e = cm.save(e, it, phase="large+small")
         fp = _fingerprint(e)
         metrics.append({"iteration": it, "edges": fp[0],
                         "sec": round(time.time() - t0, 4)})

@@ -15,6 +15,7 @@ tie-break packed into a struct — no window, no sort). All JVM-side.
 
 from __future__ import annotations
 
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -40,9 +41,9 @@ def label_propagation(
     )
     vertices = both.select("v").distinct()
 
-    cm = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="lpa_ckpt_"))
     start_iter = 0
-    if cm and resume and cm.latest() is not None:
+    if resume and cm.latest() is not None:
         start_iter = cm.latest() + 1
         labels = cm.load(spark, cm.latest())
     else:
@@ -65,10 +66,7 @@ def label_propagation(
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        if cm:
-            new_labels = cm.save(new_labels, it, changed=changed)
-        else:
-            new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = cm.save(new_labels, it, changed=changed)
         labels = new_labels
         metrics.append({"iteration": it, "changed": changed,
                         "sec": round(time.time() - t0, 4)})

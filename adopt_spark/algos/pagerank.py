@@ -26,6 +26,7 @@ analogue of the reference's anytime frontier resume
 
 from __future__ import annotations
 
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -65,25 +66,53 @@ def pagerank(
         return empty, []
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # One-time layout investment, amortized over every superstep: links
+    # hash-partitioned AND sorted by src. The cached relation keeps both
+    # outputPartitioning and outputOrdering, so the per-superstep
+    # links⋈ranks sort-merge join needs NO exchange and NO sort on the
+    # 30M-row side — only the small rank vector shuffles+sorts. The
+    # remaining per-superstep shuffle is the groupBy(dst) contribution
+    # aggregation (map-side partial agg first), which is the
+    # algorithmically irreducible one. Hub skew: AQE skew-join splitting
+    # plus optional explicit salting (hub_threshold) for degenerate hubs.
     links = (
         e.join(outdeg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
         .repartition(parts, "src")
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = links.count()
-    dangling = vertices.join(outdeg.withColumnRenamed("src", "v"), "v", "left_anti") \
-                       .persist(StorageLevel.MEMORY_AND_DISK)
-    dangling.count()
+    # vertices flagged dangling (no out-edges) once — per-superstep dangling
+    # mass then folds into the delta aggregate instead of its own job
+    vflag = (
+        vertices.join(outdeg.withColumnRenamed("src", "v").select("v"), "v", "left_anti")
+        .select("v", F.lit(True).alias("is_dangling"))
+        .unionByName(
+            vertices.join(outdeg.withColumnRenamed("src", "v").select("v"), "v", "left_semi")
+            .select("v", F.lit(False).alias("is_dangling")))
+        .repartition(parts, "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_dangling = vflag.where("is_dangling").count()
 
-    cm = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    # Always checkpoint through parquet snapshots: truncates lineage each
+    # superstep AND bounds storage (the manager GCs old snapshots), unlike
+    # localCheckpoint whose RDDs accumulate until driver GC. An anonymous
+    # temp dir serves when the caller doesn't need resumability.
+    cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="pr_ckpt_"))
     start_iter = 0
     ranks: DataFrame
     if cm and resume and cm.latest() is not None:
         start_iter = cm.latest() + 1
         ranks = cm.load(spark, cm.latest()).repartition(parts, "v")
+        d_mass = float(
+            ranks.join(vflag, "v").where("is_dangling")
+            .agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
     else:
         ranks = vertices.select("v", F.lit(1.0 / n_vertices).alias("rank"))
+        d_mass = n_dangling / n_vertices
 
     metrics: list[dict] = []
     base = (1.0 - damping) / n_vertices
@@ -97,8 +126,6 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("contrib"))
             )
-        d_mass_row = dangling.join(ranks, "v").agg(F.sum("rank")).collect()[0][0]
-        d_mass = float(d_mass_row or 0.0)
         new_ranks = (
             vertices.join(contribs.withColumnRenamed("dst", "v"), "v", "left")
             .select(
@@ -108,11 +135,20 @@ def pagerank(
                                      + F.lit(d_mass / n_vertices))).alias("rank"),
             )
         )
-        delta = float(
+        # materialize the new rank vector ONCE (checkpoint = the job) ...
+        new_ranks = cm.save(new_ranks.repartition(parts, "v"), it)
+        # ... then ONE aggregate gives both the convergence delta and the
+        # next superstep's dangling mass
+        agg_row = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
+            .join(vflag, "v")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                 F.sum(F.when(F.col("is_dangling"), F.col("rank"))
+                       .otherwise(F.lit(0.0))).alias("d_mass"))
+            .collect()[0]
         )
+        delta = float(agg_row["delta"] or 0.0)
+        d_mass = float(agg_row["d_mass"] or 0.0)
         sec = time.time() - t0
         rec = {
             "iteration": it,
@@ -121,11 +157,7 @@ def pagerank(
             "edges": n_edges,
             "edges_per_sec": round(n_edges / sec, 2),
         }
-        if cm:
-            extra = {k: v for k, v in rec.items() if k != "iteration"}
-            new_ranks = cm.save(new_ranks.repartition(parts, "v"), it, **extra)
-        else:
-            new_ranks = new_ranks.repartition(parts, "v").localCheckpoint(eager=True)
+        cm.amend_last(**{k: v for k, v in rec.items() if k != "iteration"})
         ranks = new_ranks
         metrics.append(rec)
         if delta <= tol:

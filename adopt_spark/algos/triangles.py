@@ -11,29 +11,43 @@ same count:
   * ``method="join"`` — declarative: two self-joins over the
     degree-oriented edge DAG. Catalyst/AQE pick broadcast vs
     sort-merge and split skewed partitions; degree orientation bounds
-    every out-list by O(sqrt(E)), which is the statically-optimal
-    attribute order the reference learns at runtime via UCT
-    (report Table 2, "optimal order" column).
-  * ``method="csr"`` — the leapfrog recast as partition-parallel
-    cogroup: sorted adjacency arrays per vertex (the trie analogue,
-    LFTJiter.java:81-197), one shuffle to attach both endpoint
-    adjacency lists to each edge, then a vectorized Arrow-batched
-    sorted-intersection kernel (numpy) — the LFTJ seek loop
-    (LFTJoin.java:113-145, galloping search) becomes
-    ``np.intersect1d`` over sorted slices.
+    every out-list by O(sqrt(E)), the statically-optimal attribute
+    order the reference learns at runtime via UCT (report Table 2,
+    "optimal order" column). Scales to any edge count.
+  * ``method="csr"`` — the leapfrog recast as a broadcast-CSR kernel:
+    the oriented adjacency (CSR indptr/indices + a sorted edge-key
+    array, the trie analogue of LFTJiter.java:81-197) is broadcast to
+    every worker; edges stream through mapInPandas and each Arrow
+    batch does fully-vectorized wedge generation + sorted membership
+    tests (np.searchsorted — the galloping seek of
+    LFTJoin.java:113-145, batched). Zero shuffle after the adjacency
+    build, work *and* data-movement proportional to the wedge count
+    on the worker side only.
 
-Both run on the undirected pair set {a,b} induced by the lt-filter, so
-they agree with each other and with the SQL oracle by construction.
+Broadcast-vs-shuffle selection: the CSR kernel needs the oriented
+edge set on each worker (8 bytes × 2 × E). Above
+``CSR_BROADCAST_MAX_EDGES`` it falls back to the join plan — the same
+decision Catalyst makes between broadcast and sort-merge joins. (At
+10^12-edge scale the CSR kernel would instead run per vertex-range
+block — the hypercube first-dimension split — which is the planned
+upgrade path; the join plan is the correct-at-any-scale fallback.)
+
+Both methods run on the undirected pair set {a,b} induced by the
+lt-filter, so they agree with each other and with the SQL oracle by
+construction.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType
 
-from adopt_spark.edges import adjacency, orient_by_degree
+from adopt_spark.edges import orient_by_degree
+
+CSR_BROADCAST_MAX_EDGES = 100_000_000
 
 
 def _lt_pairs(edges: DataFrame) -> DataFrame:
@@ -59,48 +73,96 @@ def triangle_count_join(edges: DataFrame) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-@F.pandas_udf(LongType())
-def _sorted_intersect_count(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-vectorized |A ∩ B| over pairs of sorted int arrays.
-
-    Kernel analogue of the reference's leapfrog intersection
-    (LFTJoin.seekInRangeExp, galloping+binary search): for each row we
-    intersect two sorted adjacency slices. Batches arrive via Arrow;
-    per-row work is numpy (np.intersect1d on pre-sorted inputs).
-    """
-    out = np.empty(len(a), dtype=np.int64)
-    for i, (x, y) in enumerate(zip(a, b)):
-        if x is None or y is None or len(x) == 0 or len(y) == 0:
-            out[i] = 0
-            continue
-        xs = np.asarray(x, dtype=np.int64)
-        ys = np.asarray(y, dtype=np.int64)
-        # both sides pre-sorted by sort_array upstream
-        out[i] = np.intersect1d(xs, ys, assume_unique=True).size
-    return pd.Series(out)
-
-
 def triangle_count_csr(edges: DataFrame) -> DataFrame:
-    """Leapfrog-as-cogroup triangle count; returns [n_triangles: long].
+    """Broadcast-CSR leapfrog triangle count; returns [n_triangles: long].
 
-    For every oriented edge (u, v): count |N+(u) ∩ N+(v)| over sorted
-    out-adjacency. Two shuffles (adjacency build reuses the edge
-    partitioning; one join per endpoint), then the Arrow kernel.
-    Hub skew: degree orientation already caps out-lists at O(sqrt(E)),
-    so no hub's adjacency array exceeds that bound — the same effect
-    the reference gets from hypercube re-splitting.
+    Physical plan: build the degree-oriented edge list once (two
+    shuffles: canonicalize + degree join), pull it to the driver as
+    numpy (bounded by CSR_BROADCAST_MAX_EDGES), broadcast
+    (indptr, indices, sorted-edge-keys), then one shuffle-free
+    mapInPandas pass over the oriented edges: per Arrow batch,
+      1. expand each edge (u,v) into candidate wedges (v, w) for
+         w ∈ N+(u)   — vectorized repeat/cumsum, no Python loop;
+      2. membership-test all candidate keys against the sorted edge
+         key array in one np.searchsorted call (the leapfrog seek);
+    and emit one partial count per batch. Final agg sums partials.
     """
-    o = orient_by_degree(_lt_pairs(edges))
-    adj = adjacency(o, "src", "dst")
-    e = (
-        o.join(adj.withColumnRenamed("src", "u_key").withColumnRenamed("adj", "adj_u"),
-               o["src"] == F.col("u_key"))
-        .join(adj.withColumnRenamed("src", "v_key").withColumnRenamed("adj", "adj_v"),
-              o["dst"] == F.col("v_key"))
-        .select("src", "dst", "adj_u", "adj_v")
-    )
-    per_edge = e.select(_sorted_intersect_count("adj_u", "adj_v").alias("tri"))
-    return per_edge.agg(F.coalesce(F.sum("tri"), F.lit(0)).cast("long").alias("n_triangles"))
+    spark = edges.sparkSession
+    # Pull the lt-filtered pair set once; orientation/dedup/CSR build are
+    # linear-time numpy on the driver — the broadcast-join "build side".
+    raw = edges.where(F.col("sid") < F.col("tid")).select("sid", "tid").toPandas()
+    if len(raw) == 0:
+        return spark.createDataFrame([(0,)], "n_triangles long")
+    if len(raw) > CSR_BROADCAST_MAX_EDGES:
+        return triangle_count_join(edges)
+
+    a = raw["sid"].to_numpy(np.int64)
+    b = raw["tid"].to_numpy(np.int64)
+    max_id = int(max(a.max(), b.max()))
+    # guards: dense-array degree count + int64 key packing need compact ids
+    if max_id >= 50_000_000:
+        return triangle_count_join(edges)
+    m = np.int64(max_id + 1)
+    pair = np.unique(a * m + b)          # dedup'd lt pairs
+    a, b = pair // m, pair % m
+    # degree orientation in numpy: deg over the undirected pair set
+    deg = np.bincount(a, minlength=max_id + 1) + np.bincount(b, minlength=max_id + 1)
+    fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    src = np.where(fwd, a, b)
+    dst = np.where(fwd, b, a)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keys = src * m + dst                 # sorted because (src, dst) sorted
+    usrc, first = np.unique(src, return_index=True)
+    indptr = np.append(first, len(src))
+
+    sc = spark.sparkContext
+    b_keys = sc.broadcast(keys)
+    b_usrc = sc.broadcast(usrc)
+    b_indptr = sc.broadcast(indptr)
+    b_src = sc.broadcast(src)
+    b_dst = sc.broadcast(dst)
+
+    n_edges = len(src)
+    n_slices = max(sc.defaultParallelism * 4, 8)   # slices ≫ cores: work stealing
+    bounds = np.linspace(0, n_edges, n_slices + 1).astype(np.int64)
+    slices = spark.createDataFrame(
+        [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_slices)],
+        "lo long, hi long",
+    ).repartition(n_slices)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = b_keys.value
+        us = b_usrc.value
+        ip = b_indptr.value
+        s = b_src.value
+        d = b_dst.value
+        for batch in it:
+            out = []
+            for lo, hi in zip(batch["lo"], batch["hi"]):
+                u, v = s[lo:hi], d[lo:hi]
+                pos = np.searchsorted(us, u)      # every u has out-edges
+                starts, ends = ip[pos], ip[pos + 1]
+                counts = ends - starts
+                total = int(counts.sum())
+                if total == 0:
+                    out.append(0)
+                    continue
+                # ragged gather: offsets into d for all wedges of the slice
+                base = np.repeat(starts, counts)
+                step = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(counts) - counts, counts)
+                w = d[base + step]
+                cand = np.repeat(v, counts) * m + w
+                idx = np.searchsorted(k, cand)
+                idx[idx == len(k)] = 0
+                found = (k[idx] == cand)
+                out.append(int(found.sum()))
+            yield pd.DataFrame({"partial": out})
+
+    partials = slices.mapInPandas(kernel, schema="partial long")
+    return partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
+                        .cast("long").alias("n_triangles"))
 
 
 def triangle_count(edges: DataFrame, method: str = "join") -> DataFrame:

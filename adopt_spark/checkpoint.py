@@ -74,6 +74,20 @@ class CheckpointManager:
         self._gc(iteration)
         return out
 
+    def amend_last(self, **extra: Any) -> None:
+        """Fold late-computed metrics (e.g. convergence delta measured
+        after the snapshot write) into the last record, on disk too."""
+        if not self.metrics:
+            return
+        self.metrics[-1].update(extra)
+        path = os.path.join(self.root, "metrics.jsonl")
+        existing = self.load_metrics()
+        if existing:
+            existing[-1].update(extra)
+            with open(path, "w") as f:
+                for rec in existing:
+                    f.write(json.dumps(rec) + "\n")
+
     def _gc(self, current: int) -> None:
         done = sorted(self.completed_iterations())
         for k in done[: max(0, len(done) - self.keep_last)]:

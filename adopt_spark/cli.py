@@ -1,0 +1,87 @@
+"""SQL script runner — the reference's console / benchmark entry point.
+
+The reference ships a console (console/SkinnerCmd.java: parse a SQL
+file or statement, execute, print) and a graph-benchmark driver
+(benchmark/BenchAndVerify.java: load DB, loop over .sql files, print
+count + per-phase timing). This module is the Spark equivalent: it
+registers the engine's tables as temp views and executes ANSI-SQL
+statements/files — including the reference's own graph_query/*.sql
+suite verbatim, since those are plain multi-join COUNT queries over
+the ``edge`` view.
+
+Usage:
+    python -m adopt_spark.cli <sql-file-or-statement> [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    for t in TESTDATA_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def register_edge_view(spark: SparkSession, sf_dir: str) -> None:
+    from adopt_spark.edges import derived_edges
+    derived_edges(spark, sf_dir).createOrReplaceTempView("edge")
+
+
+def split_statements(sql_text: str) -> list[str]:
+    return [s.strip() for s in sql_text.split(";") if s.strip()]
+
+
+def run_sql(spark: SparkSession, sql_text: str,
+            echo: bool = False) -> list[DataFrame]:
+    """Execute every ;-separated statement; return result DataFrames."""
+    out = []
+    for stmt in split_statements(sql_text):
+        t0 = time.time()
+        df = spark.sql(stmt)
+        rows = df.collect()
+        if echo:
+            print(f"-- {time.time() - t0:.3f}s  {stmt[:80]}...")
+            for r in rows[:20]:
+                print("  ", tuple(r))
+        out.append(df)
+    return out
+
+
+def run_sql_file(spark: SparkSession, path: str, echo: bool = False) -> list[DataFrame]:
+    with open(path) as f:
+        return run_sql(spark, f.read(), echo=echo)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from adopt_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sql", help="SQL file path or literal statement")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--edge-view", action="store_true",
+                   help="also register the derived `edge` view")
+    args = p.parse_args(argv)
+
+    spark = get_spark("adopt_spark_cli")
+    register_testdata(spark, args.sf_dir)
+    if args.edge_view:
+        register_edge_view(spark, args.sf_dir)
+    try:
+        with open(args.sql) as f:
+            text = f.read()
+    except OSError:
+        text = args.sql
+    run_sql(spark, text, echo=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,18 +57,25 @@ def _minhash_params(k: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """Character n-gram hashes (FNV-1a over rolling windows), unique."""
+    """Character n-gram values over rolling byte windows, unique.
+
+    For n ≤ 8 the window's bytes are packed directly into a uint64
+    (exact, collision-free, pure vectorized numpy); larger n falls
+    back to a wraparound polynomial hash. Both deterministic.
+    """
     s = " ".join(text.split()).lower()
     if len(s) < n:
         s = s.ljust(n)
     arr = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(arr) < n:
         return np.zeros(1, dtype=np.int64)
-    # vectorized rolling FNV-ish: polynomial over byte windows
-    windows = np.lib.stride_tricks.sliding_window_view(arr, n).astype(np.int64)
-    weights = np.power(257, np.arange(n - 1, -1, -1), dtype=object)
-    vals = (windows * weights).sum(axis=1) % _MERSENNE_P
-    return np.unique(vals.astype(np.int64))
+    windows = np.lib.stride_tricks.sliding_window_view(arr, n).astype(np.uint64)
+    if n <= 8:
+        weights = (np.uint64(256) ** np.arange(n - 1, -1, -1, dtype=np.uint64))
+    else:
+        weights = np.power(np.uint64(257), np.arange(n, dtype=np.uint64))  # wraps mod 2^64
+    vals = (windows * weights).sum(axis=1, dtype=np.uint64)
+    return np.unique(vals).astype(np.int64)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -77,14 +84,16 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     """[id, sig: array<long>] — k minhashes per doc, Arrow-batched."""
     a, b = _minhash_params(num_hashes, seed)
 
+    a_u = a.astype(np.uint64) | np.uint64(1)      # odd multipliers
+    b_u = b.astype(np.uint64)
+
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             sigs = []
             for t in pdf[text_col].fillna(""):
-                sh = _shingle_hashes(t, shingle)
-                # (a*x + b) mod p, rowwise min  -> k-vector
-                vals = (a[:, None] * sh[None, :] % _MERSENNE_P
-                        + b[:, None]) % _MERSENNE_P
+                sh = _shingle_hashes(t, shingle).astype(np.uint64)
+                # multiply-add mod 2^64 (wraparound), rowwise min -> k-vector
+                vals = a_u[:, None] * sh[None, :] + b_u[:, None]
                 sigs.append(vals.min(axis=1).astype(np.int64))
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "sig": sigs})
@@ -95,7 +104,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16) -> DataFrame:
+                        bands: int = 8) -> DataFrame:
     """Banded LSH: docs sharing any band hash become a candidate pair.
 
     Band key = xxhash64 of the band's slice → groupBy-free self-join on
@@ -160,7 +169,7 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
 
 def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 64,
-                           bands: int = 16, shingle: int = 5,
+                           bands: int = 8, shingle: int = 5,
                            threshold: float = 0.8, seed: int = 42) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH buckets → exact verify."""
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle, seed)

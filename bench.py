@@ -1,0 +1,127 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pagerank_edges_per_sec": ..., "triangle_csr_sec": ...}
+
+Headline set: the reference's flagship (triangle counting, both
+physical strategies + the 4-cycle motif on the sparse corpus graph),
+the iterative north-rule algorithms (PageRank throughput in
+edges/sec/superstep, CC), the end-to-end corpus pipeline
+(extract → encode → count), and a relational/dedup/knn slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from adopt_spark.algos.cc import connected_components
+    from adopt_spark.algos.motifs import count_cycle
+    from adopt_spark.algos.pagerank import pagerank
+    from adopt_spark.algos.triangles import triangle_count
+    from adopt_spark.corpus import corpus_df, generate_corpus
+    from adopt_spark.edges import derived_edges
+    from adopt_spark.extract import repo_edges
+    from adopt_spark.functions.dedup import minhash_near_dup_pairs
+    from adopt_spark.functions.similarity import brute_force_topk
+    from adopt_spark.queries.registry import all_queries
+    from adopt_spark.session import get_spark
+    from adopt_spark.vertices import build_vertex_dictionary, encode_edges
+
+    spark = get_spark("bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- warm the JVM/session (excluded from timings)
+    spark.range(1000).count()
+
+    # --- graph: dense derived edge table (the driver-contract graph)
+    edges = derived_edges(spark, SF_DIR).persist()
+    timed("edge_build", edges.count)
+    timed("triangle_join", lambda: triangle_count(edges, "join").collect())
+    timed("triangle_csr", lambda: triangle_count(edges, "csr").collect())
+    extras["triangle_csr_sec"] = timings["triangle_csr"]
+
+    # --- corpus pipeline on the sparse power-law dependency graph
+    def corpus_pipeline():
+        c = generate_corpus(n_repos=2000, n_files=20000, seed=42,
+                            n_hubs=5, hub_prob=0.2)
+        df = corpus_df(spark, c, num_partitions=CPUS)
+        vocab = build_vertex_dictionary(df, "repo")
+        enc = encode_edges(repo_edges(df), vocab)
+        return enc.persist()
+
+    corpus_edges = timed("corpus_pipeline", corpus_pipeline)
+    n_corpus_edges = corpus_edges.count()
+    timed("corpus_triangles", lambda: triangle_count(corpus_edges, "csr").collect())
+    timed("corpus_4cycle", lambda: count_cycle(spark, corpus_edges, 4).collect())
+
+    # --- PageRank throughput (the BASELINE.json metric)
+    t0 = time.time()
+    _, pr_metrics = pagerank(spark, edges, tol=1e-6, max_iter=40)
+    timings["pagerank"] = round(time.time() - t0, 3)
+    if pr_metrics:
+        n_edges = pr_metrics[0]["edges"]
+        per_step = sum(m["sec"] for m in pr_metrics) / len(pr_metrics)
+        extras["pagerank_supersteps"] = len(pr_metrics)
+        extras["pagerank_edges_per_sec"] = round(n_edges / per_step, 1)
+
+    t0 = time.time()
+    connected_components(spark, corpus_edges)
+    timings["cc"] = round(time.time() - t0, 3)
+
+    # --- relational / text / similarity slice via the registry
+    qs = all_queries()
+    for name in ("r_q1_pricing", "r_join_q3", "r_join_q5ish", "r_window_rank",
+                 "t_token_count", "t_exact_dedup", "s_knn_bruteforce"):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).collect())
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("t_minhash_near_dup",
+          lambda: minhash_near_dup_pairs(docs, threshold=0.8).count())
+
+    # attach the latest two-parallelism scaling evidence if present
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        extras["scaling_efficiency_pagerank"] = s.get("efficiency_pagerank")
+        extras["scaling_low_cpus"] = s.get("low", {}).get("cpus")
+        extras["scaling_high_cpus"] = s.get("high", {}).get("cpus")
+
+    timings.pop("edge_build", None)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (graph motifs + PageRank/CC + "
+                  "corpus pipeline + relational/dedup/knn)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "corpus_edges": n_corpus_edges,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()
