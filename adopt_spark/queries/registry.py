@@ -259,6 +259,45 @@ def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderstatus, count(*) AS n FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v)
+        GROUP BY o_orderstatus""")
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    c.createOrReplaceTempView("customer_v")
+    n.createOrReplaceTempView("nation_v")
+    r.createOrReplaceTempView("region_v")
+    return spark.sql("""
+        SELECT c_custkey FROM customer_v WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation_v WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region_v WHERE r_name = 'ASIA'))""")
+
+
 def q_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -355,6 +394,41 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------- iterative graph algorithms (rows-only) --------------------
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine-threshold pairs — rows-only (bucketing).
+
+    The testdata embeddings are near-orthogonal (no organic pair above
+    cos 0.8), so the query plants deterministic near-duplicates: the
+    first 5 vectors re-enter scaled by 1.0001 under ids +100000. The
+    LSH pipeline must recover exactly those plants (cos ≈ 1).
+    """
+    from adopt_spark.functions.similarity import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    plants = (
+        emb.where(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 100000).alias("vec_id"),
+                F.transform("embedding", lambda x: x * F.lit(1.0001)
+                            ).cast("array<float>").alias("embedding"),
+                "label")
+    )
+    aug = emb.unionByName(plants)
+    return embedding_near_dup(aug, threshold=0.95).select(
+        "a", "b", F.round("cos", 4).alias("cos"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over a deterministic synthetic media table —
+    rows-only (binary payloads have no SQL oracle)."""
+    from adopt_spark.functions.multimodal import decode_images, synthetic_media
+
+    media = synthetic_media(spark, n=64, seed=42)
+    out = decode_images(media)
+    return out.select("media_id", "sha",
+                      F.round("mean_px", 4).alias("mean_px"),
+                      "thumb_w", "thumb_h")
+
+
 def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     ranks, _ = pagerank(spark, e, tol=1e-6, max_iter=30)
@@ -400,6 +474,8 @@ ORACLES: dict[str, str] = {
     "g_4clique": f"{_EDGE_CTE}\n{clique_sql(4)}",
     "g_4cycle": f"{_EDGE_CTE}\n{cycle_sql(4)}",
     "g_5cycle": f"{_EDGE_CTE}\n{cycle_sql(5)}",
+    "g_5clique": f"{_EDGE_CTE}\n{clique_sql(5)}",
+    "g_6cycle": f"{_EDGE_CTE}\n{cycle_sql(6)}",
     "g_range_3clique": f"{_EDGE_CTE}\n{clique_sql(3, range_preds=_RANGE_PREDS)}",
     "g_csr_triangles": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_triangles "
                        f"FROM ({clique_sql(3)})",
@@ -483,6 +559,21 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         INTERSECT
         SELECT c_custkey FROM customer WHERE c_acctbal > 5000""",
+    "r_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "r_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "r_scalar_subquery": """
+        SELECT o_orderstatus, count(*) AS n FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        GROUP BY o_orderstatus""",
+    "r_in_subquery": """
+        SELECT c_custkey FROM customer WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+            SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))""",
     "r_agg_minmax": """
         SELECT c_nationkey,
                CAST(round(min(c_acctbal), 4) AS DOUBLE) AS min_bal,
@@ -554,6 +645,8 @@ def all_queries() -> dict[str, QueryFn]:
         "g_4clique": _motif(clique_sql(4)),
         "g_4cycle": _motif(cycle_sql(4)),
         "g_5cycle": _motif(cycle_sql(5)),
+        "g_5clique": _motif(clique_sql(5)),
+        "g_6cycle": _motif(cycle_sql(6)),
         "g_range_3clique": _motif(clique_sql(3, range_preds=_RANGE_PREDS)),
         "g_csr_triangles": q_csr_triangles,
         "g_degree_hist": q_degree_hist,
@@ -575,6 +668,10 @@ def all_queries() -> dict[str, QueryFn]:
         "r_window_rank": q_window_rank,
         "r_union": q_union,
         "r_intersect": q_intersect,
+        "r_rollup": q_rollup,
+        "r_cube": q_cube,
+        "r_scalar_subquery": q_scalar_subquery,
+        "r_in_subquery": q_in_subquery,
         "r_agg_minmax": q_agg_minmax,
         "e_event_agg": q_event_agg,
         "e_event_hourly": q_event_hourly,
@@ -589,6 +686,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_simhash_pairs": q_simhash_pairs,          # rows-only
         "s_knn_bruteforce": q_knn_bruteforce,
         "s_knn_lsh": q_knn_lsh,                      # rows-only
+        "s_embedding_near_dup": q_embedding_near_dup,  # rows-only
+        "m_media_features": q_media_features,        # rows-only
         "a_pagerank_top": q_pagerank_top,            # rows-only (iterative)
         "a_cc_sizes": q_cc_sizes,                    # rows-only (iterative)
         "a_lpa_communities": q_lpa_communities,      # rows-only (iterative)
