@@ -1,0 +1,174 @@
+"""Generalized k-clique counting — the leapfrog triejoin, level at a time.
+
+The reference's n-clique queries (graph_query/{4,5,6,7}_clique.sql)
+bind one join variable at a time with an intersection of trie
+iterators, always advancing the cheapest iterator
+(HyperCubeEvaluationTask.java leapfrog loop; LFTJoin galloping seek).
+This module is that algorithm over a broadcast CSR, vectorized:
+
+  level 2   : the oriented edge list, range-sliced across workers
+              (slices ≫ cores — the hypercube work-queue analogue);
+  level t→t+1: for every partial clique (v1..vt), enumerate candidate
+              extensions w from the out-list of the partial's
+              MINIMUM-out-degree member (the "cheapest iterator"
+              rule), then membership-test (vi, w) against the sorted
+              edge-key array for every other member — each test one
+              vectorized np.searchsorted (the galloping seek,
+              batched);
+  level k   : survivors are counted, not materialized.
+
+Degree orientation makes every clique appear exactly once (a total
+order orients each clique as a single increasing chain) and bounds
+every out-list at O(sqrt E). Counts equal the reference's id-ordered
+clique counts on the lt-filtered pair set by construction.
+
+Same broadcast-regime contract as triangles.triangle_count_csr: the
+oriented edge list must fit on one worker (≤ CSR_BROADCAST_MAX_EDGES);
+beyond that, motifs.clique_sql gives the arbitrary-scale shuffle plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CSR_BROADCAST_MAX_EDGES = 100_000_000
+
+
+@dataclass
+class OrientedCSR:
+    """Degree-oriented edge set in CSR + sorted-key form (numpy)."""
+
+    m: np.int64                 # id modulus for (u,v) -> u*m+v packing
+    src: np.ndarray             # oriented edges sorted by (src, dst)
+    dst: np.ndarray
+    keys: np.ndarray            # src*m + dst, sorted
+    usrc: np.ndarray            # unique srcs
+    indptr: np.ndarray          # CSR offsets into dst, aligned to usrc
+    outdeg_of: np.ndarray       # dense: vertex id -> oriented out-degree
+
+
+def build_oriented_csr(edges: DataFrame) -> OrientedCSR | None:
+    """lt-filter → dedup → degree-orient → CSR, all linear-time numpy.
+
+    Returns None when the input exceeds the broadcast regime (caller
+    falls back to the shuffle plan) or is empty.
+    """
+    raw = edges.where(F.col("sid") < F.col("tid")).select("sid", "tid").toPandas()
+    if len(raw) == 0 or len(raw) > CSR_BROADCAST_MAX_EDGES:
+        return None
+    a = raw["sid"].to_numpy(np.int64)
+    b = raw["tid"].to_numpy(np.int64)
+    max_id = int(max(a.max(), b.max()))
+    if max_id >= 50_000_000:     # dense degree array + key packing guards
+        return None
+    m = np.int64(max_id + 1)
+    pair = np.unique(a * m + b)
+    a, b = pair // m, pair % m
+    deg = np.bincount(a, minlength=max_id + 1) + np.bincount(b, minlength=max_id + 1)
+    fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    src = np.where(fwd, a, b)
+    dst = np.where(fwd, b, a)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    keys = src * m + dst
+    usrc, first = np.unique(src, return_index=True)
+    indptr = np.append(first, len(src))
+    outdeg_of = np.zeros(max_id + 1, dtype=np.int64)
+    outdeg_of[usrc] = indptr[1:] - indptr[:-1]
+    return OrientedCSR(m=m, src=src, dst=dst, keys=keys, usrc=usrc,
+                       indptr=indptr, outdeg_of=outdeg_of)
+
+
+def _expand(csr: OrientedCSR, cols: list[np.ndarray],
+            count_only: bool) -> tuple[list[np.ndarray], int]:
+    """One leapfrog level: extend partials by one vertex.
+
+    cols: t arrays of equal length (the partial cliques). Returns
+    (t+1 extended column arrays, count) — count only filled when
+    count_only (final level, survivors not materialized).
+    """
+    n = len(cols[0])
+    if n == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(len(cols) + 1)], 0
+    degs = np.stack([csr.outdeg_of[c] for c in cols])   # t x n
+    enum_idx = degs.argmin(axis=0)                      # cheapest iterator
+    enum_v = np.take_along_axis(np.stack(cols), enum_idx[None, :], 0)[0]
+    pos = np.searchsorted(csr.usrc, enum_v)
+    # vertices with zero out-degree don't appear in usrc; clamp + mask
+    pos = np.minimum(pos, len(csr.usrc) - 1)
+    has = csr.usrc[pos] == enum_v
+    starts = np.where(has, csr.indptr[pos], 0)
+    ends = np.where(has, csr.indptr[pos + 1], 0)
+    counts = ends - starts
+    total = int(counts.sum())
+    if total == 0:
+        return [np.empty(0, dtype=np.int64) for _ in range(len(cols) + 1)], 0
+    base = np.repeat(starts, counts)
+    step = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    w = csr.dst[base + step]
+    ridx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    mask = np.ones(total, dtype=bool)
+    enum_rep = np.repeat(enum_idx, counts)
+    for j, c in enumerate(cols):
+        tst = enum_rep != j                             # skip the enumerated side
+        if not tst.any():
+            continue
+        cand = c[ridx] * csr.m + w
+        idx = np.searchsorted(csr.keys, cand)
+        idx[idx == len(csr.keys)] = 0
+        ok = csr.keys[idx] == cand
+        mask &= np.where(tst, ok, True)
+    if count_only:
+        return [], int(mask.sum())
+    keep = mask
+    return [c[ridx][keep] for c in cols] + [w[keep]], 0
+
+
+def clique_count_csr(edges: DataFrame, k: int) -> DataFrame:
+    """k-clique count via the broadcast-CSR leapfrog; [n_cliques: long].
+
+    Falls back to the generated SQL plan (motifs.clique_sql) outside
+    the broadcast regime.
+    """
+    if k < 3:
+        raise ValueError("clique size must be >= 3")
+    spark = edges.sparkSession
+    csr = build_oriented_csr(edges)
+    if csr is None:
+        from adopt_spark.algos.motifs import clique_sql, run_motif
+        out = run_motif(spark, edges, clique_sql(k))
+        return out.select(F.col("n").alias("n_cliques"))
+
+    sc = spark.sparkContext
+    b = sc.broadcast(csr)
+    n_edges = len(csr.src)
+    n_slices = max(sc.defaultParallelism * 4, 8)
+    bounds = np.linspace(0, n_edges, n_slices + 1).astype(np.int64)
+    slices = spark.createDataFrame(
+        [(int(bounds[i]), int(bounds[i + 1])) for i in range(n_slices)],
+        "lo long, hi long",
+    ).repartition(n_slices)
+
+    levels = k
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        csr_l = b.value
+        for batch in it:
+            out = []
+            for lo, hi in zip(batch["lo"], batch["hi"]):
+                cols = [csr_l.src[lo:hi].copy(), csr_l.dst[lo:hi].copy()]
+                count = 0
+                for level in range(3, levels + 1):
+                    cols, count = _expand(csr_l, cols, count_only=(level == levels))
+                out.append(count if levels > 2 else hi - lo)
+            yield pd.DataFrame({"partial": out})
+
+    partials = slices.mapInPandas(kernel, schema="partial long")
+    return partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
+                        .cast("long").alias("n_cliques"))

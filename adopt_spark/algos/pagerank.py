@@ -46,8 +46,14 @@ def pagerank(
     resume: bool = False,
     num_partitions: int | None = None,
     hub_threshold: int | None = None,
+    reset_vertices: list[int] | None = None,
 ) -> tuple[DataFrame, list[dict]]:
-    """Returns (ranks DataFrame[v: long, rank: double], metrics list)."""
+    """Returns (ranks DataFrame[v: long, rank: double], metrics list).
+
+    ``reset_vertices`` switches to personalized PageRank: the teleport
+    distribution (and dangling-mass redistribution) becomes uniform
+    over the given source set instead of over all vertices.
+    """
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     e = edges.select(F.col("sid").cast("long").alias("src"),
@@ -96,6 +102,17 @@ def pagerank(
     )
     n_dangling = vflag.where("is_dangling").count()
 
+    # teleport distribution p(v): uniform, or uniform over reset_vertices
+    # (personalized PageRank); joined into the vertex table once
+    if reset_vertices is not None:
+        rs = set(int(x) for x in reset_vertices)
+        p_col = F.when(F.col("v").isin(rs), F.lit(1.0 / len(rs))).otherwise(F.lit(0.0))
+    else:
+        p_col = F.lit(1.0 / n_vertices)
+    vertices_p = vertices.select("v", p_col.alias("p")) \
+                         .persist(StorageLevel.MEMORY_AND_DISK)
+    vertices_p.count()
+
     # Always checkpoint through parquet snapshots: truncates lineage each
     # superstep AND bounds storage (the manager GCs old snapshots), unlike
     # localCheckpoint whose RDDs accumulate until driver GC. An anonymous
@@ -111,11 +128,16 @@ def pagerank(
             .agg(F.sum("rank")).collect()[0][0] or 0.0
         )
     else:
-        ranks = vertices.select("v", F.lit(1.0 / n_vertices).alias("rank"))
-        d_mass = n_dangling / n_vertices
+        ranks = vertices_p.select("v", F.col("p").alias("rank"))
+        if reset_vertices is None:
+            d_mass = n_dangling / n_vertices
+        else:
+            d_mass = float(
+                ranks.join(vflag, "v").where("is_dangling")
+                .agg(F.sum("rank")).collect()[0][0] or 0.0
+            )
 
     metrics: list[dict] = []
-    base = (1.0 - damping) / n_vertices
     for it in range(start_iter, max_iter):
         t0 = time.time()
         if hub_threshold:
@@ -127,12 +149,12 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("contrib"))
             )
         new_ranks = (
-            vertices.join(contribs.withColumnRenamed("dst", "v"), "v", "left")
+            vertices_p.join(contribs.withColumnRenamed("dst", "v"), "v", "left")
             .select(
                 "v",
-                (F.lit(base)
+                (F.lit(1.0 - damping) * F.col("p")
                  + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                     + F.lit(d_mass / n_vertices))).alias("rank"),
+                                     + F.lit(d_mass) * F.col("p"))).alias("rank"),
             )
         )
         # materialize the new rank vector ONCE (checkpoint = the job) ...

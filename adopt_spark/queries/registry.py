@@ -67,6 +67,14 @@ def q_csr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_csr(e)
 
 
+def q_csr_4clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized leapfrog kernel at k=4; oracle = 4-clique SQL."""
+    from adopt_spark.algos.cliques import clique_count_csr
+
+    e = derived_edges(spark, sf_dir)
+    return clique_count_csr(e, 4)
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     return e.groupBy(F.col("sid").alias("v")).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -479,6 +487,8 @@ ORACLES: dict[str, str] = {
     "g_range_3clique": f"{_EDGE_CTE}\n{clique_sql(3, range_preds=_RANGE_PREDS)}",
     "g_csr_triangles": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_triangles "
                        f"FROM ({clique_sql(3)})",
+    "g_csr_4clique": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_cliques "
+                     f"FROM ({clique_sql(4)})",
     "g_degree_hist": f"{_EDGE_CTE}\nSELECT sid AS v, count(*) AS outdeg "
                      "FROM edge GROUP BY sid",
     "g_top_indegree": f"{_EDGE_CTE}\nSELECT tid AS v, count(*) AS indeg FROM edge "
@@ -649,6 +659,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_6cycle": _motif(cycle_sql(6)),
         "g_range_3clique": _motif(clique_sql(3, range_preds=_RANGE_PREDS)),
         "g_csr_triangles": q_csr_triangles,
+        "g_csr_4clique": q_csr_4clique,
         "g_degree_hist": q_degree_hist,
         "g_top_indegree": q_top_indegree,
         "g_edge_count": q_edge_count,

@@ -1,0 +1,43 @@
+"""Generalized k-clique leapfrog kernel vs the DuckDB-checked SQL plan."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from adopt_spark.algos.cliques import clique_count_csr
+from adopt_spark.algos.motifs import clique_sql
+from adopt_spark.algos.triangles import triangle_count
+
+
+def duck_count(pairs, sql):
+    con = duckdb.connect()
+    con.register("edge", pd.DataFrame(pairs, columns=["sid", "tid"]))
+    return con.execute(sql).fetchone()[0]
+
+
+@pytest.mark.parametrize("fixture", ["tri6", "two_components", "powerlaw_small"])
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_clique_csr_vs_duckdb(spark, fixture, k, request):
+    df, pairs = request.getfixturevalue(fixture)
+    expected = duck_count(pairs, clique_sql(k))
+    got = clique_count_csr(df, k).collect()[0]["n_cliques"]
+    assert got == expected
+
+
+def test_k3_equals_triangle_kernels(spark, powerlaw_small):
+    df, _ = powerlaw_small
+    k3 = clique_count_csr(df, 3).collect()[0][0]
+    assert k3 == triangle_count(df, "csr").collect()[0][0]
+    assert k3 == triangle_count(df, "join").collect()[0][0]
+
+
+def test_dense_block_has_cliques(spark):
+    """K6 + pendant: C(6,3)=20 triangles, C(6,4)=15 4-cliques, 6 5-cliques."""
+    from itertools import combinations
+    pairs = list(combinations(range(6), 2)) + [(5, 10)]
+    df = spark.createDataFrame([(a, b) for a, b in pairs], "sid long, tid long")
+    assert clique_count_csr(df, 3).collect()[0][0] == 20
+    assert clique_count_csr(df, 4).collect()[0][0] == 15
+    assert clique_count_csr(df, 5).collect()[0][0] == 6
+    assert clique_count_csr(df, 6).collect()[0][0] == 1
+    assert clique_count_csr(df, 7).collect()[0][0] == 0
