@@ -24,13 +24,21 @@ same count:
     build, work *and* data-movement proportional to the wedge count
     on the worker side only.
 
+  * ``method="cogroup"`` — the arbitrary-scale leapfrog: no driver
+    collect, no broadcast. Sorted adjacency arrays are built with one
+    ``groupBy(src)`` shuffle (each array ≤ O(sqrt(E)) by orientation),
+    joined back to the edge list on both endpoints, and a mapInPandas
+    kernel intersects the two sorted arrays per edge — the whole Arrow
+    batch in two np.searchsorted calls via per-row key offsetting.
+    This is SURVEY.md §4.3's "leapfrog-as-cogroup": it ships strictly
+    less shuffle data than the wedge join (adjacency copies instead of
+    materialized wedge rows, and the closure test never crosses the
+    wire), and AQE skew-join splits any hub-heavy partition.
+
 Broadcast-vs-shuffle selection: the CSR kernel needs the oriented
 edge set on each worker (8 bytes × 2 × E). Above
-``CSR_BROADCAST_MAX_EDGES`` it falls back to the join plan — the same
-decision Catalyst makes between broadcast and sort-merge joins. (At
-10^12-edge scale the CSR kernel would instead run per vertex-range
-block — the hypercube first-dimension split — which is the planned
-upgrade path; the join plan is the correct-at-any-scale fallback.)
+``CSR_BROADCAST_MAX_EDGES`` it falls back to the cogroup plan — the
+same decision Catalyst makes between broadcast and sort-merge joins.
 
 Both methods run on the undirected pair set {a,b} induced by the
 lt-filter, so they agree with each other and with the SQL oracle by
@@ -73,6 +81,73 @@ def triangle_count_join(edges: DataFrame) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def triangle_count_cogroup(edges: DataFrame) -> DataFrame:
+    """Distributed leapfrog triangle count; returns [n_triangles: long].
+
+    Works at any edge count: nothing is collected to the driver and
+    nothing is broadcast. Physical plan:
+
+      1. orient → ``groupBy(src).agg(sort_array(collect_list(dst)))``
+         builds the sorted adjacency table (the distributed analogue of
+         the reference's cached trie orders, LFTJiter.java:81-197);
+         every array is ≤ O(sqrt(E)) long by degree orientation, so no
+         single group can blow an executor.
+      2. join the oriented edges (u, v) to the adjacency table on u and
+         on v (sort-merge/shuffled-hash; AQE splits skewed partitions).
+         The v-side join is inner: a v with no out-list closes no
+         triangle.
+      3. mapInPandas: per Arrow batch, count |N+(u) ∩ N+(v)| for every
+         edge at once — concatenate the v-side arrays, lift each row's
+         values into a disjoint key range (value + row * M), and one
+         np.searchsorted of the u-side candidate keys against that
+         globally-sorted array is the leapfrog seek for the whole
+         batch. Only per-edge counts leave the kernel.
+
+    Shuffle volume is Σ_v indeg(v)·outdeg(v) ≤ E^1.5 array elements —
+    strictly less than the wedge join, which shuffles the same wedge
+    count as materialized rows *and* joins them against the edge set
+    again.
+    """
+    o = orient_by_degree(_lt_pairs(edges))
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    e = (
+        o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v")
+        .select("nbrs_u", "nbrs_v")
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            n = len(batch)
+            if n == 0:
+                continue
+            nu = [np.asarray(x, dtype=np.int64) for x in batch["nbrs_u"]]
+            nv = [np.asarray(x, dtype=np.int64) for x in batch["nbrs_v"]]
+            cu = np.array([len(x) for x in nu], dtype=np.int64)
+            cv = np.array([len(x) for x in nv], dtype=np.int64)
+            cand = np.concatenate(nu) if cu.sum() else np.empty(0, np.int64)
+            pool = np.concatenate(nv) if cv.sum() else np.empty(0, np.int64)
+            if len(cand) == 0 or len(pool) == 0:
+                yield pd.DataFrame({"partial": [0]})
+                continue
+            m = np.int64(max(int(cand.max()), int(pool.max())) + 1)
+            # lift each row's sorted values into a disjoint range so the
+            # concatenation is globally sorted: one searchsorted = all rows
+            pool_keys = pool + np.repeat(np.arange(n, dtype=np.int64), cv) * m
+            cand_keys = cand + np.repeat(np.arange(n, dtype=np.int64), cu) * m
+            idx = np.searchsorted(pool_keys, cand_keys)
+            idx[idx == len(pool_keys)] = 0
+            found = pool_keys[idx] == cand_keys
+            yield pd.DataFrame({"partial": [int(found.sum())]})
+
+    partials = e.mapInPandas(kernel, schema="partial long")
+    return partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
+                        .cast("long").alias("n_triangles"))
+
+
 def triangle_count_csr(edges: DataFrame) -> DataFrame:
     """Broadcast-CSR leapfrog triangle count; returns [n_triangles: long].
 
@@ -94,14 +169,14 @@ def triangle_count_csr(edges: DataFrame) -> DataFrame:
     if len(raw) == 0:
         return spark.createDataFrame([(0,)], "n_triangles long")
     if len(raw) > CSR_BROADCAST_MAX_EDGES:
-        return triangle_count_join(edges)
+        return triangle_count_cogroup(edges)
 
     a = raw["sid"].to_numpy(np.int64)
     b = raw["tid"].to_numpy(np.int64)
     max_id = int(max(a.max(), b.max()))
     # guards: dense-array degree count + int64 key packing need compact ids
     if max_id >= 50_000_000:
-        return triangle_count_join(edges)
+        return triangle_count_cogroup(edges)
     m = np.int64(max_id + 1)
     pair = np.unique(a * m + b)          # dedup'd lt pairs
     a, b = pair // m, pair % m
@@ -170,4 +245,6 @@ def triangle_count(edges: DataFrame, method: str = "join") -> DataFrame:
         return triangle_count_join(edges)
     if method == "csr":
         return triangle_count_csr(edges)
+    if method == "cogroup":
+        return triangle_count_cogroup(edges)
     raise ValueError(f"unknown method: {method}")

@@ -67,6 +67,14 @@ def q_csr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_csr(e)
 
 
+def q_cogroup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed (no-broadcast) leapfrog cogroup; oracle = 3-clique SQL."""
+    from adopt_spark.algos.triangles import triangle_count_cogroup
+
+    e = derived_edges(spark, sf_dir)
+    return triangle_count_cogroup(e)
+
+
 def q_csr_4clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generalized leapfrog kernel at k=4; oracle = 4-clique SQL."""
     from adopt_spark.algos.cliques import clique_count_csr
@@ -489,6 +497,8 @@ ORACLES: dict[str, str] = {
                        f"FROM ({clique_sql(3)})",
     "g_csr_4clique": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_cliques "
                      f"FROM ({clique_sql(4)})",
+    "g_cogroup_triangles": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_triangles "
+                           f"FROM ({clique_sql(3)})",
     "g_degree_hist": f"{_EDGE_CTE}\nSELECT sid AS v, count(*) AS outdeg "
                      "FROM edge GROUP BY sid",
     "g_top_indegree": f"{_EDGE_CTE}\nSELECT tid AS v, count(*) AS indeg FROM edge "
@@ -659,6 +669,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_6cycle": _motif(cycle_sql(6)),
         "g_range_3clique": _motif(clique_sql(3, range_preds=_RANGE_PREDS)),
         "g_csr_triangles": q_csr_triangles,
+        "g_cogroup_triangles": q_cogroup_triangles,
         "g_csr_4clique": q_csr_4clique,
         "g_degree_hist": q_degree_hist,
         "g_top_indegree": q_top_indegree,
