@@ -62,6 +62,48 @@ def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Second derived graph for the high-order motif suite (6/7-clique,
+# 7-cycle — the top of the reference's graph_query/ ladder). The dense
+# lineitem graph has zero 6-cliques and its 7-alias oracle SQL is
+# minutes-slow in DuckDB, so these queries run on a *sparse* orders
+# graph with a planted K25: the clique contributes exact, non-zero
+# counts (C(25,6)=177100 six-cliques) while the sparse background keeps
+# every join intermediate small. Both engines build it from the same
+# arithmetic, so it is deterministic and oracle-checkable.
+SPARSE_EDGE_MOD = 50021          # prime ≫ vertex count: background stays sparse
+SPARSE_PLANT_K = 25              # planted clique size
+
+SPARSE_EDGE_SQL = f"""
+SELECT DISTINCT sid, tid FROM (
+    SELECT CAST(o_orderkey % {SPARSE_EDGE_MOD} AS BIGINT) AS sid,
+           CAST(o_custkey % {SPARSE_EDGE_MOD} AS BIGINT) AS tid
+    FROM orders
+    UNION ALL
+    SELECT CAST(a.i AS BIGINT) AS sid, CAST(b.i AS BIGINT) AS tid
+    FROM range({SPARSE_PLANT_K}) AS a(i), range({SPARSE_PLANT_K}) AS b(i)
+    WHERE a.i < b.i
+) WHERE sid <> tid
+""".strip()
+
+
+def derived_edges_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse orders-derived graph + planted K{25} (see SPARSE_EDGE_SQL)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    background = o.select(
+        (F.col("o_orderkey") % SPARSE_EDGE_MOD).cast("long").alias("sid"),
+        (F.col("o_custkey") % SPARSE_EDGE_MOD).cast("long").alias("tid"),
+    )
+    k = SPARSE_PLANT_K
+    a = spark.range(k).select(F.col("id").alias("sid"))
+    b = spark.range(k).select(F.col("id").alias("tid"))
+    plant = a.crossJoin(b).where(F.col("sid") < F.col("tid"))
+    return (
+        background.unionByName(plant)
+        .where(F.col("sid") != F.col("tid"))
+        .distinct()
+    )
+
+
 def normalize_edges(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Dedup + drop self-loops; hash-partition by sid for reuse.
 

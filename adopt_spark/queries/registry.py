@@ -33,7 +33,9 @@ from adopt_spark.algos.lpa import label_propagation
 from adopt_spark.algos.motifs import clique_sql, cycle_sql
 from adopt_spark.algos.pagerank import pagerank
 from adopt_spark.algos.triangles import triangle_count_csr
-from adopt_spark.edges import DERIVED_EDGE_SQL, derived_edges
+from adopt_spark.edges import (
+    DERIVED_EDGE_SQL, SPARSE_EDGE_SQL, derived_edges, derived_edges_sparse,
+)
 from adopt_spark.functions.dedup import (
     exact_dedup, minhash_near_dup_pairs, simhash_pairs,
 )
@@ -46,6 +48,7 @@ from adopt_spark.streaming.windowed import hourly_event_counts_stream
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _EDGE_CTE = f"WITH edge AS (\n{DERIVED_EDGE_SQL}\n)"
+_SPARSE_CTE = f"WITH edge_sparse AS (\n{SPARSE_EDGE_SQL}\n)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,6 +60,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _motif(sql_body: str) -> QueryFn:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         derived_edges(spark, sf_dir).createOrReplaceTempView("edge")
+        return spark.sql(sql_body)
+    return fn
+
+
+def _motif_sparse(sql_body: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        derived_edges_sparse(spark, sf_dir).createOrReplaceTempView("edge_sparse")
         return spark.sql(sql_body)
     return fn
 
@@ -101,6 +111,10 @@ def q_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RANGE_PREDS = {1: 1000, 2: 1500, 3: 2000}
+# 4-clique selectivity variant — the reference parameterizes the same
+# way (graph_selectivity_query/twitter_selectivity_4clique/sql/*.sql
+# adds one upper bound per join variable).
+_RANGE_PREDS_4 = {1: 800, 2: 1200, 3: 1600, 4: 2000}
 
 # ---------------- relational surface (§2.1-2.8) -----------------------------
 
@@ -493,6 +507,10 @@ ORACLES: dict[str, str] = {
     "g_5clique": f"{_EDGE_CTE}\n{clique_sql(5)}",
     "g_6cycle": f"{_EDGE_CTE}\n{cycle_sql(6)}",
     "g_range_3clique": f"{_EDGE_CTE}\n{clique_sql(3, range_preds=_RANGE_PREDS)}",
+    "g_range_4clique": f"{_EDGE_CTE}\n{clique_sql(4, range_preds=_RANGE_PREDS_4)}",
+    "g_6clique": f"{_SPARSE_CTE}\n{clique_sql(6, edge_view='edge_sparse')}",
+    "g_7clique": f"{_SPARSE_CTE}\n{clique_sql(7, edge_view='edge_sparse')}",
+    "g_7cycle": f"{_SPARSE_CTE}\n{cycle_sql(7, edge_view='edge_sparse')}",
     "g_csr_triangles": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_triangles "
                        f"FROM ({clique_sql(3)})",
     "g_csr_4clique": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_cliques "
@@ -668,6 +686,10 @@ def all_queries() -> dict[str, QueryFn]:
         "g_5clique": _motif(clique_sql(5)),
         "g_6cycle": _motif(cycle_sql(6)),
         "g_range_3clique": _motif(clique_sql(3, range_preds=_RANGE_PREDS)),
+        "g_range_4clique": _motif(clique_sql(4, range_preds=_RANGE_PREDS_4)),
+        "g_6clique": _motif_sparse(clique_sql(6, edge_view="edge_sparse")),
+        "g_7clique": _motif_sparse(clique_sql(7, edge_view="edge_sparse")),
+        "g_7cycle": _motif_sparse(cycle_sql(7, edge_view="edge_sparse")),
         "g_csr_triangles": q_csr_triangles,
         "g_cogroup_triangles": q_cogroup_triangles,
         "g_csr_4clique": q_csr_4clique,
