@@ -63,13 +63,17 @@ def pagerank(
         e.select(F.col("src").alias("v"))
         .unionAll(e.select(F.col("dst").alias("v")))
         .distinct()
-        .repartition(parts, "v")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_vertices = vertices.count()
     if n_vertices == 0:
         empty = spark.createDataFrame([], "v long, rank double")
         return empty, []
+    # Rank-vector partitioning scales with the vertex count, not the
+    # global shuffle setting: ~100k vertices per partition. A small
+    # vector in one partition broadcasts into the links join and writes
+    # one checkpoint file; a 10^9-vertex vector still fans out wide.
+    rank_parts = max(1, min(parts, n_vertices // 100_000 + 1))
 
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # One-time layout investment, amortized over every superstep: links
@@ -89,29 +93,31 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_edges = links.count()
-    # vertices flagged dangling (no out-edges) once — per-superstep dangling
-    # mass then folds into the delta aggregate instead of its own job
-    vflag = (
-        vertices.join(outdeg.withColumnRenamed("src", "v").select("v"), "v", "left_anti")
-        .select("v", F.lit(True).alias("is_dangling"))
-        .unionByName(
-            vertices.join(outdeg.withColumnRenamed("src", "v").select("v"), "v", "left_semi")
-            .select("v", F.lit(False).alias("is_dangling")))
-        .repartition(parts, "v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_dangling = vflag.where("is_dangling").count()
-
-    # teleport distribution p(v): uniform, or uniform over reset_vertices
-    # (personalized PageRank); joined into the vertex table once
+    # One per-vertex side table carries everything the superstep needs:
+    # the teleport probability p(v) (uniform, or uniform over
+    # reset_vertices for personalized PageRank) and the dangling flag
+    # (no out-edges — per-superstep dangling mass then folds into the
+    # delta aggregate instead of its own job). One cache, one action.
     if reset_vertices is not None:
         rs = set(int(x) for x in reset_vertices)
         p_col = F.when(F.col("v").isin(rs), F.lit(1.0 / len(rs))).otherwise(F.lit(0.0))
     else:
         p_col = F.lit(1.0 / n_vertices)
-    vertices_p = vertices.select("v", p_col.alias("p")) \
-                         .persist(StorageLevel.MEMORY_AND_DISK)
-    vertices_p.count()
+    vertex_meta = (
+        vertices
+        .join(outdeg.withColumnRenamed("src", "v")
+              .select("v", F.lit(False).alias("is_dangling")), "v", "left")
+        .select("v", p_col.alias("p"),
+                F.coalesce(F.col("is_dangling"), F.lit(True)).alias("is_dangling"))
+        .repartition(rank_parts, "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_dangling = int(
+        vertex_meta.agg(F.sum(F.col("is_dangling").cast("long"))).collect()[0][0] or 0
+    )
+    vertices.unpersist()
+    vertices_p = vertex_meta  # (v, p, is_dangling)
+    vflag = vertex_meta
 
     # Always checkpoint through parquet snapshots: truncates lineage each
     # superstep AND bounds storage (the manager GCs old snapshots), unlike
@@ -122,7 +128,7 @@ def pagerank(
     ranks: DataFrame
     if cm and resume and cm.latest() is not None:
         start_iter = cm.latest() + 1
-        ranks = cm.load(spark, cm.latest()).repartition(parts, "v")
+        ranks = cm.load(spark, cm.latest()).repartition(rank_parts, "v")
         d_mass = float(
             ranks.join(vflag, "v").where("is_dangling")
             .agg(F.sum("rank")).collect()[0][0] or 0.0
@@ -158,7 +164,7 @@ def pagerank(
             )
         )
         # materialize the new rank vector ONCE (checkpoint = the job) ...
-        new_ranks = cm.save(new_ranks.repartition(parts, "v"), it)
+        new_ranks = cm.save(new_ranks.repartition(rank_parts, "v"), it)
         # ... then ONE aggregate gives both the convergence delta and the
         # next superstep's dangling mass
         agg_row = (
