@@ -130,6 +130,96 @@ def _expand(csr: OrientedCSR, cols: list[np.ndarray],
     return [c[ridx][keep] for c in cols] + [w[keep]], 0
 
 
+def _intersect_kernel(a_col: str, b_col: str, out_col: str):
+    """mapInPandas kernel: per row, intersection of two sorted arrays.
+
+    Vectorized over the whole Arrow batch: concatenate the pool-side
+    arrays, lift each row's values into a disjoint key range
+    (value + row * M) so the concatenation is globally sorted, and one
+    np.searchsorted of all candidate keys is the leapfrog seek for the
+    entire batch (LFTJoin.java:113-145, batched).
+    """
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in it:
+            n = len(batch)
+            if n == 0:
+                continue
+            ca = [np.asarray(x, dtype=np.int64) for x in batch[a_col]]
+            cb = [np.asarray(x, dtype=np.int64) for x in batch[b_col]]
+            la = np.array([len(x) for x in ca], dtype=np.int64)
+            lb = np.array([len(x) for x in cb], dtype=np.int64)
+            cand = np.concatenate(ca) if la.sum() else np.empty(0, np.int64)
+            pool = np.concatenate(cb) if lb.sum() else np.empty(0, np.int64)
+            if len(cand) == 0 or len(pool) == 0:
+                yield pd.DataFrame({out_col: [[] for _ in range(n)]})
+                continue
+            m = np.int64(max(int(cand.max()), int(pool.max())) + 1)
+            rows_a = np.repeat(np.arange(n, dtype=np.int64), la)
+            pool_keys = pool + np.repeat(np.arange(n, dtype=np.int64), lb) * m
+            cand_keys = cand + rows_a * m
+            idx = np.searchsorted(pool_keys, cand_keys)
+            idx[idx == len(pool_keys)] = 0
+            found = pool_keys[idx] == cand_keys
+            kept, kept_rows = cand[found], rows_a[found]
+            splits = np.searchsorted(kept_rows, np.arange(1, n))
+            yield pd.DataFrame({out_col: [x.tolist()
+                                          for x in np.split(kept, splits)]})
+
+    return kernel
+
+
+def clique_count_cogroup(edges: DataFrame, k: int) -> DataFrame:
+    """Distributed k-clique leapfrog; returns [n_cliques: long].
+
+    Works at any edge count — nothing broadcast, nothing collected.
+    The leapfrog state per partial clique collapses to its **candidate
+    set**: the sorted intersection of the oriented out-lists of every
+    member. Each level is then
+
+        explode(candidates) → join sorted-adjacency on the new vertex
+        → vectorized intersect (one searchsorted per Arrow batch)
+
+    and the k-clique count is Σ |candidates| over level-(k-1) partials.
+    Degree orientation makes every clique a single strictly-increasing
+    chain in the (deg, id) total order, so each is counted exactly once
+    and every out-list (hence every candidate array) is O(sqrt E).
+    This is the cogroup generalization of the broadcast kernel above —
+    same per-level semantics as the reference's LFTJ variable bindings
+    (HyperCubeEvaluationTask.java:283-369), with Spark shuffles as the
+    level boundaries and AQE handling skewed hub partitions.
+    """
+    if k < 3:
+        raise ValueError("clique size must be >= 3")
+    from adopt_spark.edges import orient_by_degree
+
+    o = orient_by_degree(
+        edges.where(F.col("sid") < F.col("tid")).dropDuplicates(["sid", "tid"]))
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    # level 2: every oriented edge (u,v) with cand = N+(u) ∩ N+(v)
+    p = (
+        o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u").join(av, "v")
+        .select("nbrs_u", "nbrs_v")
+        .mapInPandas(_intersect_kernel("nbrs_u", "nbrs_v", "cand"),
+                     schema="cand array<bigint>")
+    )
+    # levels 3..k-1: bind one more vertex w from cand, re-intersect
+    aw = adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nbrs_w"))
+    for _ in range(k - 3):
+        p = (
+            p.select(F.explode("cand").alias("w"), "cand")
+            .join(aw, "w")                      # w without out-list extends nothing
+            .select("cand", "nbrs_w")
+            .mapInPandas(_intersect_kernel("cand", "nbrs_w", "cand"),
+                         schema="cand array<bigint>")
+        )
+    return p.agg(F.coalesce(F.sum(F.size("cand")), F.lit(0))
+                 .cast("long").alias("n_cliques"))
+
+
 def clique_count_csr(edges: DataFrame, k: int) -> DataFrame:
     """k-clique count via the broadcast-CSR leapfrog; [n_cliques: long].
 

@@ -93,6 +93,15 @@ def q_csr_4clique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clique_count_csr(e, 4)
 
 
+def q_cogroup_5clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-clique leapfrog at k=5 on the planted-K25 sparse
+    graph; oracle = 5-clique SQL over the same CTE."""
+    from adopt_spark.algos.cliques import clique_count_cogroup
+
+    e = derived_edges_sparse(spark, sf_dir)
+    return clique_count_cogroup(e, 5)
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     return e.groupBy(F.col("sid").alias("v")).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -517,6 +526,8 @@ ORACLES: dict[str, str] = {
                      f"FROM ({clique_sql(4)})",
     "g_cogroup_triangles": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_triangles "
                            f"FROM ({clique_sql(3)})",
+    "g_cogroup_5clique": f"{_SPARSE_CTE}\nSELECT CAST(n AS BIGINT) AS n_cliques "
+                         f"FROM ({clique_sql(5, edge_view='edge_sparse')})",
     "g_degree_hist": f"{_EDGE_CTE}\nSELECT sid AS v, count(*) AS outdeg "
                      "FROM edge GROUP BY sid",
     "g_top_indegree": f"{_EDGE_CTE}\nSELECT tid AS v, count(*) AS indeg FROM edge "
@@ -692,6 +703,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_7cycle": _motif_sparse(cycle_sql(7, edge_view="edge_sparse")),
         "g_csr_triangles": q_csr_triangles,
         "g_cogroup_triangles": q_cogroup_triangles,
+        "g_cogroup_5clique": q_cogroup_5clique,
         "g_csr_4clique": q_csr_4clique,
         "g_degree_hist": q_degree_hist,
         "g_top_indegree": q_top_indegree,

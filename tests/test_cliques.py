@@ -4,7 +4,7 @@ import duckdb
 import pandas as pd
 import pytest
 
-from adopt_spark.algos.cliques import clique_count_csr
+from adopt_spark.algos.cliques import clique_count_cogroup, clique_count_csr
 from adopt_spark.algos.motifs import clique_sql
 from adopt_spark.algos.triangles import triangle_count
 
@@ -17,10 +17,11 @@ def duck_count(pairs, sql):
 
 @pytest.mark.parametrize("fixture", ["tri6", "two_components", "powerlaw_small"])
 @pytest.mark.parametrize("k", [3, 4, 5])
-def test_clique_csr_vs_duckdb(spark, fixture, k, request):
+@pytest.mark.parametrize("counter", [clique_count_csr, clique_count_cogroup])
+def test_clique_kernels_vs_duckdb(spark, fixture, k, counter, request):
     df, pairs = request.getfixturevalue(fixture)
     expected = duck_count(pairs, clique_sql(k))
-    got = clique_count_csr(df, k).collect()[0]["n_cliques"]
+    got = counter(df, k).collect()[0]["n_cliques"]
     assert got == expected
 
 
@@ -36,8 +37,9 @@ def test_dense_block_has_cliques(spark):
     from itertools import combinations
     pairs = list(combinations(range(6), 2)) + [(5, 10)]
     df = spark.createDataFrame([(a, b) for a, b in pairs], "sid long, tid long")
-    assert clique_count_csr(df, 3).collect()[0][0] == 20
-    assert clique_count_csr(df, 4).collect()[0][0] == 15
-    assert clique_count_csr(df, 5).collect()[0][0] == 6
-    assert clique_count_csr(df, 6).collect()[0][0] == 1
-    assert clique_count_csr(df, 7).collect()[0][0] == 0
+    for counter in (clique_count_csr, clique_count_cogroup):
+        assert counter(df, 3).collect()[0][0] == 20
+        assert counter(df, 4).collect()[0][0] == 15
+        assert counter(df, 5).collect()[0][0] == 6
+        assert counter(df, 6).collect()[0][0] == 1
+        assert counter(df, 7).collect()[0][0] == 0
