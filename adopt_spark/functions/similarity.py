@@ -10,14 +10,26 @@ Two paths:
     cosine re-rank inside buckets. The scale path: pair count drops
     from N² to Σ bucket².
 
-Hyperplanes come from a seeded numpy Generator and are broadcast as
-literal arrays — deterministic at any parallelism.
+  * ivf_topk — inverted-file (IVF) index: deterministic spherical
+    k-means centroids fitted on a driver-side sample, every corpus
+    vector assigned to its nearest centroid (one Arrow-batched matmul),
+    queries probe their n_probe nearest cells, exact cosine re-rank
+    inside probed cells. The classic ANN scale path: pair count drops
+    from Q·N to Q·N·(n_probe/n_centroids) with recall controlled by
+    n_probe (n_probe = n_centroids degenerates to exact brute force).
+
+Hyperplanes/centroids come from a seeded numpy Generator and are
+deterministic at any parallelism.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def _norm_col(vec: str):
@@ -110,6 +122,85 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         p = le.join(lq, "_bk").drop("_bk")
         cand = p if cand is None else cand.unionAll(p)
     cand = cand.dropDuplicates([q_id_col, id_col])
+    cos = (_dot(F.col(vec_col), F.col(q_vec_col))
+           / (F.col("_n1") * F.col("_n2"))).alias("cos")
+    scored = cand.select(q_id_col, id_col, cos).where(~F.isnan("cos"))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))
+
+
+def _spherical_kmeans(x: np.ndarray, n_centroids: int, seed: int,
+                      iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd iterations on unit-normalized sample rows."""
+    xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+    rng = np.random.default_rng(seed)
+    c = xn[rng.choice(len(xn), size=min(n_centroids, len(xn)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (xn @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = xn[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.linalg.norm(c, axis=1, keepdims=True) + 1e-12
+    return c
+
+
+def _assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
+                  n_probe: int) -> DataFrame:
+    """Append ``cid`` (nearest-centroid id); n_probe > 1 replicates each
+    row into its n_probe nearest cells. One Arrow-batched matmul per
+    batch — no per-row Python."""
+    n_probe = min(n_probe, len(centroids))
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("cid", LongType())])
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+            sims = vn @ centroids.T
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out["cid"] = top.ravel().astype(np.int64)
+            yield out
+
+    return df.mapInPandas(kernel, schema=schema)
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             sample_size: int = 4096) -> DataFrame:
+    """Approximate cosine top-k via an IVF index; [q_id, vec_id, cos, rank].
+
+    Centroids: spherical k-means on the ``sample_size`` lowest-id
+    corpus vectors (deterministic at any parallelism). Corpus vectors
+    land in exactly one cell; queries fan out to ``n_probe`` cells; the
+    cell-key equi-join replaces the brute-force cross join, then exact
+    cosine re-ranks inside probed cells. At 100 TB the corpus side is
+    written bucketed by ``cid`` once and every query batch joins
+    shuffle-free against its probed buckets.
+    """
+    sample = embeddings.orderBy(id_col).limit(sample_size) \
+                       .select(vec_col).toPandas()
+    x = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    centroids = _spherical_kmeans(x, n_centroids, seed)
+
+    e = _assign_cells(
+        embeddings.select(F.col(id_col), F.col(vec_col),
+                          _norm_col(vec_col).alias("_n1")),
+        vec_col, centroids, n_probe=1)
+    q = _assign_cells(
+        queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       _norm_col(q_vec_col).alias("_n2")),
+        q_vec_col, centroids, n_probe=n_probe)
+
+    cand = e.join(q, "cid").drop("cid")
     cos = (_dot(F.col(vec_col), F.col(q_vec_col))
            / (F.col("_n1") * F.col("_n2"))).alias("cos")
     scored = cand.select(q_id_col, id_col, cos).where(~F.isnan("cos"))

@@ -431,6 +431,16 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at full probe (= exact); oracle = the brute-force SQL."""
+    from adopt_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(emb)
+    return ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8).select(
+        "q_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
 # ---------------- iterative graph algorithms (rows-only) --------------------
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -687,6 +697,10 @@ ORACLES: dict[str, str] = {
         WHERE rnk <= 5""",
 }
 
+# Full-probe IVF degenerates to exact search, so it shares the
+# brute-force oracle — a value-level check, not rows-only.
+ORACLES["s_knn_ivf"] = ORACLES["s_knn_bruteforce"]
+
 
 def all_queries() -> dict[str, QueryFn]:
     return {
@@ -742,6 +756,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_simhash_pairs": q_simhash_pairs,          # rows-only
         "s_knn_bruteforce": q_knn_bruteforce,
         "s_knn_lsh": q_knn_lsh,                      # rows-only
+        "s_knn_ivf": q_knn_ivf,
         "s_embedding_near_dup": q_embedding_near_dup,  # rows-only
         "m_media_features": q_media_features,        # rows-only
         "a_pagerank_top": q_pagerank_top,            # rows-only (iterative)

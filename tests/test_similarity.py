@@ -4,7 +4,9 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from adopt_spark.functions.similarity import brute_force_topk, embedding_near_dup, lsh_topk
+from adopt_spark.functions.similarity import (
+    brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -64,6 +66,35 @@ def test_lsh_topk_recall(spark, emb, queries):
     # rank-1 self matches must survive LSH (identical vector → same buckets)
     for q in {r["q_id"] for r in brute}:
         assert (q, q) in aset
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb, queries):
+    """n_probe = n_centroids probes every cell → exact brute-force result."""
+    k = 5
+    brute = {(r["q_id"], r["vec_id"], r["rank"])
+             for r in brute_force_topk(emb, queries, k=k).collect()}
+    ivf = {(r["q_id"], r["vec_id"], r["rank"])
+           for r in ivf_topk(emb, queries, k=k, n_centroids=8, n_probe=8).collect()}
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_recall(spark, emb, queries):
+    k = 5
+    brute = brute_force_topk(emb, queries, k=k).collect()
+    approx = ivf_topk(emb, queries, k=k, n_centroids=8, n_probe=3).collect()
+    bset = {(r["q_id"], r["vec_id"]) for r in brute}
+    aset = {(r["q_id"], r["vec_id"]) for r in approx}
+    assert len(bset & aset) / len(bset) >= 0.4
+    # each query's own vector shares its cell → self-match always found
+    for q in {r["q_id"] for r in brute}:
+        assert (q, q) in aset
+
+
+def test_ivf_deterministic_across_parallelism(spark, emb, queries):
+    a = ivf_topk(emb.repartition(2), queries, k=3, n_centroids=8, n_probe=2).collect()
+    b = ivf_topk(emb.repartition(16), queries, k=3, n_centroids=8, n_probe=2).collect()
+    key = lambda rows: sorted((r["q_id"], r["vec_id"], r["rank"]) for r in rows)
+    assert key(a) == key(b)
 
 
 def test_embedding_near_dup_self_excluded(spark, emb):
