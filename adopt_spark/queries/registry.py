@@ -360,6 +360,14 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n", "total_value")
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming (applyInPandasWithState, bounded per-key
+    state); oracle = batch lag+cumsum sessionization SQL."""
+    from adopt_spark.streaming.stateful import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir, gap_seconds=1800)
+
+
 # ---------------- documents / text ------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,6 +663,28 @@ ORACLES: dict[str, str] = {
                event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""",
+    "e_stream_sessionize": """
+        WITH x AS (
+          SELECT event_type, ts,
+                 lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+          FROM events
+        ), y AS (
+          SELECT event_type, ts,
+                 CASE WHEN prev IS NULL
+                           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM x
+        ), z AS (
+          SELECT event_type, ts,
+                 sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM y
+        )
+        SELECT event_type, CAST(sid AS BIGINT) AS session_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events
+        FROM z GROUP BY 1, 2""",
     # documents / text
     "t_token_count": f"SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens "
                      "FROM documents",
@@ -746,6 +776,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_event_agg": q_event_agg,
         "e_event_hourly": q_event_hourly,
         "e_stream_hourly": q_stream_hourly,
+        "e_stream_sessionize": q_stream_sessionize,
         "t_token_count": q_token_count,
         "t_exact_dedup": q_exact_dedup,
         "t_quality": q_quality,
