@@ -32,7 +32,10 @@ import time
 import numpy as np
 
 REPO = "/root/repo"
-N_VERTICES = 3_000_000
+# Big enough that a superstep is tens of seconds even at 4N cores —
+# fixed per-job overhead (scheduling, task launch, plan) must not
+# dominate either level or the ratio measures overhead, not scaling.
+N_VERTICES = 10_000_000
 SEED = 42
 LOW, HIGH = 2, 8
 

@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-FIXED_SUPERSTEPS = 4
+FIXED_SUPERSTEPS = 6     # median over 6 is robust to this VM's bursty CPU
 
 
 def main() -> None:
