@@ -64,7 +64,8 @@ def _lt_pairs(edges: DataFrame) -> DataFrame:
     return edges.where(F.col("sid") < F.col("tid")).dropDuplicates(["sid", "tid"])
 
 
-def triangle_count_join(edges: DataFrame) -> DataFrame:
+def triangle_count_join(edges: DataFrame,
+                        _oriented: DataFrame | None = None) -> DataFrame:
     """Pure-DataFrame triangle count; returns 1-row DF [n_triangles: long].
 
     Plan shape: orient → wedge join (e1.dst = e2.src) → close with a
@@ -72,7 +73,7 @@ def triangle_count_join(edges: DataFrame) -> DataFrame:
     orientation the wedge fan-out per vertex is O(sqrt(E)) — worst-case
     optimal for triangle listing.
     """
-    o = orient_by_degree(_lt_pairs(edges))
+    o = _oriented if _oriented is not None else orient_by_degree(_lt_pairs(edges))
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -81,7 +82,8 @@ def triangle_count_join(edges: DataFrame) -> DataFrame:
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def triangle_count_cogroup(edges: DataFrame) -> DataFrame:
+def triangle_count_cogroup(edges: DataFrame,
+                           _oriented: DataFrame | None = None) -> DataFrame:
     """Distributed leapfrog triangle count; returns [n_triangles: long].
 
     Works at any edge count: nothing is collected to the driver and
@@ -108,7 +110,7 @@ def triangle_count_cogroup(edges: DataFrame) -> DataFrame:
     count as materialized rows *and* joins them against the edge set
     again.
     """
-    o = orient_by_degree(_lt_pairs(edges))
+    o = _oriented if _oriented is not None else orient_by_degree(_lt_pairs(edges))
     adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
@@ -240,7 +242,50 @@ def triangle_count_csr(edges: DataFrame) -> DataFrame:
                         .cast("long").alias("n_triangles"))
 
 
-def triangle_count(edges: DataFrame, method: str = "join") -> DataFrame:
+# Auto-dispatch threshold on the wedge/edge ratio W/E where
+# W = Σ_v C(outdeg+(v), 2) over the oriented graph. The kernels pay
+# O(E) Arrow/broadcast overhead to avoid shuffling O(W) wedge rows, so
+# they win when W ≫ E. Measured on local[32]: dense derived graph
+# (W/E = 88) — csr 4.6s vs join 11s; sparse 45M-edge Chung-Lu
+# (W/E = 0.98) — join 49s vs kernels ~205s. 8 splits the regimes.
+AUTO_WEDGE_EDGE_RATIO = 8.0
+
+
+def triangle_count_auto(edges: DataFrame) -> DataFrame:
+    """Adaptive strategy selection — the engine-level analogue of the
+    reference's runtime adaptivity (it *learns* the cheapest attribute
+    order per query; we *measure* the one statistic that separates the
+    physical strategies and dispatch on it).
+
+    One cheap aggregate over the oriented out-degree distribution gives
+    the exact wedge count W. W/E below AUTO_WEDGE_EDGE_RATIO → the
+    wedge self-join (its shuffles are proportional to W, tiny on sparse
+    graphs); above → the leapfrog kernels (broadcast CSR while the edge
+    list fits a worker, cogroup beyond). The oriented edge set is built
+    once and shared with the chosen plan.
+    """
+    spark = edges.sparkSession
+    o = orient_by_degree(_lt_pairs(edges)).persist()
+    row = (
+        o.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum("d").alias("e"),
+             F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0]
+    )
+    n_edges = int(row["e"] or 0)
+    if n_edges == 0:
+        return spark.createDataFrame([(0,)], "n_triangles long")
+    ratio = float(row["w"] or 0.0) / n_edges
+    if ratio < AUTO_WEDGE_EDGE_RATIO:
+        return triangle_count_join(edges, _oriented=o)
+    if n_edges <= CSR_BROADCAST_MAX_EDGES:
+        return triangle_count_csr(edges)
+    return triangle_count_cogroup(edges, _oriented=o)
+
+
+def triangle_count(edges: DataFrame, method: str = "auto") -> DataFrame:
+    if method == "auto":
+        return triangle_count_auto(edges)
     if method == "join":
         return triangle_count_join(edges)
     if method == "csr":

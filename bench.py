@@ -61,6 +61,7 @@ def main() -> None:
     timed("triangle_csr", lambda: triangle_count(edges, "csr").collect())
     extras["triangle_csr_sec"] = timings["triangle_csr"]
     timed("triangle_cogroup", lambda: triangle_count(edges, "cogroup").collect())
+    timed("triangle_auto", lambda: triangle_count(edges, "auto").collect())
 
     # --- corpus pipeline on the sparse power-law dependency graph
     def corpus_pipeline():

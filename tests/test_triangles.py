@@ -7,7 +7,7 @@ from tests.conftest import py_triangles
 
 
 @pytest.mark.parametrize("fixture", ["tri6", "two_components", "star_hub", "powerlaw_small"])
-@pytest.mark.parametrize("method", ["join", "csr", "cogroup"])
+@pytest.mark.parametrize("method", ["join", "csr", "cogroup", "auto"])
 def test_triangle_count(spark, fixture, method, request):
     df, pairs = request.getfixturevalue(fixture)
     expected = py_triangles(pairs)
