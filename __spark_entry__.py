@@ -22,12 +22,16 @@ SF_TINY = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from adopt_spark.algos.triangles import triangle_count_csr
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Adaptive triangle count: measures the wedge/edge ratio and picks
+    wedge-join vs broadcast-CSR vs cogroup leapfrog (SURVEY.md §4.3).
+    """
+    from adopt_spark.algos.triangles import triangle_count
     from adopt_spark.edges import derived_edges
 
     edges = derived_edges(spark, SF_TINY)
-    return triangle_count_csr(edges)
+    return triangle_count(edges, "auto")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -220,6 +220,48 @@ def clique_count_cogroup(edges: DataFrame, k: int) -> DataFrame:
                  .cast("long").alias("n_cliques"))
 
 
+def clique_count(edges: DataFrame, k: int, method: str = "auto") -> DataFrame:
+    """k-clique count with adaptive physical-strategy selection.
+
+    ``auto`` mirrors triangles.triangle_count_auto: one aggregate over
+    the oriented out-degree distribution gives the exact wedge count W;
+    W/E below the threshold → the generated multi-join SQL plan (its
+    shuffles are proportional to the enumerated partials, tiny on
+    sparse graphs); above → the leapfrog kernels (broadcast CSR while
+    the edge list fits a worker, distributed cogroup beyond).
+    """
+    if method == "csr":
+        return clique_count_csr(edges, k)
+    if method == "cogroup":
+        return clique_count_cogroup(edges, k)
+    if method == "sql":
+        from adopt_spark.algos.motifs import clique_sql, run_motif
+        out = run_motif(edges.sparkSession, edges, clique_sql(k))
+        return out.select(F.col("n").alias("n_cliques"))
+    if method != "auto":
+        raise ValueError(f"unknown method: {method}")
+
+    from adopt_spark.algos.triangles import AUTO_WEDGE_EDGE_RATIO
+    from adopt_spark.edges import orient_by_degree
+
+    o = orient_by_degree(
+        edges.where(F.col("sid") < F.col("tid")).dropDuplicates(["sid", "tid"]))
+    row = (
+        o.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum("d").alias("e"),
+             F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0]
+    )
+    n_edges = int(row["e"] or 0)
+    if n_edges == 0:
+        return edges.sparkSession.createDataFrame([(0,)], "n_cliques long")
+    if float(row["w"] or 0.0) / n_edges < AUTO_WEDGE_EDGE_RATIO:
+        return clique_count(edges, k, "sql")
+    if n_edges <= CSR_BROADCAST_MAX_EDGES:
+        return clique_count_csr(edges, k)
+    return clique_count_cogroup(edges, k)
+
+
 def clique_count_csr(edges: DataFrame, k: int) -> DataFrame:
     """k-clique count via the broadcast-CSR leapfrog; [n_cliques: long].
 

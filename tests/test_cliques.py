@@ -4,7 +4,9 @@ import duckdb
 import pandas as pd
 import pytest
 
-from adopt_spark.algos.cliques import clique_count_cogroup, clique_count_csr
+from adopt_spark.algos.cliques import (
+    clique_count, clique_count_cogroup, clique_count_csr,
+)
 from adopt_spark.algos.motifs import clique_sql
 from adopt_spark.algos.triangles import triangle_count
 
@@ -17,7 +19,8 @@ def duck_count(pairs, sql):
 
 @pytest.mark.parametrize("fixture", ["tri6", "two_components", "powerlaw_small"])
 @pytest.mark.parametrize("k", [3, 4, 5])
-@pytest.mark.parametrize("counter", [clique_count_csr, clique_count_cogroup])
+@pytest.mark.parametrize("counter", [clique_count_csr, clique_count_cogroup,
+                                     clique_count])
 def test_clique_kernels_vs_duckdb(spark, fixture, k, counter, request):
     df, pairs = request.getfixturevalue(fixture)
     expected = duck_count(pairs, clique_sql(k))
