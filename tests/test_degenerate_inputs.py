@@ -1,0 +1,76 @@
+"""Degenerate-input sweep: every public algorithm on empty and
+single-edge graphs must return well-formed results, never throw.
+(The reference crashes on malformed input — console-only; a library
+engine must not.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from adopt_spark.algos.cc import connected_components
+from adopt_spark.algos.cliques import clique_count
+from adopt_spark.algos.kcore import core_numbers
+from adopt_spark.algos.lpa import label_propagation
+from adopt_spark.algos.pagerank import pagerank
+from adopt_spark.algos.triangles import triangle_count
+
+
+@pytest.fixture(scope="module")
+def empty(spark):
+    return spark.createDataFrame([], "sid long, tid long")
+
+
+@pytest.fixture(scope="module")
+def one_edge(spark):
+    return spark.createDataFrame([(1, 2)], "sid long, tid long")
+
+
+@pytest.mark.parametrize("method", ["join", "csr", "cogroup", "auto"])
+def test_triangles_empty_and_single(spark, empty, one_edge, method):
+    assert triangle_count(empty, method).collect()[0][0] == 0
+    assert triangle_count(one_edge, method).collect()[0][0] == 0
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_cliques_empty_and_single(spark, empty, one_edge, k):
+    assert clique_count(empty, k).collect()[0][0] == 0
+    assert clique_count(one_edge, k).collect()[0][0] == 0
+
+
+def test_pagerank_empty_and_single(spark, empty, one_edge):
+    ranks, metrics = pagerank(spark, empty, max_iter=3)
+    assert ranks.count() == 0 and metrics == []
+    ranks, _ = pagerank(spark, one_edge, max_iter=10)
+    rows = {r["v"]: r["rank"] for r in ranks.collect()}
+    assert set(rows) == {1, 2}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    assert rows[2] > rows[1]          # 2 receives 1's rank
+
+def test_cc_lpa_kcore_empty_and_single(spark, empty, one_edge):
+    labels, _ = connected_components(spark, empty)
+    assert labels.count() == 0
+    labels, _ = connected_components(spark, one_edge)
+    assert {(r["v"], r["component"]) for r in labels.collect()} == {(1, 1), (2, 1)}
+
+    labels, _ = label_propagation(spark, empty, max_iter=3)
+    assert labels.count() == 0
+    # synchronous LPA 2-cycles on a single edge (documented); labels stay
+    # inside the component and the result is deterministic
+    out1, _ = label_propagation(spark, one_edge, max_iter=5)
+    out2, _ = label_propagation(spark, one_edge, max_iter=5)
+    rows1 = {(r["v"], r["label"]) for r in out1.collect()}
+    assert rows1 == {(r["v"], r["label"]) for r in out2.collect()}
+    assert {l for _, l in rows1} <= {1, 2}
+
+    cores = core_numbers(spark, empty)
+    assert cores.count() == 0
+    cores = core_numbers(spark, one_edge)
+    assert {(r["v"], r["core"]) for r in cores.collect()} == {(1, 1), (2, 1)}
+
+
+def test_self_loops_ignored(spark):
+    df = spark.createDataFrame([(1, 1), (1, 2), (2, 3), (1, 3), (3, 3)],
+                               "sid long, tid long")
+    assert triangle_count(df, "auto").collect()[0][0] == 1
+    labels, _ = connected_components(spark, df)
+    assert {r["component"] for r in labels.collect()} == {1}
