@@ -109,6 +109,11 @@ def main() -> None:
         extras["scaling_efficiency_pagerank"] = s.get("efficiency_pagerank")
         extras["scaling_low_cpus"] = s.get("low", {}).get("cpus")
         extras["scaling_high_cpus"] = s.get("high", {}).get("cpus")
+        extras["scaling_edges"] = s.get("high", {}).get("n_edges")
+        extras["scaling_low_edges_per_sec"] = \
+            s.get("low", {}).get("pagerank_edges_per_sec")
+        extras["scaling_high_edges_per_sec"] = \
+            s.get("high", {}).get("pagerank_edges_per_sec")
 
     timings.pop("edge_build", None)
     total = round(sum(timings.values()), 3)
