@@ -77,6 +77,15 @@ def q_csr_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_csr(e)
 
 
+def q_cogroup_4cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed 4-cycle leapfrog (diagonal factorization);
+    oracle = the reference's 4-cycle SQL."""
+    from adopt_spark.algos.cycles import cycle4_count_cogroup
+
+    e = derived_edges(spark, sf_dir)
+    return cycle4_count_cogroup(e)
+
+
 def q_auto_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive strategy selection (wedge/edge-ratio dispatch);
     oracle = 3-clique SQL."""
@@ -557,6 +566,8 @@ ORACLES: dict[str, str] = {
                          f"FROM ({clique_sql(5, edge_view='edge_sparse')})",
     "g_auto_triangles": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_triangles "
                         f"FROM ({clique_sql(3)})",
+    "g_cogroup_4cycle": f"{_EDGE_CTE}\nSELECT CAST(n AS BIGINT) AS n_cycles "
+                        f"FROM ({cycle_sql(4)})",
     "g_degree_hist": f"{_EDGE_CTE}\nSELECT sid AS v, count(*) AS outdeg "
                      "FROM edge GROUP BY sid",
     "g_top_indegree": f"{_EDGE_CTE}\nSELECT tid AS v, count(*) AS indeg FROM edge "
@@ -760,6 +771,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_cogroup_triangles": q_cogroup_triangles,
         "g_cogroup_5clique": q_cogroup_5clique,
         "g_auto_triangles": q_auto_triangles,
+        "g_cogroup_4cycle": q_cogroup_4cycle,
         "g_csr_4clique": q_csr_4clique,
         "g_degree_hist": q_degree_hist,
         "g_top_indegree": q_top_indegree,
