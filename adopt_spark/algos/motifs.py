@@ -86,9 +86,16 @@ def cycle_sql(n: int, edge_view: str = "edge") -> str:
     # chain aliases e1..e(n-1): ei = (v_i, v_{i+1}), all sid < tid
     aliases = [(f"e{i}", i, i + 1) for i in range(1, n)]
     lt_aliases = [a for a, _, _ in aliases]
+    # Closing-alias conventions copied per-file from the reference suite
+    # (they are hand-written and inconsistent there):
+    #   4_cycle.sql: e4 = (v4, v1), raw directed, no lt filter
+    #   5_cycle.sql: e5 = (v1, v5), raw directed, no lt filter
+    #   6/7_cycle.sql: e_n = (v1, vn) with an (implied-true) lt filter
     close = f"e{n}"
-    if n in (4, 5):
+    if n == 4:
         aliases.append((close, n, 1))          # raw closing edge (vn, v1)
+    elif n == 5:
+        aliases.append((close, 1, n))          # raw closing edge (v1, vn)
     else:
         aliases.append((close, 1, n))          # lt closing edge (v1, vn)
         lt_aliases.append(close)

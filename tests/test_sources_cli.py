@@ -54,15 +54,18 @@ def test_run_sql_multi_statement(spark):
 
 @pytest.mark.skipif(not os.path.isdir(REF_QUERIES),
                     reason="reference queries not available")
-@pytest.mark.parametrize("fname", ["3_clique.sql", "4_cycle.sql", "4_clique.sql"])
-def test_reference_query_files_run_verbatim(spark, fname):
-    """The reference's own .sql files execute unmodified on this engine
-    and agree with our generated motif SQL (semantics parity check)."""
+@pytest.mark.parametrize("kind,n", [("clique", k) for k in (3, 4, 5, 6, 7)]
+                                   + [("cycle", k) for k in (3, 4, 5, 6, 7)])
+def test_reference_query_files_run_verbatim(spark, kind, n):
+    """Every file of the reference's graph_query suite executes
+    unmodified on this engine AND agrees with our generated motif SQL
+    on the same edge view — full-suite semantics parity, including the
+    reference's per-file closing-alias conventions."""
     from adopt_spark.algos.motifs import clique_sql, cycle_sql
 
     register_edge_view(spark, SF)
+    fname = f"{n}_{kind}.sql"
     got = run_sql_file(spark, os.path.join(REF_QUERIES, fname))[0].collect()[0][0]
-    gen = {"3_clique.sql": clique_sql(3), "4_clique.sql": clique_sql(4),
-           "4_cycle.sql": cycle_sql(4)}[fname]
+    gen = clique_sql(n) if kind == "clique" else cycle_sql(n)
     expected = spark.sql(gen).collect()[0][0]
-    assert got == expected
+    assert got == expected, fname
