@@ -36,7 +36,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-CSR_BROADCAST_MAX_EDGES = 100_000_000
+# Same bound (and rationale) as triangles.CSR_BROADCAST_MAX_EDGES:
+# ~400 MB driver-side at 25M oriented edges, which is also about where
+# the cogroup plan starts winning anyway.
+CSR_BROADCAST_MAX_EDGES = 25_000_000
 
 
 @dataclass
@@ -64,7 +67,8 @@ def build_oriented_csr(edges: DataFrame) -> OrientedCSR | None:
     a = raw["sid"].to_numpy(np.int64)
     b = raw["tid"].to_numpy(np.int64)
     max_id = int(max(a.max(), b.max()))
-    if max_id >= 50_000_000:     # dense degree array + key packing guards
+    # dense degree array + key packing guards (packing also needs >= 0)
+    if max_id >= 50_000_000 or int(min(a.min(), b.min())) < 0:
         return None
     m = np.int64(max_id + 1)
     pair = np.unique(a * m + b)
@@ -141,35 +145,19 @@ def _intersect_kernel(a_col: str, b_col: str, out_col: str):
     """
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from adopt_spark.algos._kernels import batch_intersect_arrays
+
         for batch in it:
-            n = len(batch)
-            if n == 0:
+            if len(batch) == 0:
                 continue
-            ca = [np.asarray(x, dtype=np.int64) for x in batch[a_col]]
-            cb = [np.asarray(x, dtype=np.int64) for x in batch[b_col]]
-            la = np.array([len(x) for x in ca], dtype=np.int64)
-            lb = np.array([len(x) for x in cb], dtype=np.int64)
-            cand = np.concatenate(ca) if la.sum() else np.empty(0, np.int64)
-            pool = np.concatenate(cb) if lb.sum() else np.empty(0, np.int64)
-            if len(cand) == 0 or len(pool) == 0:
-                yield pd.DataFrame({out_col: [[] for _ in range(n)]})
-                continue
-            m = np.int64(max(int(cand.max()), int(pool.max())) + 1)
-            rows_a = np.repeat(np.arange(n, dtype=np.int64), la)
-            pool_keys = pool + np.repeat(np.arange(n, dtype=np.int64), lb) * m
-            cand_keys = cand + rows_a * m
-            idx = np.searchsorted(pool_keys, cand_keys)
-            idx[idx == len(pool_keys)] = 0
-            found = pool_keys[idx] == cand_keys
-            kept, kept_rows = cand[found], rows_a[found]
-            splits = np.searchsorted(kept_rows, np.arange(1, n))
-            yield pd.DataFrame({out_col: [x.tolist()
-                                          for x in np.split(kept, splits)]})
+            yield pd.DataFrame({out_col: batch_intersect_arrays(
+                list(batch[a_col]), list(batch[b_col]))})
 
     return kernel
 
 
-def clique_count_cogroup(edges: DataFrame, k: int) -> DataFrame:
+def clique_count_cogroup(edges: DataFrame, k: int,
+                         _oriented: DataFrame | None = None) -> DataFrame:
     """Distributed k-clique leapfrog; returns [n_cliques: long].
 
     Works at any edge count — nothing broadcast, nothing collected.
@@ -193,7 +181,7 @@ def clique_count_cogroup(edges: DataFrame, k: int) -> DataFrame:
         raise ValueError("clique size must be >= 3")
     from adopt_spark.edges import orient_by_degree
 
-    o = orient_by_degree(
+    o = _oriented if _oriented is not None else orient_by_degree(
         edges.where(F.col("sid") < F.col("tid")).dropDuplicates(["sid", "tid"]))
     adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
@@ -245,21 +233,29 @@ def clique_count(edges: DataFrame, k: int, method: str = "auto") -> DataFrame:
     from adopt_spark.edges import orient_by_degree
 
     o = orient_by_degree(
-        edges.where(F.col("sid") < F.col("tid")).dropDuplicates(["sid", "tid"]))
-    row = (
-        o.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum("d").alias("e"),
-             F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
-        .collect()[0]
-    )
-    n_edges = int(row["e"] or 0)
-    if n_edges == 0:
-        return edges.sparkSession.createDataFrame([(0,)], "n_cliques long")
-    if float(row["w"] or 0.0) / n_edges < AUTO_WEDGE_EDGE_RATIO:
-        return clique_count(edges, k, "sql")
-    if n_edges <= CSR_BROADCAST_MAX_EDGES:
-        return clique_count_csr(edges, k)
-    return clique_count_cogroup(edges, k)
+        edges.where(F.col("sid") < F.col("tid"))
+        .dropDuplicates(["sid", "tid"])).persist()
+    try:
+        row = (
+            o.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum("d").alias("e"),
+                 F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+            .collect()[0]
+        )
+        n_edges = int(row["e"] or 0)
+        if n_edges == 0:
+            return edges.sparkSession.createDataFrame([(0,)], "n_cliques long")
+        if float(row["w"] or 0.0) / n_edges < AUTO_WEDGE_EDGE_RATIO:
+            chosen = clique_count(edges, k, "sql")
+        elif n_edges <= CSR_BROADCAST_MAX_EDGES:
+            chosen = clique_count_csr(edges, k)
+        else:
+            chosen = clique_count_cogroup(edges, k, _oriented=o)
+        # materialize before the cached orientation is dropped
+        n = int(chosen.collect()[0][0])
+        return edges.sparkSession.createDataFrame([(n,)], "n_cliques long")
+    finally:
+        o.unpersist()
 
 
 def clique_count_csr(edges: DataFrame, k: int) -> DataFrame:

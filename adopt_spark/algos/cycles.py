@@ -1,90 +1,163 @@
-"""Distributed 4-cycle counting — the leapfrog recast for cycles.
+"""Distributed n-cycle counting — the leapfrog recast for cycles.
 
 The reference's cycle queries are its hardest workload (report Table 2:
 5-cycle 377.9s vs 5-clique 77.9s on ego-Twitter) because cycle motifs
-have no dense core to prune on. Its encoding (graph_query/4_cycle.sql)
-counts *increasing* cycles: v1 < v2 < v3 < v4 with lt-edges
-(v1,v2), (v2,v3), (v3,v4), (v1,v4).
+have no dense core to prune on. Its encodings
+(graph_query/{4..7}_cycle.sql) count *increasing* cycles
+v1 < v2 < ... < vn: the chain aliases e1..e(n-1) carry the
+``sid < tid`` filter, and the closing alias is a RAW directed edge
+(v4, v1) for n=4 / (v1, v5) for n=5, or an lt edge (v1, vn) for
+n in {6, 7} (see motifs.cycle_sql, verified verbatim vs the files).
 
-Encoding detail (graph_query/4_cycle.sql): the chain aliases e1..e3
-carry the ``sid < tid`` filter, the closing alias e4 = (v4, v1) is a
-RAW directed edge with no order filter. The count factorizes over the
-(v1, v3) "diagonal":
+The naive multi-join plan materializes every length-(n-1) increasing
+path — exactly the blowup WCOJ exists to avoid. This kernel instead
+runs a **path-count dynamic program over endpoint pairs** (sparse
+boolean matrix powers, Spark-shuffle edition) and closes cycles with
+one vectorized sorted-intersection pass:
 
-    count = Σ_{(v1,v3)}  k_mid(v1,v3) · k_high(v1,v3)
+    p2(v1, x)   = #{v2 : (v1,v2), (v2,x) lt-edges}      (wedge agg)
+    pk(v1, x)   = Σ_y p(k-1)(v1, y) · [(y,x) ∈ lt]      (k = 3..n-2)
+    count       = Σ_{(v1,x)} p(n-2)(v1, x) · |A+(x) ∩ C(v1)|
 
-    k_mid  = #{v2 : (v1,v2), (v2,v3) lt-edges}    (increasing wedges)
-    k_high = |A+(v3) ∩ Rin(v1)|                   (v4 choices: (v3,v4)
-              an lt-edge AND (v4,v1) a raw directed edge; every
-              element of A+(v3) is > v3, so the range bound is free)
+where A+(v) = {w > v : (v,w) lt-edge} sorted, and the closing
+constraint set C matches the reference encoding:
 
-where A+(v) = {w > v : (v,w) an lt-edge} and Rin(v) = {u : (u,v) a
-directed edge}, both sorted. Physical plan:
+    n = 4 : C(v1) = Rin(v1)  = {u : (u,v1) raw edge}
+    n = 5 : C(v1) = Rout(v1) = {w : (v1,w) raw edge}
+    n >= 6: C(v1) = A+(v1)                   (lt closing edge)
 
-  1. wedge aggregation: lt ⋈ lt on the middle vertex, groupBy (v1,v3)
-     with map-side partial counts — k_mid for every candidate pair;
-  2. join the pair table to the sorted adjacency on v1 and v3 (inner —
-     a v3 with empty A+ closes nothing), then one vectorized
-     searchsorted intersection per Arrow batch gives k_high;
-  3. one aggregate sums k_mid · k_high.
+Why this is the 100-TB plan: every stage is a pair-aggregated
+equi-join — shuffle volume per level is the *aggregated pair count*
+(≤ min(paths, V²) rows), never the path count; partial aggregation
+runs map-side; AQE splits hub-skewed pair partitions; nothing is
+broadcast or collected. v1 values that cannot close (empty C) are
+semi-join-pruned before the DP fans out. The strictly-increasing
+chain makes every path vertex-distinct for free, so the DP is exact.
 
-No broadcast, no driver collect — works at any scale; AQE splits
-hub-skewed pair partitions. The SQL plan (motifs.cycle_sql) remains
-the oracle and materializes length-3 paths, strictly more rows than
-this kernel's wedge count.
+Correctness: each vertex along the chain is strictly greater than its
+predecessor, so no path revisits a vertex and every increasing cycle
+is generated exactly once — the DP equals the reference SQL count
+(differentially tested against motifs.cycle_sql for n = 4..7).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+# W/E dispatch threshold for cycle_count(..., "auto"), shared rationale
+# with triangles.AUTO_WEDGE_EDGE_RATIO: the DP pays one aggregated
+# shuffle per level to avoid materializing paths, so it wins when the
+# wedge count dwarfs the edge count (dense graphs); the generated SQL
+# plan wins when the graph is so sparse that paths ≈ edges.
+AUTO_WEDGE_EDGE_RATIO = 8.0
 
-def cycle4_count_cogroup(edges: DataFrame) -> DataFrame:
-    """Increasing-4-cycle count; returns 1-row DF [n_cycles: long]."""
+
+def _closing_sets(edges: DataFrame, lt: DataFrame, n: int) -> DataFrame:
+    """Sorted closing-constraint adjacency C(v1) per the encoding."""
+    raw = edges.dropDuplicates(["sid", "tid"])
+    if n == 4:     # raw closing edge (v4, v1): in-neighbors of v1
+        side = raw.select(F.col("tid").alias("v1"), F.col("sid").alias("c"))
+    elif n == 5:   # raw closing edge (v1, v5): out-neighbors of v1
+        side = raw.select(F.col("sid").alias("v1"), F.col("tid").alias("c"))
+    else:          # lt closing edge (v1, vn)
+        side = lt.select(F.col("sid").alias("v1"), F.col("tid").alias("c"))
+    return side.groupBy("v1").agg(F.sort_array(F.collect_list("c")).alias("nbrs_c"))
+
+
+def cycle_count_cogroup(edges: DataFrame, n: int) -> DataFrame:
+    """Increasing-n-cycle count (reference encoding), n in 4..;
+    returns a 1-row DataFrame [n_cycles: long]."""
+    if n < 4:
+        raise ValueError("cycle kernel requires n >= 4 (3-cycle = triangle)")
     lt = (edges.where(F.col("sid") < F.col("tid"))
           .dropDuplicates(["sid", "tid"]))
-    # k_mid per (v1, v3): increasing wedges through any middle vertex
+    closing = _closing_sets(edges, lt, n)
+
+    # p2: increasing-wedge counts per (v1, x); prune v1 that cannot close
     e1 = lt.select(F.col("sid").alias("v1"), F.col("tid").alias("mid"))
-    e2 = lt.select(F.col("sid").alias("mid"), F.col("tid").alias("v3"))
-    pairs = (e1.join(e2, "mid")
-             .groupBy("v1", "v3")
-             .agg(F.count(F.lit(1)).alias("k_mid")))
-    raw = edges.dropDuplicates(["sid", "tid"])
-    rin = raw.groupBy("tid").agg(F.sort_array(F.collect_list("sid")).alias("nbrs"))
-    adj = lt.groupBy("sid").agg(F.sort_array(F.collect_list("tid")).alias("nbrs"))
-    a1 = rin.select(F.col("tid").alias("v1"), F.col("nbrs").alias("nbrs_1"))
-    a3 = adj.select(F.col("sid").alias("v3"), F.col("nbrs").alias("nbrs_3"))
-    cand = pairs.join(a1, "v1").join(a3, "v3").select("k_mid", "nbrs_1", "nbrs_3")
+    e2 = lt.select(F.col("sid").alias("mid"), F.col("tid").alias("x"))
+    p = (e1.join(closing.select("v1"), "v1", "left_semi")
+         .join(e2, "mid")
+         .groupBy("v1", "x")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+
+    # chain extensions: p(k) -> p(k+1), k = 2..n-3
+    step = lt.select(F.col("sid").alias("x"), F.col("tid").alias("y"))
+    for _ in range(n - 4):
+        p = (p.join(step, "x")
+             .groupBy("v1", F.col("y").alias("x"))
+             .agg(F.sum("cnt").alias("cnt")))
+
+    # close: |A+(x) ∩ C(v1)| per surviving pair, weighted by cnt
+    adj = lt.groupBy("sid").agg(F.sort_array(F.collect_list("tid")).alias("nbrs_a"))
+    a_x = adj.select(F.col("sid").alias("x"), "nbrs_a")
+    cand = (p.join(closing, "v1").join(a_x, "x")
+            .select("cnt", "nbrs_a", "nbrs_c"))
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from adopt_spark.algos._kernels import batch_intersect_counts
+
         for batch in it:
-            n = len(batch)
-            if n == 0:
+            if len(batch) == 0:
                 continue
-            na = [np.asarray(x, dtype=np.int64) for x in batch["nbrs_1"]]
-            nb = [np.asarray(x, dtype=np.int64) for x in batch["nbrs_3"]]
-            la = np.array([len(x) for x in na], dtype=np.int64)
-            lb = np.array([len(x) for x in nb], dtype=np.int64)
-            cand_v = np.concatenate(na) if la.sum() else np.empty(0, np.int64)
-            pool = np.concatenate(nb) if lb.sum() else np.empty(0, np.int64)
-            if len(cand_v) == 0 or len(pool) == 0:
-                yield pd.DataFrame({"partial": [0]})
-                continue
-            m = np.int64(max(int(cand_v.max()), int(pool.max())) + 1)
-            rows_a = np.repeat(np.arange(n, dtype=np.int64), la)
-            pool_keys = pool + np.repeat(np.arange(n, dtype=np.int64), lb) * m
-            cand_keys = cand_v + rows_a * m
-            idx = np.searchsorted(pool_keys, cand_keys)
-            idx[idx == len(pool_keys)] = 0
-            found = pool_keys[idx] == cand_keys
-            k_high = np.bincount(rows_a[found], minlength=n)
-            k_mid = batch["k_mid"].to_numpy(np.int64)
-            yield pd.DataFrame({"partial": [int((k_mid * k_high).sum())]})
+            k_close = batch_intersect_counts(list(batch["nbrs_a"]),
+                                             list(batch["nbrs_c"]))
+            cnt = batch["cnt"].to_numpy("int64")
+            yield pd.DataFrame({"partial": [int((cnt * k_close).sum())]})
 
     partials = cand.mapInPandas(kernel, schema="partial long")
     return partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
                         .cast("long").alias("n_cycles"))
+
+
+def cycle4_count_cogroup(edges: DataFrame) -> DataFrame:
+    """Increasing-4-cycle count; returns 1-row DF [n_cycles: long]."""
+    return cycle_count_cogroup(edges, 4)
+
+
+def cycle_count(edges: DataFrame, n: int, method: str = "auto") -> DataFrame:
+    """n-cycle count with adaptive physical-strategy selection.
+
+    ``auto`` measures the lt-graph's directed wedge/edge ratio
+    (Σ_v indeg(v)·outdeg(v) / E — the exact row count of the DP's
+    first join) with one aggregate and dispatches: sparse → the
+    generated multi-join SQL plan (motifs.cycle_sql — its path
+    materialization is tiny there and it skips the adjacency build);
+    dense → the pair-count DP kernel above.
+    """
+    if method == "cogroup":
+        return cycle_count_cogroup(edges, n)
+    if method == "sql":
+        from adopt_spark.algos.motifs import cycle_sql, run_motif
+        out = run_motif(edges.sparkSession, edges, cycle_sql(n))
+        return out.select(F.col("n").cast("long").alias("n_cycles"))
+    if method != "auto":
+        raise ValueError(f"unknown method: {method}")
+
+    lt = (edges.where(F.col("sid") < F.col("tid"))
+          .dropDuplicates(["sid", "tid"])).persist()
+    try:
+        deg = (
+            lt.select(F.col("sid").alias("v"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+            .unionAll(lt.select(F.col("tid").alias("v"), F.lit(0), F.lit(1)))
+            .groupBy("v").agg(F.sum("o").alias("od"), F.sum("i").alias("id"))
+        )
+        row = deg.agg(F.sum(F.col("od") + F.col("id")).alias("e2"),
+                      F.sum(F.col("od") * F.col("id")).alias("w")).collect()[0]
+        n_edges = int(row["e2"] or 0) // 2
+        if n_edges == 0:
+            return edges.sparkSession.createDataFrame([(0,)], "n_cycles long")
+        ratio = float(row["w"] or 0.0) / n_edges
+        # NOTE: the chosen plan runs over the ORIGINAL edge set — the
+        # n=4/5 closing edge is a raw directed edge, which the
+        # lt-filtered statistic input would lose.
+        chosen = (cycle_count_cogroup(edges, n)
+                  if ratio >= AUTO_WEDGE_EDGE_RATIO
+                  else cycle_count(edges, n, "sql"))
+        count = int(chosen.collect()[0][0])
+        return edges.sparkSession.createDataFrame([(count,)], "n_cycles long")
+    finally:
+        lt.unpersist()

@@ -55,7 +55,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from adopt_spark.edges import orient_by_degree
 
-CSR_BROADCAST_MAX_EDGES = 100_000_000
+# Broadcast regime bound. 25M oriented edges ≈ 400 MB driver-side
+# through Arrow->pandas->numpy (2 int64 cols plus conversion copies):
+# safe on a normal cluster driver, and it is also roughly where the
+# builder's measurements put the csr/cogroup crossover — beyond this
+# the distributed cogroup plan wins anyway, so nothing is lost by
+# falling back.
+CSR_BROADCAST_MAX_EDGES = 25_000_000
 
 
 def _lt_pairs(edges: DataFrame) -> DataFrame:
@@ -122,35 +128,22 @@ def triangle_count_cogroup(edges: DataFrame,
     )
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from adopt_spark.algos._kernels import batch_intersect_counts
+
         for batch in it:
-            n = len(batch)
-            if n == 0:
+            if len(batch) == 0:
                 continue
-            nu = [np.asarray(x, dtype=np.int64) for x in batch["nbrs_u"]]
-            nv = [np.asarray(x, dtype=np.int64) for x in batch["nbrs_v"]]
-            cu = np.array([len(x) for x in nu], dtype=np.int64)
-            cv = np.array([len(x) for x in nv], dtype=np.int64)
-            cand = np.concatenate(nu) if cu.sum() else np.empty(0, np.int64)
-            pool = np.concatenate(nv) if cv.sum() else np.empty(0, np.int64)
-            if len(cand) == 0 or len(pool) == 0:
-                yield pd.DataFrame({"partial": [0]})
-                continue
-            m = np.int64(max(int(cand.max()), int(pool.max())) + 1)
-            # lift each row's sorted values into a disjoint range so the
-            # concatenation is globally sorted: one searchsorted = all rows
-            pool_keys = pool + np.repeat(np.arange(n, dtype=np.int64), cv) * m
-            cand_keys = cand + np.repeat(np.arange(n, dtype=np.int64), cu) * m
-            idx = np.searchsorted(pool_keys, cand_keys)
-            idx[idx == len(pool_keys)] = 0
-            found = pool_keys[idx] == cand_keys
-            yield pd.DataFrame({"partial": [int(found.sum())]})
+            counts = batch_intersect_counts(list(batch["nbrs_u"]),
+                                            list(batch["nbrs_v"]))
+            yield pd.DataFrame({"partial": [int(counts.sum())]})
 
     partials = e.mapInPandas(kernel, schema="partial long")
     return partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
                         .cast("long").alias("n_triangles"))
 
 
-def triangle_count_csr(edges: DataFrame) -> DataFrame:
+def triangle_count_csr(edges: DataFrame,
+                       _oriented: DataFrame | None = None) -> DataFrame:
     """Broadcast-CSR leapfrog triangle count; returns [n_triangles: long].
 
     Physical plan: build the degree-oriented edge list once (two
@@ -163,30 +156,44 @@ def triangle_count_csr(edges: DataFrame) -> DataFrame:
       2. membership-test all candidate keys against the sorted edge
          key array in one np.searchsorted call (the leapfrog seek);
     and emit one partial count per batch. Final agg sums partials.
+
+    ``_oriented`` (optional, from triangle_count_auto): a pre-built
+    degree-oriented deduped edge set [src, dst] — skips re-orienting.
     """
     spark = edges.sparkSession
-    # Pull the lt-filtered pair set once; orientation/dedup/CSR build are
-    # linear-time numpy on the driver — the broadcast-join "build side".
-    raw = edges.where(F.col("sid") < F.col("tid")).select("sid", "tid").toPandas()
+    # Pull the edge set once; orientation/dedup/CSR build are linear-time
+    # numpy on the driver — the broadcast-join "build side".
+    if _oriented is not None:
+        raw = _oriented.select("src", "dst").toPandas()
+        pre_oriented = True
+    else:
+        raw = (edges.where(F.col("sid") < F.col("tid"))
+               .select(F.col("sid").alias("src"), F.col("tid").alias("dst"))
+               .toPandas())
+        pre_oriented = False
     if len(raw) == 0:
         return spark.createDataFrame([(0,)], "n_triangles long")
     if len(raw) > CSR_BROADCAST_MAX_EDGES:
-        return triangle_count_cogroup(edges)
+        return triangle_count_cogroup(edges, _oriented=_oriented)
 
-    a = raw["sid"].to_numpy(np.int64)
-    b = raw["tid"].to_numpy(np.int64)
+    a = raw["src"].to_numpy(np.int64)
+    b = raw["dst"].to_numpy(np.int64)
     max_id = int(max(a.max(), b.max()))
     # guards: dense-array degree count + int64 key packing need compact ids
-    if max_id >= 50_000_000:
-        return triangle_count_cogroup(edges)
+    if max_id >= 50_000_000 or int(min(a.min(), b.min())) < 0:
+        return triangle_count_cogroup(edges, _oriented=_oriented)
     m = np.int64(max_id + 1)
-    pair = np.unique(a * m + b)          # dedup'd lt pairs
-    a, b = pair // m, pair % m
-    # degree orientation in numpy: deg over the undirected pair set
-    deg = np.bincount(a, minlength=max_id + 1) + np.bincount(b, minlength=max_id + 1)
-    fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
-    src = np.where(fwd, a, b)
-    dst = np.where(fwd, b, a)
+    if pre_oriented:
+        src, dst = a, b              # already oriented + deduped
+    else:
+        pair = np.unique(a * m + b)  # dedup'd lt pairs
+        a, b = pair // m, pair % m
+        # degree orientation in numpy: deg over the undirected pair set
+        deg = (np.bincount(a, minlength=max_id + 1)
+               + np.bincount(b, minlength=max_id + 1))
+        fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     keys = src * m + dst                 # sorted because (src, dst) sorted
@@ -266,21 +273,29 @@ def triangle_count_auto(edges: DataFrame) -> DataFrame:
     """
     spark = edges.sparkSession
     o = orient_by_degree(_lt_pairs(edges)).persist()
-    row = (
-        o.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum("d").alias("e"),
-             F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
-        .collect()[0]
-    )
-    n_edges = int(row["e"] or 0)
-    if n_edges == 0:
-        return spark.createDataFrame([(0,)], "n_triangles long")
-    ratio = float(row["w"] or 0.0) / n_edges
-    if ratio < AUTO_WEDGE_EDGE_RATIO:
-        return triangle_count_join(edges, _oriented=o)
-    if n_edges <= CSR_BROADCAST_MAX_EDGES:
-        return triangle_count_csr(edges)
-    return triangle_count_cogroup(edges, _oriented=o)
+    try:
+        row = (
+            o.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.sum("d").alias("e"),
+                 F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+            .collect()[0]
+        )
+        n_edges = int(row["e"] or 0)
+        if n_edges == 0:
+            return spark.createDataFrame([(0,)], "n_triangles long")
+        ratio = float(row["w"] or 0.0) / n_edges
+        if ratio < AUTO_WEDGE_EDGE_RATIO:
+            chosen = triangle_count_join(edges, _oriented=o)
+        elif n_edges <= CSR_BROADCAST_MAX_EDGES:
+            chosen = triangle_count_csr(edges, _oriented=o)
+        else:
+            chosen = triangle_count_cogroup(edges, _oriented=o)
+        # materialize while the shared oriented cache is alive, so the
+        # finally-unpersist can't force a recompute for the caller
+        n = int(chosen.collect()[0][0])
+        return spark.createDataFrame([(n,)], "n_triangles long")
+    finally:
+        o.unpersist()
 
 
 def triangle_count(edges: DataFrame, method: str = "auto") -> DataFrame:

@@ -13,9 +13,13 @@ from adopt_spark.algos.cliques import clique_count
 from adopt_spark.algos.motifs import clique_sql
 from adopt_spark.algos.triangles import triangle_count
 
+# unique=True: the engine treats edge(sid,tid) as a SET (dropDuplicates
+# on every path, DISTINCT in the derived-edge oracle CTE), while SQL
+# count(*) over a multiset table multiplies per duplicate row — feeding
+# duplicate rows would compare two different (both valid) semantics.
 edges_strategy = st.lists(
     st.tuples(st.integers(0, 14), st.integers(0, 14)),
-    min_size=0, max_size=60,
+    min_size=0, max_size=60, unique=True,
 )
 
 
