@@ -1,14 +1,20 @@
-"""k-core decomposition by iterative peeling.
+"""k-core decomposition by incremental peeling.
 
 North-of-reference graph surface (the reference counts motifs only):
 the k-core of an undirected graph is the maximal subgraph where every
 vertex has degree ≥ k. ``k_core`` peels one k; ``core_numbers``
-computes the full decomposition by peeling k = 1, 2, ... until the
-graph empties — O(k_max) peel rounds, each round a degree-groupBy +
-semi-join, both partial-aggregated shuffles.
+computes the whole decomposition **incrementally**: the k-core is
+peeled out of the surviving (k-1)-core, never from the original
+graph, so the total work is O(E · peel-rounds) instead of
+O(k_max · E) full restarts. Vertices removed while peeling toward the
+k-core get core number k-1 — including vertices whose degree drops to
+zero mid-cascade (tracked against the surviving vertex set, since a
+vertex with no remaining edges vanishes from the edge list entirely).
 
-Deterministic, parallelism-independent. Checkpoints each peel round
-through the standard manager (lineage truncation).
+Every peel round is two partial-aggregated shuffles (degree groupBy +
+two anti-joins) and exactly one counting action; edge/vertex sets are
+checkpointed per round (lineage truncation). Deterministic and
+parallelism-independent.
 """
 
 from __future__ import annotations
@@ -31,43 +37,56 @@ def k_core(spark: SparkSession, edges: DataFrame, k: int,
     """Vertices of the k-core: DataFrame[v: long]."""
     e = _sym(edges).localCheckpoint(eager=True)
     cm = CheckpointManager(tempfile.mkdtemp(prefix="kcore_"))
-    it = 0
-    while it < max_iter:
+    prev_edges: int | None = None
+    for it in range(max_iter):
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("u")
         new_e = (
             e.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
         )
-        new_e = cm.save(new_e, it)
-        n_old, n_new = e.count(), new_e.count()
+        new_e = cm.save(new_e, it)            # materializes: the round's one job
+        n_new = new_e.count()                 # cheap count on parquet output
         e = new_e
-        it += 1
-        if n_new == n_old or n_new == 0:
+        if n_new == prev_edges or n_new == 0:
             break
+        prev_edges = n_new
     return e.select(F.col("u").alias("v")).distinct()
 
 
 def core_numbers(spark: SparkSession, edges: DataFrame,
-                 max_k: int = 64) -> DataFrame:
+                 max_rounds: int = 10_000) -> DataFrame:
     """Core number per vertex: DataFrame[v: long, core: int].
 
-    Peels k = 1..max_k; a vertex's core number is the largest k whose
-    k-core contains it. Vertices only in the input via self-loops get
-    core 0 (they're dropped with the loops).
+    Incremental peel: stage k removes (cascading) vertices of degree
+    < k from the surviving (k-1)-core, assigning them core k-1; the
+    stage ends when the k-core is stable, then k advances. Every
+    vertex with at least one non-loop edge gets core ≥ 1.
     """
-    sym = _sym(edges).persist()
-    vertices = sym.select(F.col("u").alias("v")).distinct()
-    result = vertices.select("v", F.lit(0).alias("core"))
-    for k in range(1, max_k + 1):
-        members = k_core(spark, edges, k)
-        if members.isEmpty():
-            break
-        result = (
-            result.join(members.withColumn("in_core", F.lit(True)), "v", "left")
-            .select("v", F.when(F.col("in_core"), F.lit(k))
-                    .otherwise(F.col("core")).alias("core"))
+    e = _sym(edges).localCheckpoint(eager=True)
+    alive = e.select(F.col("u").alias("v")).distinct().localCheckpoint(eager=True)
+    result = spark.createDataFrame([], "v long, core int")
+    k = 1
+    for _ in range(max_rounds):
+        deg = (e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+               .withColumnRenamed("u", "v"))
+        degf = alive.join(deg, "v", "left").select(
+            "v", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+        low = degf.where(F.col("deg") < k).select("v").localCheckpoint(eager=True)
+        n_low = low.count()
+        if n_low == 0:
+            # k-core stable; if it is empty we are done, else advance k
+            if alive.isEmpty():
+                break
+            k += 1
+            continue
+        result = result.unionByName(
+            low.select("v", F.lit(k - 1).cast("int").alias("core"))
+        ).localCheckpoint(eager=True)
+        alive = alive.join(low, "v", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(low.withColumnRenamed("v", "u"), "u", "left_anti")
+            .join(low, "v", "left_anti")
             .localCheckpoint(eager=True)
         )
-    sym.unpersist()
     return result

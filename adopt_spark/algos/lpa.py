@@ -61,12 +61,16 @@ def label_propagation(
         new_labels = freq.groupBy("v").agg(
             F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")))).alias("label")
         )
+        # save FIRST (materializes the superstep plan exactly once and
+        # truncates lineage), then count changes against the parquet-
+        # backed output — same pattern as pagerank.py's save-then-agg.
+        new_labels = cm.save(new_labels, it)
         changed = int(
             new_labels.join(labels.withColumnRenamed("label", "old"), "v")
             .where(F.col("label") != F.col("old"))
             .count()
         )
-        new_labels = cm.save(new_labels, it, changed=changed)
+        cm.amend_last(changed=changed)
         labels = new_labels
         metrics.append({"iteration": it, "changed": changed,
                         "sec": round(time.time() - t0, 4)})

@@ -16,7 +16,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import LongType, StringType
+from pyspark.sql.types import StringType
 
 # ---------- pure-Column (codegen) ----------
 
@@ -99,36 +99,75 @@ _FP_BASE = np.uint64(1099511628211)
 _FP_OFFSET = np.uint64(14695981039346656037)
 
 
-def _fnv1a_bytes(s: str) -> np.uint64:
-    h = _FP_OFFSET
-    for b in s.encode("utf-8"):
-        h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
+def _fnv1a_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a of every token at once, tokens given as a flat uint8
+    buffer + per-token byte lengths — vectorized over tokens.
+
+    The byte loop runs over COLUMNS of a ragged byte matrix (one
+    vectorized step per byte position, bounded by the longest token),
+    not over rows: h = (h ^ byte) * B per position, uint64 wraparound
+    is numpy's native modular arithmetic.
+    """
+    n = len(lens)
+    h = np.full(n, _FP_OFFSET, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return h
+    starts = np.cumsum(lens) - lens
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    mat = np.zeros((n, int(lens.max())), dtype=np.uint8)
+    mat[rows, cols] = flat
+    for j in range(mat.shape[1]):
+        active = lens > j
+        h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) * _FP_BASE
     return h
 
 
+def _fnv1a_batch(tokens: list[bytes]) -> np.ndarray:
+    """FNV-1a of a list of byte strings (test/utility entry point)."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    flat = (np.frombuffer(b"".join(tokens), dtype=np.uint8)
+            if lens.sum() else np.empty(0, np.uint8))
+    return _fnv1a_flat(flat, lens)
+
+
 def _token_hashes(text: str) -> np.ndarray:
+    """FNV-1a per whitespace token (simhash's bit-vote input); the
+    per-token byte loop runs in the vectorized column-wise kernel."""
     toks = text.split()
     if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.fromiter((_fnv1a_bytes(t) for t in toks), dtype=np.uint64, count=len(toks))
+    return _fnv1a_batch([t.encode("utf-8") for t in toks])
 
 
-@F.pandas_udf(LongType())
-def doc_fingerprint(text: pd.Series) -> pd.Series:
-    """Order-sensitive rolling polynomial hash of the token stream.
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-sensitive 64-bit fingerprint of the token stream — pure
+    Column expression (whole-stage codegen, zero Python).
 
-    fingerprint = Σ h(tok_i)·B^(n-1-i) mod 2^64 (FNV-1a token hashes,
-    Horner evaluation) — a stable document identity robust to
-    whitespace normalization, deterministic across runs/partitions.
+    fingerprint = fold over whitespace tokens of
+    acc -> xxhash64(token, acc), seeded at 0; empty/blank docs -> 0.
+    Chained hashing keeps it order-sensitive and whitespace-
+    normalization-robust while staying inside JVM codegen — no
+    per-row Python, no overflow (xxhash64 mixes instead of
+    multiplying, so ANSI mode never throws).
+
+    Format note (v2): round 1 computed an FNV-1a/Horner polynomial in
+    a pandas UDF whose per-byte work was the slowest kernel in the
+    repo; the fingerprint format was bumped to this JVM-side chain —
+    same contract (deterministic doc identity), ~2 orders of magnitude
+    less Python-side work at 100 TB.
     """
-    out = np.empty(len(text), dtype=np.uint64)
-    for i, t in enumerate(text.fillna("")):
-        hs = _token_hashes(t)
-        acc = np.uint64(0)
-        for h in hs:
-            acc = np.uint64((int(acc) * int(_FP_BASE) + int(h)) & 0xFFFFFFFFFFFFFFFF)
-        out[i] = acc
-    return pd.Series(out.astype(np.int64))
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    chained = F.aggregate(
+        F.split(t, r"\s+"), F.lit(0).cast("long"),
+        lambda acc, x: F.xxhash64(x, acc),
+    )
+    return F.when(F.length(t) == 0, F.lit(0).cast("long")).otherwise(chained)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

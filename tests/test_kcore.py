@@ -32,7 +32,7 @@ def py_core_numbers(pairs) -> dict[int, int]:
 def test_core_numbers_powerlaw(spark, powerlaw_small):
     df, pairs = powerlaw_small
     expected = py_core_numbers(pairs)
-    got = {r["v"]: r["core"] for r in core_numbers(spark, df, max_k=20).collect()}
+    got = {r["v"]: r["core"] for r in core_numbers(spark, df).collect()}
     assert got == expected
 
 
