@@ -178,17 +178,36 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              sample_size: int = 4096) -> DataFrame:
     """Approximate cosine top-k via an IVF index; [q_id, vec_id, cos, rank].
 
-    Centroids: spherical k-means on the ``sample_size`` lowest-id
-    corpus vectors (deterministic at any parallelism). Corpus vectors
-    land in exactly one cell; queries fan out to ``n_probe`` cells; the
+    Centroids: spherical k-means on a deterministic hash-ranked sample
+    of the corpus (top-``sample_size`` rows by xxhash64(id) — Spark
+    plans TakeOrderedAndProject: per-partition top-k + driver merge,
+    NO full global sort; deterministic at any parallelism and
+    unbiased w.r.t. id assignment order). Corpus vectors land in
+    exactly one cell; queries fan out to ``n_probe`` cells; the
     cell-key equi-join replaces the brute-force cross join, then exact
     cosine re-ranks inside probed cells. At 100 TB the corpus side is
     written bucketed by ``cid`` once and every query batch joins
     shuffle-free against its probed buckets.
+
+    Degenerate inputs: an empty corpus (or empty query set) returns an
+    empty result; ragged embedding dimensions raise ValueError.
     """
-    sample = embeddings.orderBy(id_col).limit(sample_size) \
-                       .select(vec_col).toPandas()
-    x = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    sample = (embeddings
+              .select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+              .orderBy("_h").limit(sample_size)
+              .select(vec_col).toPandas())
+    if len(sample) == 0:
+        return (queries.select(q_id_col).limit(0)
+                .crossJoin(embeddings.select(id_col).limit(0))
+                .withColumn("cos", F.lit(0.0))
+                .withColumn("rank", F.lit(1).cast("integer")))
+    try:
+        x = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    except ValueError as exc:
+        raise ValueError(
+            "ivf_topk: embedding column has ragged dimensions") from exc
+    if x.ndim != 2:
+        raise ValueError("ivf_topk: embedding column has ragged dimensions")
     centroids = _spherical_kmeans(x, n_centroids, seed)
 
     e = _assign_cells(

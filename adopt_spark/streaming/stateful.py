@@ -86,18 +86,35 @@ def _session_fn(gap_seconds: int):
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str,
-                      gap_seconds: int = 1800) -> DataFrame:
+                      gap_seconds: int = 1800,
+                      source_dir: str | None = None,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
     """Gap-sessionize the events stream per event_type; returns the
     completed result [event_type, session_id, session_start,
-    session_end, n_events]."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    src_dir = tempfile.mkdtemp(prefix="events_sess_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               os.path.join(src_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(schema).parquet(src_dir)
-        .select("event_type", "ts")
-    )
+    session_end, n_events].
+
+    Update-mode semantics: the memory sink APPENDS one row per
+    (key, session) emission per micro-batch, and the open session is
+    re-emitted (updated) whenever it extends — so after more than one
+    micro-batch the raw sink holds stale earlier versions of extended
+    sessions. The read below collapses them: sessions only ever grow,
+    so max(session_end)/max(n_events) per (event_type, session_id) is
+    exactly the last emission (session_start is carried unchanged).
+    Pinned by the multi-batch test (maxFilesPerTrigger=1 over files
+    whose sessions span micro-batches).
+
+    ``source_dir``: stream from an existing directory of parquet files
+    (multi-batch tests) instead of the single sf_dir/events.parquet.
+    """
+    if source_dir is None:
+        source_dir = tempfile.mkdtemp(prefix="events_sess_")
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+                   os.path.join(source_dir, "events.parquet"))
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir).select("event_type", "ts")
     out = stream.groupBy("event_type").applyInPandasWithState(
         _session_fn(gap_seconds), _OUT_SCHEMA, _STATE_SCHEMA,
         "update", GroupStateTimeout.NoTimeout)
@@ -108,4 +125,10 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    return (
+        spark.table(name)
+        .groupBy("event_type", "session_id")
+        .agg(F.max("session_start").alias("session_start"),
+             F.max("session_end").alias("session_end"),
+             F.max("n_events").alias("n_events"))
+    )

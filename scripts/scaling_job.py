@@ -34,8 +34,9 @@ def main() -> None:
     t0 = time.time()
     _, metrics = pagerank(spark, edges, tol=0.0, max_iter=FIXED_SUPERSTEPS)
     pr_sec = time.time() - t0
-    steps = sorted(m["sec"] for m in metrics)
-    per_step = steps[len(steps) // 2]          # median: jitter-robust
+    import statistics
+    # true median (averages the middle pair for even counts): jitter-robust
+    per_step = statistics.median(m["sec"] for m in metrics)
 
     out = {
         "cpus": cpus,

@@ -74,3 +74,22 @@ def test_self_loops_ignored(spark):
     assert triangle_count(df, "auto").collect()[0][0] == 1
     labels, _ = connected_components(spark, df)
     assert {r["component"] for r in labels.collect()} == {1}
+
+
+def test_ivf_degenerate_corpus(spark):
+    from adopt_spark.functions.similarity import ivf_topk
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "q_id long, q_vec array<float>")
+    out = ivf_topk(empty_emb, q, k=3)
+    assert out.count() == 0
+    assert set(out.columns) == {"q_id", "vec_id", "cos", "rank"}
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    import pytest
+    with pytest.raises(ValueError, match="ragged"):
+        ivf_topk(ragged, q, k=3)

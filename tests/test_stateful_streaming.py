@@ -27,6 +27,35 @@ def pandas_sessions(events: pd.DataFrame) -> set[tuple]:
     return out
 
 
+def test_sessionize_multibatch_matches_batch_oracle(spark, tmp_path):
+    """maxFilesPerTrigger=1 over time-split files: sessions span
+    micro-batches, the open session is re-emitted and extended, and
+    the update-mode sink must still collapse to the batch oracle."""
+    import os
+    import time
+
+    events = (spark.read.parquet(f"{SF}/events.parquet")
+              .select("event_type", "ts").toPandas()
+              .sort_values("ts").reset_index(drop=True))
+    src = tmp_path / "src"
+    src.mkdir()
+    # 3 time-ordered slices; boundaries deliberately NOT on session
+    # gaps, so open sessions cross micro-batches for every key
+    cuts = [0, len(events) // 3, 2 * len(events) // 3, len(events)]
+    for i in range(3):
+        part = events.iloc[cuts[i]:cuts[i + 1]].copy()
+        part["ts"] = part["ts"].astype("datetime64[us]")  # Spark can't read NANOS
+        p = str(src / f"part-{i:02d}.parquet")
+        part.to_parquet(p)
+        os.utime(p, (time.time() + i, time.time() + i))  # strict mtime order
+    got_rows = sessionize_stream(spark, SF, gap_seconds=GAP_S,
+                                 source_dir=str(src),
+                                 max_files_per_trigger=1).collect()
+    got = {(r["event_type"], r["session_id"], r["session_start"],
+            r["session_end"], r["n_events"]) for r in got_rows}
+    assert got == pandas_sessions(events)
+
+
 def test_sessionize_stream_matches_batch_oracle(spark):
     got_rows = sessionize_stream(spark, SF, gap_seconds=GAP_S).collect()
     got = {(r["event_type"], r["session_id"], r["session_start"],
