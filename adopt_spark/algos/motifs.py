@@ -77,12 +77,20 @@ def clique_sql(n: int, edge_view: str = "edge",
     return f"SELECT count(*) AS n FROM {froms} WHERE {' AND '.join(conds)}"
 
 
-def cycle_sql(n: int, edge_view: str = "edge") -> str:
-    """COUNT(*) SQL for increasing n-cycles, reference encoding."""
+def cycle_sql(n: int, edge_view: str = "edge",
+              range_preds: dict[int, int] | None = None) -> str:
+    """COUNT(*) SQL for increasing n-cycles, reference encoding.
+
+    ``range_preds`` maps vertex index (1-based) → upper bound —
+    the ordered-encoding analogue of clique_sql's selectivity
+    variants, applied once per variable via its representative
+    column (chain variable v_i is e_i.sid for i < n, vn is
+    e_{n-1}.tid).
+    """
     if n < 3:
         raise ValueError("cycle size must be >= 3")
     if n == 3:
-        return clique_sql(3, edge_view)
+        return clique_sql(3, edge_view, range_preds=range_preds)
     # chain aliases e1..e(n-1): ei = (v_i, v_{i+1}), all sid < tid
     aliases = [(f"e{i}", i, i + 1) for i in range(1, n)]
     lt_aliases = [a for a, _, _ in aliases]
@@ -102,7 +110,105 @@ def cycle_sql(n: int, edge_view: str = "edge") -> str:
     froms = ", ".join(f"{edge_view} {a}" for a, _, _ in aliases)
     conds = _alias_conditions(aliases)
     conds += [f"{a}.sid < {a}.tid" for a in lt_aliases]
+    if range_preds:
+        rep: dict[int, str] = {}
+        for a, sv, tv in aliases:
+            rep.setdefault(sv, f"{a}.sid")
+            rep.setdefault(tv, f"{a}.tid")
+        for var, ub in sorted(range_preds.items()):
+            conds.append(f"{rep[var]} < {ub}")
     return f"SELECT count(*) AS n FROM {froms} WHERE {' AND '.join(conds)}"
+
+
+# ---------------------------------------------------------------------------
+# graph_selectivity_query family — the reference's OTHER parameterized
+# corpus (64 files x 6 families). Its encoding differs from graph_query:
+# motifs are DIRECTED (no ``sid < tid`` anywhere — each vertex pair is
+# constrained in exactly one direction, and vertices are not forced
+# distinct), and each bounded join variable's upper bound is REPLICATED
+# onto every alias occurrence of that variable so the single-table
+# filter pushes into every scan (e.g.
+# twitter_selectivity_3clique/sql/a0.25_b0.25_c0.25.sql:
+# ``e1.sid < 17000000 AND e3.sid < 17000000 AND ...``). The shipped
+# files bound {v1,v2,v3} for the 3-clique and {v1,v2,v4} for the
+# 4/5/6-clique and 4/5-cycle families, at fractions
+# {0.25, 0.5, 0.75, 1.0} of the vertex-id domain. Alias order here is
+# canonical (chain pairs, then remaining pairs lexicographic); the
+# hand-written files order chords inconsistently between n=4/5/6, which
+# changes nothing semantically (verified by test against the files).
+
+
+def _directed_sql(aliases: list[tuple[str, int, int]],
+                  bounds: dict[int, int] | None,
+                  edge_view: str) -> str:
+    conds = _alias_conditions(aliases)
+    if bounds:
+        occ: dict[int, list[str]] = {}
+        for a, sv, tv in aliases:
+            occ.setdefault(sv, []).append(f"{a}.sid")
+            occ.setdefault(tv, []).append(f"{a}.tid")
+        for var, ub in sorted(bounds.items()):
+            for col in occ[var]:
+                conds.append(f"{col} < {ub}")
+    froms = ", ".join(f"{edge_view} {a}" for a, _, _ in aliases)
+    return f"SELECT count(*) AS n FROM {froms} WHERE {' AND '.join(conds)}"
+
+
+def selectivity_clique_sql(n: int, bounds: dict[int, int] | None = None,
+                           edge_view: str = "edge") -> str:
+    """Directed n-clique with per-occurrence variable upper bounds —
+    the twitter_selectivity_{n}clique encoding."""
+    if n < 3:
+        raise ValueError("clique size must be >= 3")
+    chain = [(i, i + 1) for i in range(1, n)]
+    chords = sorted(p for p in combinations(range(1, n + 1), 2)
+                    if p not in set(chain))
+    aliases = [(f"e{k + 1}", i, j) for k, (i, j) in enumerate(chain + chords)]
+    return _directed_sql(aliases, bounds, edge_view)
+
+
+def selectivity_cycle_sql(n: int, bounds: dict[int, int] | None = None,
+                          edge_view: str = "edge") -> str:
+    """Directed n-cycle v1→v2→…→vn plus closing chord v1→vn, with
+    per-occurrence variable upper bounds — the
+    twitter_selectivity_{n}cycle encoding."""
+    if n < 3:
+        raise ValueError("cycle size must be >= 3")
+    pairs = [(i, i + 1) for i in range(1, n)] + [(1, n)]
+    aliases = [(f"e{k + 1}", i, j) for k, (i, j) in enumerate(pairs)]
+    return _directed_sql(aliases, bounds, edge_view)
+
+
+def selectivity_bounds(fracs: dict[int, float], id_domain: int) -> dict[int, int]:
+    """Linear frac-of-domain → integer upper bound (synthetic grids)."""
+    return {var: int(frac * id_domain) for var, frac in fracs.items()}
+
+
+# The shipped files map each selectivity fraction to ONE fixed constant
+# (same for every variable): the frac-quantile of ego-Twitter's
+# vertex-id distribution, not a linear fraction of the id domain
+# (grep '< [0-9]*' over twitter_selectivity_3clique/sql/a{f}_... gives
+# exactly these four values).
+TWITTER_SELECTIVITY_BOUNDS = {
+    0.25: 17_000_000, 0.5: 37_000_000, 0.75: 145_000_000, 1.0: 570_000_000,
+}
+
+
+def selectivity_bounds_from_graph(edges: DataFrame,
+                                  fracs: dict[int, float]) -> dict[int, int]:
+    """Data-driven bounds: frac-quantile of the graph's vertex-id
+    distribution per variable — the generalization of the reference's
+    fixed ego-Twitter constants to any input graph. Exact percentile
+    (deterministic at any parallelism), one aggregate."""
+    from pyspark.sql import functions as F
+
+    ids = edges.select(F.col("sid").alias("v")).unionAll(
+        edges.select(F.col("tid").alias("v")))
+    probs = sorted({f for f in fracs.values()})
+    row = ids.agg(*[F.percentile("v", F.lit(p)).alias(f"q{i}")
+                    for i, p in enumerate(probs)]).collect()[0]
+    q_of = {p: int(row[f"q{i}"]) + 1 for i, p in enumerate(probs)}
+    return {var: q_of[frac] for var, frac in fracs.items()}
 
 
 def run_motif(spark: SparkSession, edges: DataFrame, sql: str) -> DataFrame:
