@@ -233,3 +233,48 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     pairs = pairs.distinct()
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return pairs.where(ham <= max_hamming).select("a", "b", ham.alias("hamming"))
+
+
+def word_ngram_jaccard_all_pairs(docs: DataFrame, text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 n_words: int = 3) -> DataFrame:
+    """Exact word-n-gram Jaccard for EVERY doc pair, pure Column ops.
+
+    Returns [a, b, jaccard] for all id pairs a < b among docs with at
+    least one shingle. Shingles are distinct word n-grams
+    (whitespace-split); intersections come from a shingle equi-join +
+    groupBy (the scalable shape — candidate generation never crosses
+    docs that share nothing), and the all-pairs frame is the (small)
+    per-doc-size table joined to itself. Intended for bounded blocks /
+    oracle duty; at corpus scale use minhash_near_dup_pairs, whose
+    verify stage is the same computation restricted to LSH candidates.
+    All JVM-side (codegen): no Python in any stage.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("d"), t.alias("t")) \
+               .where(F.size("t") >= n_words)
+    sh = base.select(
+        "d",
+        F.explode(F.expr(
+            f"transform(sequence(1, size(t) - {n_words - 1}),"
+            f" i -> concat_ws(' ', slice(t, i, {n_words})))")).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("d").alias("a"), "s")
+        .join(sh.select(F.col("d").alias("b"), "s"), "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        sizes.select(F.col("d").alias("a"), F.col("n").alias("na"))
+        .crossJoin(sizes.select(F.col("d").alias("b"), F.col("n").alias("nb")))
+        .where(F.col("a") < F.col("b"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .select("a", "b",
+                (F.coalesce(F.col("i"), F.lit(0)).cast("double")
+                 / (F.col("na") + F.col("nb")
+                    - F.coalesce(F.col("i"), F.lit(0)))).alias("jaccard"))
+    )

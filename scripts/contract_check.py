@@ -1,0 +1,108 @@
+"""Full local driver-contract check — EVERY registry query, no cap.
+
+Mirrors the external driver's CORRECTNESS gate (run the Spark query
+and the DuckDB oracle side-by-side at sf0.01; compare row count,
+schema, and values) but covers the whole registry, because the driver
+appears to cap its per-round check at 50 entries. Output:
+CORRECTNESS_FULL.json at the repo root.
+
+Usage: python scripts/contract_check.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    """Canonical form: columns sorted by name, rows sorted by values."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort",
+                          ignore_index=True)
+
+
+def values_match(a, b) -> bool:
+    if a.shape != b.shape:
+        return False
+    for col in a.columns:
+        xa, xb = a[col], b[col]
+        for va, vb in zip(xa, xb):
+            na = va is None or (isinstance(va, float) and math.isnan(va))
+            nb = vb is None or (isinstance(vb, float) and math.isnan(vb))
+            if na or nb:
+                if na != nb:
+                    return False
+                continue
+            if isinstance(va, float) or isinstance(vb, float):
+                if not math.isclose(float(va), float(vb),
+                                    rel_tol=1e-9, abs_tol=1e-9):
+                    return False
+            elif str(va) != str(vb):
+                return False
+    return True
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/CORRECTNESS_FULL.json"
+
+    import duckdb
+
+    from adopt_spark.queries.registry import all_oracles, all_queries
+    from adopt_spark.session import get_spark
+
+    spark = get_spark("contract_check", cpus=16, shuffle_partitions=32)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries, oracles = all_queries(), all_oracles()
+    results: dict[str, dict] = {}
+    for name, fn in queries.items():
+        t0 = time.time()
+        rec: dict = {"rows_match": None, "schema_match": None,
+                     "hash_match": None, "spark_rows": None,
+                     "oracle_rows": None, "err": None}
+        try:
+            sp = fn(spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(sp)
+            if name in oracles:
+                oc = con.execute(oracles[name]).fetchdf()
+                rec["oracle_rows"] = len(oc)
+                rec["rows_match"] = len(sp) == len(oc)
+                rec["schema_match"] = sorted(sp.columns) == sorted(oc.columns)
+                rec["hash_match"] = (rec["rows_match"] and rec["schema_match"]
+                                     and values_match(canon(sp), canon(oc)))
+            else:
+                rec["err"] = "no_oracle"
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        rec["sec"] = round(time.time() - t0, 2)
+        results[name] = rec
+        status = ("PASS" if rec["hash_match"]
+                  else ("rows-only" if rec["err"] == "no_oracle" else "FAIL"))
+        print(f"{name:28s} {status:9s} rows={rec['spark_rows']} "
+              f"({rec['sec']}s)", flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    n_ok = sum(1 for r in results.values() if r["hash_match"])
+    n_ro = sum(1 for r in results.values() if r["err"] == "no_oracle")
+    n_bad = len(results) - n_ok - n_ro
+    print(f"\n{len(results)} queries: {n_ok} oracle-PASS, "
+          f"{n_ro} rows-only, {n_bad} FAIL -> {out_path}")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
