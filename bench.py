@@ -63,6 +63,13 @@ def main() -> None:
     timed("triangle_cogroup", lambda: triangle_count(edges, "cogroup").collect())
     timed("triangle_auto", lambda: triangle_count(edges, "auto").collect())
 
+    # --- n-cycle DP kernels on the dense graph (the reference's hardest
+    # workload; the generated SQL plan is infeasible here — it would
+    # materialize ~1e12 length-4 path rows for the 5-cycle)
+    from adopt_spark.algos.cycles import cycle_count_cogroup
+    timed("cycle4_kernel", lambda: cycle_count_cogroup(edges, 4).collect())
+    timed("cycle5_kernel", lambda: cycle_count_cogroup(edges, 5).collect())
+
     # --- corpus pipeline on the sparse power-law dependency graph
     def corpus_pipeline():
         c = generate_corpus(n_repos=2000, n_files=20000, seed=42,
