@@ -40,13 +40,30 @@ def require_real_codecs() -> None:
 
 def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42,
                     kind: str = "image") -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    """Deterministic fake media table matching MEDIA_SCHEMA.
+
+    kind="image" keeps its round-1 byte-identical generation; "audio"
+    draws a sample rate + sample count, "video" a frame count — the
+    kind-specific draws happen after the payload, so image tables are
+    unchanged by the extension.
+    """
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-        payload = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
-        rows.append((i, kind, bytearray(payload), (w, h, 0, 1)))
+        if kind == "audio":
+            sr = int(rng.choice([8000, 16000, 44100]))
+            n_samples = int(rng.integers(256, 4096))
+            payload = rng.integers(0, 256, size=n_samples,
+                                   dtype=np.uint8).tobytes()
+            rows.append((i, kind, bytearray(payload), (0, 0, sr, 0)))
+        elif kind == "video":
+            payload = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            n_frames = int(rng.integers(10, 120))
+            rows.append((i, kind, bytearray(payload), (w, h, 0, n_frames)))
+        else:
+            payload = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+            rows.append((i, kind, bytearray(payload), (w, h, 0, 1)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -96,6 +113,53 @@ def decode_images(media: DataFrame,
             })
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = ("media_id long, sha string, duration_s double, "
+                        "rms double, zero_crossings long, peak int")
+
+
+def _fake_pcm_decode(payload: bytes, sample_rate: int) -> np.ndarray:
+    """Deterministic stand-in for a real audio codec: bytes → centered
+    int16-ish waveform (u8 samples re-centered at 0)."""
+    return np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128
+
+
+def audio_features(media: DataFrame,
+                   decoder: Callable[[bytes, int], np.ndarray] | None = None
+                   ) -> DataFrame:
+    """Decode → per-clip audio features, one Arrow batch at a time.
+
+    Output per row: payload sha256 (the per-row invariant), duration
+    (samples / sample_rate), RMS amplitude, zero-crossing count, peak.
+    ``decoder=None`` uses the deterministic fake; inject a real PCM
+    decoder in production (see require_real_codecs)."""
+    decode = decoder or _fake_pcm_decode
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            sha = [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]]
+            dur = np.empty(n); rms = np.empty(n)
+            zc = np.empty(n, dtype=np.int64); peak = np.empty(n, dtype=np.int32)
+            for i, (p, m) in enumerate(zip(pdf["payload"], pdf["meta"])):
+                sr = max(int(m["sample_rate"]), 1)
+                wave = decode(bytes(p), sr)
+                if wave.size == 0:
+                    dur[i] = 0.0; rms[i] = 0.0; zc[i] = 0; peak[i] = 0
+                    continue
+                dur[i] = wave.size / sr
+                rms[i] = float(np.sqrt(np.mean(wave.astype(np.float64) ** 2)))
+                zc[i] = int(np.count_nonzero(np.diff(np.signbit(wave))))
+                peak[i] = int(np.abs(wave).max())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(), "sha": sha,
+                "duration_s": dur, "rms": rms,
+                "zero_crossings": zc, "peak": peak,
+            })
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:

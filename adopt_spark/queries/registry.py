@@ -184,6 +184,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over a parquet-derived media table — pure
+    Column ops (explode over sequence), so it carries a full DuckDB
+    generate_series oracle (the one multimodal op with an exact SQL
+    twin; the codec-side ops are rows-only)."""
+    from adopt_spark.functions.multimodal import frame_sample
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 100 < 5)
+    media = o.select(
+        F.col("o_orderkey").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.struct(F.lit(0).alias("width"), F.lit(0).alias("height"),
+                 F.lit(0).alias("sample_rate"),
+                 (F.col("o_orderkey") % 97 + 3).cast("int").alias("n_frames"))
+        .alias("meta"),
+    )
+    return frame_sample(media, every=10)
+
+
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = derived_edges(spark, sf_dir)
     return e.groupBy(F.col("sid").alias("v")).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -581,6 +600,19 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over deterministic synthetic clips —
+    rows-only (binary payloads, injectable codec)."""
+    from adopt_spark.functions.multimodal import audio_features, synthetic_media
+
+    media = synthetic_media(spark, n=48, seed=7, kind="audio")
+    out = audio_features(media)
+    return out.select("media_id", "sha",
+                      F.round("duration_s", 4).alias("duration_s"),
+                      F.round("rms", 4).alias("rms"),
+                      "zero_crossings", "peak")
+
+
 def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition histogram (incremental peel) on the sparse
     planted graph — rows-only (iterative; no SQL oracle)."""
@@ -878,6 +910,16 @@ ORACLES.update({
         FROM (SELECT sa.d AS a, sb.d AS b, sa.n AS na, sb.n AS nb
               FROM sizes sa JOIN sizes sb ON sa.d < sb.d) p
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b""",
+    "m_frame_sample": """
+        WITH m AS (
+            SELECT o_orderkey AS media_id,
+                   CAST(o_orderkey % 97 + 3 AS INTEGER) AS n_frames
+            FROM orders WHERE o_orderkey % 100 < 5
+        )
+        SELECT media_id,
+               CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INTEGER)
+                   AS frame_idx
+        FROM m""",
 })
 
 
@@ -911,6 +953,7 @@ def all_queries() -> dict[str, QueryFn]:
             6, bounds=_SEL_6CLIQUE_SPARSE, edge_view="edge_sparse")),
         "a_cc_sizes": q_cc_sizes,
         "t_ngram_jaccard": q_ngram_jaccard,
+        "m_frame_sample": q_frame_sample,
         "s_knn_bruteforce": q_knn_bruteforce,
         "s_knn_ivf": q_knn_ivf,
         # -- (2) core graph suite (reference's 10 graph_query files + kernels)
@@ -974,6 +1017,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_knn_lsh": q_knn_lsh,
         "s_embedding_near_dup": q_embedding_near_dup,
         "m_media_features": q_media_features,
+        "m_audio_features": q_audio_features,
         "a_pagerank_top": q_pagerank_top,
         "a_lpa_communities": q_lpa_communities,
         "a_core_numbers": q_core_numbers,

@@ -47,3 +47,36 @@ def test_frame_sample(spark):
 def test_real_codec_gate():
     with pytest.raises(NotImplementedError):
         require_real_codecs()
+
+
+def test_audio_features_deterministic_and_oracle(spark):
+    from adopt_spark.functions.multimodal import audio_features
+
+    media = synthetic_media(spark, n=12, seed=3, kind="audio")
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(out) == 12
+    # numpy oracle on the same deterministic payloads
+    import hashlib
+
+    import numpy as np
+    for row in media.collect():
+        wave = np.frombuffer(bytes(row["payload"]), dtype=np.uint8).astype(np.int16) - 128
+        r = out[row["media_id"]]
+        assert r["sha"] == hashlib.sha256(bytes(row["payload"])).hexdigest()
+        assert abs(r["duration_s"] - wave.size / row["meta"]["sample_rate"]) < 1e-9
+        assert abs(r["rms"] - float(np.sqrt(np.mean(wave.astype(np.float64) ** 2)))) < 1e-9
+        assert r["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(wave))))
+        assert r["peak"] == int(np.abs(wave).max())
+    # parallelism-independent
+    again = {r["media_id"]: (r["rms"], r["zero_crossings"])
+             for r in audio_features(media.repartition(5)).collect()}
+    assert again == {k: (v["rms"], v["zero_crossings"]) for k, v in out.items()}
+
+
+def test_audio_features_injectable_decoder(spark):
+    from adopt_spark.functions.multimodal import audio_features
+
+    media = synthetic_media(spark, n=3, seed=3, kind="audio")
+    silent = lambda payload, sr: __import__("numpy").zeros(4, dtype="int16")
+    rows = audio_features(media, decoder=silent).collect()
+    assert all(r["rms"] == 0.0 and r["peak"] == 0 for r in rows)
