@@ -69,48 +69,64 @@ def _closing_sets(edges: DataFrame, lt: DataFrame, n: int) -> DataFrame:
 
 def cycle_count_cogroup(edges: DataFrame, n: int) -> DataFrame:
     """Increasing-n-cycle count (reference encoding), n in 4..;
-    returns a 1-row DataFrame [n_cycles: long]."""
+    returns a 1-row DataFrame [n_cycles: long].
+
+    Executes eagerly: the lt edge set feeds 4+ legs of the DP (both
+    wedge sides, every chain step, the closing adjacency) and the
+    closing adjacency feeds both the v1 semi-join prune and the final
+    join — both are persisted for the run and unpersisted before
+    returning, so one scan+distinct serves every leg instead of
+    Catalyst re-deriving it per leg.
+    """
     if n < 4:
         raise ValueError("cycle kernel requires n >= 4 (3-cycle = triangle)")
+    spark = edges.sparkSession
     lt = (edges.where(F.col("sid") < F.col("tid"))
-          .dropDuplicates(["sid", "tid"]))
-    closing = _closing_sets(edges, lt, n)
+          .dropDuplicates(["sid", "tid"])).persist()
+    closing = _closing_sets(edges, lt, n).persist()
+    try:
+        # p2: increasing-wedge counts per (v1, x); prune v1 that cannot
+        # close (the cached closing table serves keys AND arrays)
+        e1 = lt.select(F.col("sid").alias("v1"), F.col("tid").alias("mid"))
+        e2 = lt.select(F.col("sid").alias("mid"), F.col("tid").alias("x"))
+        p = (e1.join(closing.select("v1"), "v1", "left_semi")
+             .join(e2, "mid")
+             .groupBy("v1", "x")
+             .agg(F.count(F.lit(1)).alias("cnt")))
 
-    # p2: increasing-wedge counts per (v1, x); prune v1 that cannot close
-    e1 = lt.select(F.col("sid").alias("v1"), F.col("tid").alias("mid"))
-    e2 = lt.select(F.col("sid").alias("mid"), F.col("tid").alias("x"))
-    p = (e1.join(closing.select("v1"), "v1", "left_semi")
-         .join(e2, "mid")
-         .groupBy("v1", "x")
-         .agg(F.count(F.lit(1)).alias("cnt")))
+        # chain extensions: p(k) -> p(k+1), k = 2..n-3
+        step = lt.select(F.col("sid").alias("x"), F.col("tid").alias("y"))
+        for _ in range(n - 4):
+            p = (p.join(step, "x")
+                 .groupBy("v1", F.col("y").alias("x"))
+                 .agg(F.sum("cnt").alias("cnt")))
 
-    # chain extensions: p(k) -> p(k+1), k = 2..n-3
-    step = lt.select(F.col("sid").alias("x"), F.col("tid").alias("y"))
-    for _ in range(n - 4):
-        p = (p.join(step, "x")
-             .groupBy("v1", F.col("y").alias("x"))
-             .agg(F.sum("cnt").alias("cnt")))
+        # close: |A+(x) ∩ C(v1)| per surviving pair, weighted by cnt
+        adj = lt.groupBy("sid").agg(
+            F.sort_array(F.collect_list("tid")).alias("nbrs_a"))
+        a_x = adj.select(F.col("sid").alias("x"), "nbrs_a")
+        cand = (p.join(closing, "v1").join(a_x, "x")
+                .select("cnt", "nbrs_a", "nbrs_c"))
 
-    # close: |A+(x) ∩ C(v1)| per surviving pair, weighted by cnt
-    adj = lt.groupBy("sid").agg(F.sort_array(F.collect_list("tid")).alias("nbrs_a"))
-    a_x = adj.select(F.col("sid").alias("x"), "nbrs_a")
-    cand = (p.join(closing, "v1").join(a_x, "x")
-            .select("cnt", "nbrs_a", "nbrs_c"))
+        def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from adopt_spark.algos._kernels import batch_intersect_counts
 
-    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from adopt_spark.algos._kernels import batch_intersect_counts
+            for batch in it:
+                if len(batch) == 0:
+                    continue
+                k_close = batch_intersect_counts(list(batch["nbrs_a"]),
+                                                 list(batch["nbrs_c"]))
+                cnt = batch["cnt"].to_numpy("int64")
+                yield pd.DataFrame({"partial": [int((cnt * k_close).sum())]})
 
-        for batch in it:
-            if len(batch) == 0:
-                continue
-            k_close = batch_intersect_counts(list(batch["nbrs_a"]),
-                                             list(batch["nbrs_c"]))
-            cnt = batch["cnt"].to_numpy("int64")
-            yield pd.DataFrame({"partial": [int((cnt * k_close).sum())]})
-
-    partials = cand.mapInPandas(kernel, schema="partial long")
-    return partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
-                        .cast("long").alias("n_cycles"))
+        partials = cand.mapInPandas(kernel, schema="partial long")
+        out = partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
+                           .cast("long").alias("n_cycles"))
+        count = int(out.collect()[0][0])
+        return spark.createDataFrame([(count,)], "n_cycles long")
+    finally:
+        closing.unpersist()
+        lt.unpersist()
 
 
 def cycle4_count_cogroup(edges: DataFrame) -> DataFrame:

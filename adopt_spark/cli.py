@@ -40,15 +40,23 @@ def split_statements(sql_text: str) -> list[str]:
 
 
 def run_sql(spark: SparkSession, sql_text: str,
-            echo: bool = False) -> list[DataFrame]:
-    """Execute every ;-separated statement; return result DataFrames."""
+            echo: bool = False, max_rows: int = 10_000) -> list[DataFrame]:
+    """Execute every ;-separated statement; return result DataFrames.
+
+    A console analogue must never pull an unbounded result to the
+    driver: each statement collects at most ``max_rows`` rows (the
+    limit is planned as CollectLimit, so oversized results stop early
+    instead of flooding the driver).
+    """
     out = []
     for stmt in split_statements(sql_text):
         t0 = time.time()
         df = spark.sql(stmt)
-        rows = df.collect()
+        rows = df.limit(max_rows).collect()
         if echo:
-            print(f"-- {time.time() - t0:.3f}s  {stmt[:80]}...")
+            truncated = " (truncated)" if len(rows) == max_rows else ""
+            print(f"-- {time.time() - t0:.3f}s  {len(rows)} row(s)"
+                  f"{truncated}  {stmt[:80]}...")
             for r in rows[:20]:
                 print("  ", tuple(r))
         out.append(df)
