@@ -82,3 +82,28 @@ def test_cross_layout_join_on_bucket_keys_no_exchange(spark, layout):
         assert wedges.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_wcoj_kernels_consume_oriented_layout(spark, layout):
+    """The trie-cache amortization end-to-end: the cogroup leapfrog
+    kernels accept the pre-oriented bucketed layout as their input —
+    the adjacency groupBy('src') aggregates the bucketed table with NO
+    Exchange, and counts match the from-scratch kernels."""
+    edges, tables = layout
+    from adopt_spark.algos.cliques import clique_count_cogroup
+    from adopt_spark.algos.triangles import (
+        triangle_count_cogroup, triangle_count_join,
+    )
+
+    o = spark.table(tables["oriented"])
+    # adjacency build over the layout is exchange-free
+    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    assert "Exchange" not in _plan(adj), _plan(adj)
+    # kernel over the layout == kernel from scratch == join strategy
+    expected = triangle_count_join(edges).collect()[0][0]
+    got_layout = triangle_count_cogroup(edges, _oriented=o).collect()[0][0]
+    got_scratch = triangle_count_cogroup(edges).collect()[0][0]
+    assert got_layout == got_scratch == expected
+    k4_layout = clique_count_cogroup(edges, 4, _oriented=o).collect()[0][0]
+    k4_scratch = clique_count_cogroup(edges, 4).collect()[0][0]
+    assert k4_layout == k4_scratch
