@@ -184,6 +184,40 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each click joined to the user's
+    latest view at-or-before it; oracle = DuckDB's native ASOF JOIN."""
+    from adopt_spark.functions.interval import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "ts")
+    views = (e.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_id")))
+    out = asof_join(clicks, views, on="ts", by=["user_id"],
+                    right_cols=["view_id"], prefix="prev_")
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "prev_view_id")
+
+
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join via coarse bucketing — order pairs within
+    2000.0 of each other's total price; oracle = plain theta SQL."""
+    from adopt_spark.functions.interval import band_join
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 200) \
+        .select("o_orderkey", "o_totalprice")
+    out = band_join(o, o, "o_totalprice", "o_totalprice", band=2000.0)
+    return (out.where(F.col("l_o_orderkey") < F.col("r_o_orderkey"))
+            .select(F.col("l_o_orderkey").alias("a"),
+                    F.col("r_o_orderkey").alias("b"),
+                    F.round(F.abs(F.col("l_o_totalprice")
+                                  - F.col("r_o_totalprice")), 4).alias("diff")))
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling over a parquet-derived media table — pure
     Column ops (explode over sequence), so it carries a full DuckDB
@@ -910,6 +944,27 @@ ORACLES.update({
         FROM (SELECT sa.d AS a, sb.d AS b, sa.n AS na, sb.n AS nb
               FROM sizes sa JOIN sizes sb ON sa.d < sb.d) p
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b""",
+    "e_asof_join": """
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), views AS (
+            SELECT user_id, ts, max(event_id) AS view_id
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               v.view_id AS prev_view_id
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND v.ts <= c.ts""",
+    "r_band_join": """
+        WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderkey < 200)
+        SELECT a.o_orderkey AS a, b.o_orderkey AS b,
+               CAST(round(abs(a.o_totalprice - b.o_totalprice), 4) AS DOUBLE)
+                   AS diff
+        FROM o a, o b
+        WHERE a.o_orderkey < b.o_orderkey
+          AND abs(a.o_totalprice - b.o_totalprice) <= 2000.0""",
     "m_frame_sample": """
         WITH m AS (
             SELECT o_orderkey AS media_id,
@@ -954,6 +1009,8 @@ def all_queries() -> dict[str, QueryFn]:
         "a_cc_sizes": q_cc_sizes,
         "t_ngram_jaccard": q_ngram_jaccard,
         "m_frame_sample": q_frame_sample,
+        "e_asof_join": q_asof_join,
+        "r_band_join": q_band_join,
         "s_knn_bruteforce": q_knn_bruteforce,
         "s_knn_ivf": q_knn_ivf,
         # -- (2) core graph suite (reference's 10 graph_query files + kernels)
