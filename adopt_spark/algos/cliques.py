@@ -55,28 +55,41 @@ class OrientedCSR:
     outdeg_of: np.ndarray       # dense: vertex id -> oriented out-degree
 
 
-def build_oriented_csr(edges: DataFrame) -> OrientedCSR | None:
+def build_oriented_csr(edges: DataFrame,
+                       _oriented: DataFrame | None = None) -> OrientedCSR | None:
     """lt-filter → dedup → degree-orient → CSR, all linear-time numpy.
 
     Returns None when the input exceeds the broadcast regime (caller
-    falls back to the shuffle plan) or is empty.
+    falls back to the shuffle plan) or is empty. ``_oriented``: a
+    pre-built degree-oriented deduped [src, dst] set (e.g. from an
+    auto dispatcher's cached orientation or the materialized layout)
+    — skips the re-orient.
     """
-    raw = edges.where(F.col("sid") < F.col("tid")).select("sid", "tid").toPandas()
+    if _oriented is not None:
+        raw = _oriented.select("src", "dst").toPandas()
+    else:
+        raw = (edges.where(F.col("sid") < F.col("tid"))
+               .select(F.col("sid").alias("src"), F.col("tid").alias("dst"))
+               .toPandas())
     if len(raw) == 0 or len(raw) > CSR_BROADCAST_MAX_EDGES:
         return None
-    a = raw["sid"].to_numpy(np.int64)
-    b = raw["tid"].to_numpy(np.int64)
+    a = raw["src"].to_numpy(np.int64)
+    b = raw["dst"].to_numpy(np.int64)
     max_id = int(max(a.max(), b.max()))
     # dense degree array + key packing guards (packing also needs >= 0)
     if max_id >= 50_000_000 or int(min(a.min(), b.min())) < 0:
         return None
     m = np.int64(max_id + 1)
-    pair = np.unique(a * m + b)
-    a, b = pair // m, pair % m
-    deg = np.bincount(a, minlength=max_id + 1) + np.bincount(b, minlength=max_id + 1)
-    fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
-    src = np.where(fwd, a, b)
-    dst = np.where(fwd, b, a)
+    if _oriented is not None:
+        src, dst = a, b              # already oriented + deduped
+    else:
+        pair = np.unique(a * m + b)
+        a, b = pair // m, pair % m
+        deg = (np.bincount(a, minlength=max_id + 1)
+               + np.bincount(b, minlength=max_id + 1))
+        fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     keys = src * m + dst
@@ -224,7 +237,9 @@ def clique_count(edges: DataFrame, k: int, method: str = "auto") -> DataFrame:
         return clique_count_cogroup(edges, k)
     if method == "sql":
         from adopt_spark.algos.motifs import clique_sql, run_motif
-        out = run_motif(edges.sparkSession, edges, clique_sql(k))
+        # set semantics, matching the kernels (see cycles.cycle_count)
+        dedup = edges.dropDuplicates(["sid", "tid"])
+        out = run_motif(edges.sparkSession, dedup, clique_sql(k))
         return out.select(F.col("n").alias("n_cliques"))
     if method != "auto":
         raise ValueError(f"unknown method: {method}")
@@ -248,7 +263,7 @@ def clique_count(edges: DataFrame, k: int, method: str = "auto") -> DataFrame:
         if float(row["w"] or 0.0) / n_edges < AUTO_WEDGE_EDGE_RATIO:
             chosen = clique_count(edges, k, "sql")
         elif n_edges <= CSR_BROADCAST_MAX_EDGES:
-            chosen = clique_count_csr(edges, k)
+            chosen = clique_count_csr(edges, k, _oriented=o)
         else:
             chosen = clique_count_cogroup(edges, k, _oriented=o)
         # materialize before the cached orientation is dropped
@@ -258,7 +273,8 @@ def clique_count(edges: DataFrame, k: int, method: str = "auto") -> DataFrame:
         o.unpersist()
 
 
-def clique_count_csr(edges: DataFrame, k: int) -> DataFrame:
+def clique_count_csr(edges: DataFrame, k: int,
+                     _oriented: DataFrame | None = None) -> DataFrame:
     """k-clique count via the broadcast-CSR leapfrog; [n_cliques: long].
 
     Falls back to the generated SQL plan (motifs.clique_sql) outside
@@ -267,7 +283,7 @@ def clique_count_csr(edges: DataFrame, k: int) -> DataFrame:
     if k < 3:
         raise ValueError("clique size must be >= 3")
     spark = edges.sparkSession
-    csr = build_oriented_csr(edges)
+    csr = build_oriented_csr(edges, _oriented=_oriented)
     if csr is None:
         from adopt_spark.algos.motifs import clique_sql, run_motif
         out = run_motif(spark, edges, clique_sql(k))

@@ -148,7 +148,11 @@ def cycle_count(edges: DataFrame, n: int, method: str = "auto") -> DataFrame:
         return cycle_count_cogroup(edges, n)
     if method == "sql":
         from adopt_spark.algos.motifs import cycle_sql, run_motif
-        out = run_motif(edges.sparkSession, edges, cycle_sql(n))
+        # the engine treats edge(sid,tid) as a SET everywhere; dedupe
+        # here too so SQL count(*) multiset semantics can't make the
+        # strategies (and hence "auto") disagree on duplicated input
+        dedup = edges.dropDuplicates(["sid", "tid"])
+        out = run_motif(edges.sparkSession, dedup, cycle_sql(n))
         return out.select(F.col("n").cast("long").alias("n_cycles"))
     if method != "auto":
         raise ValueError(f"unknown method: {method}")

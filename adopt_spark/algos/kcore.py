@@ -67,6 +67,7 @@ def core_numbers(spark: SparkSession, edges: DataFrame,
     alive = e.select(F.col("u").alias("v")).distinct().localCheckpoint(eager=True)
     result = spark.createDataFrame([], "v long, core int")
     k = 1
+    done = False
     for _ in range(max_rounds):
         deg = (e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
                .withColumnRenamed("u", "v"))
@@ -77,6 +78,7 @@ def core_numbers(spark: SparkSession, edges: DataFrame,
         if n_low == 0:
             # k-core stable; if it is empty we are done, else advance k
             if alive.isEmpty():
+                done = True
                 break
             k += 1
             continue
@@ -89,4 +91,9 @@ def core_numbers(spark: SparkSession, edges: DataFrame,
             .join(low, "v", "left_anti")
             .localCheckpoint(eager=True)
         )
+    if not done and not alive.isEmpty():
+        # never return a silently-partial decomposition
+        raise RuntimeError(
+            f"core_numbers did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds for this graph")
     return result

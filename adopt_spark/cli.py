@@ -52,11 +52,15 @@ def run_sql(spark: SparkSession, sql_text: str,
     for stmt in split_statements(sql_text):
         t0 = time.time()
         df = spark.sql(stmt)
-        rows = df.limit(max_rows).collect()
+        # collect one extra row so an exactly-max_rows result is not
+        # mislabeled as truncated
+        rows = df.limit(max_rows + 1).collect()
+        truncated = len(rows) > max_rows
+        rows = rows[:max_rows]
         if echo:
-            truncated = " (truncated)" if len(rows) == max_rows else ""
+            mark = " (truncated)" if truncated else ""
             print(f"-- {time.time() - t0:.3f}s  {len(rows)} row(s)"
-                  f"{truncated}  {stmt[:80]}...")
+                  f"{mark}  {stmt[:80]}...")
             for r in rows[:20]:
                 print("  ", tuple(r))
         out.append(df)

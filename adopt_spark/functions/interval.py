@@ -38,33 +38,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     (NULL where no right row precedes)."""
     left_struct_t = left.select(F.struct(*left.columns).alias("s")) \
                         .schema["s"].dataType
+    right_struct_t = right.select(F.struct(*right_cols).alias("s")) \
+                          .schema["s"].dataType
+    # The right payload travels as ONE struct (non-null for every right
+    # row even when its fields are null), so the window carry picks the
+    # latest right ROW atomically — carrying columns independently with
+    # ignorenulls would resurrect stale non-null values field-by-field
+    # and could mix fields from different right rows.
     lu = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(right_struct_t).alias("_r"),
     )
     ru = right.select(
         *[F.col(c) for c in by],
         F.col(on).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(left_struct_t).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*right_cols).alias("_r"),
     )
     # right rows sort before left rows at equal time -> inclusive <=
     w = (Window.partitionBy(*by).orderBy(F.col("_t"), F.col("_is_left"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = lu.unionByName(ru).select(
         "_is_left", "_l",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-          for c in right_cols],
+        F.last("_r", ignorenulls=True).over(w).alias("_c"),
     )
     return carried.where(F.col("_is_left") == 1).select(
-        *[F.col(f"_l.{c}").alias(c) for c in
-          carried.select("_l.*").columns],
-        *[F.col(f"_c_{c}").alias(f"{prefix}{c}") for c in right_cols],
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_c.{c}").alias(f"{prefix}{c}") for c in right_cols],
     )
 
 

@@ -114,13 +114,14 @@ def _fnv1a_flat(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
     if total == 0:
         return h
     starts = np.cumsum(lens) - lens
-    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
-    cols = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
-    mat = np.zeros((n, int(lens.max())), dtype=np.uint8)
-    mat[rows, cols] = flat
-    for j in range(mat.shape[1]):
+    # Gather column j directly from the flat buffer (flat[starts+j] for
+    # tokens long enough) — O(total_bytes + n·passes) and NO dense
+    # (n × longest-token) matrix, which would blow up on a batch mixing
+    # many short tokens with one enormous one (embedded blobs).
+    for j in range(int(lens.max())):
         active = lens > j
-        h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) * _FP_BASE
+        idx = starts[active] + j
+        h[active] = (h[active] ^ flat[idx].astype(np.uint64)) * _FP_BASE
     return h
 
 
@@ -162,7 +163,7 @@ def doc_fingerprint(col: Column | str) -> Column:
     less Python-side work at 100 TB.
     """
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = F.trim(F.coalesce(c, F.lit("")))   # NULL text -> 0, like v1
     chained = F.aggregate(
         F.split(t, r"\s+"), F.lit(0).cast("long"),
         lambda acc, x: F.xxhash64(x, acc),

@@ -1043,9 +1043,6 @@ def all_queries() -> dict[str, QueryFn]:
         "r_cube": q_cube,
         "r_scalar_subquery": q_scalar_subquery,
         "r_in_subquery": q_in_subquery,
-        "r_semi_join": q_semi_join,
-        "r_anti_join": q_anti_join,
-        "r_outer_join": q_outer_join,
         "e_stream_hourly": q_stream_hourly,
         "e_stream_sessionize": q_stream_sessionize,
         "t_token_count": q_token_count,
@@ -1053,6 +1050,9 @@ def all_queries() -> dict[str, QueryFn]:
         "t_doc_stats_by_lang": q_doc_stats_by_lang,
         # -- (3) oracle-bearing overflow (driver-green in round 1;
         #        re-proven every round by CORRECTNESS_FULL.json)
+        "r_semi_join": q_semi_join,
+        "r_anti_join": q_anti_join,
+        "r_outer_join": q_outer_join,
         "t_quality": q_quality,
         "r_group_having": q_group_having,
         "r_filter_project": q_filter_project,

@@ -23,10 +23,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df):
-    """Canonical form: columns sorted by name, rows sorted by values."""
-    df = df[sorted(df.columns)]
-    return df.sort_values(by=list(df.columns), kind="mergesort",
-                          ignore_index=True)
+    """Canonical form: columns sorted by name, rows sorted by values.
+
+    Float sort keys are rounded to 9dp FIRST so a ~1e-12 engine
+    difference cannot order rows differently on the two sides and
+    misalign the row-wise value comparison (the comparison itself
+    still runs on the raw values with tolerance).
+    """
+    df = df[sorted(df.columns)].copy()
+    keys = {}
+    for c in df.columns:
+        keys[c] = (df[c].round(9)
+                   if str(df[c].dtype).startswith("float") else df[c])
+    import pandas as pd
+    order = pd.DataFrame(keys).sort_values(
+        by=list(df.columns), kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def values_match(a, b) -> bool:

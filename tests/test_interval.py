@@ -67,3 +67,14 @@ def test_band_join_vs_bruteforce(spark, band):
     expected = {(i, j) for i in range(80) for j in range(i + 1, 80)
                 if abs(vals[i] - vals[j]) <= band}
     assert got == expected
+
+
+def test_asof_null_right_fields_not_resurrected(spark):
+    """The latest right ROW wins atomically: a NULL field in it must
+    NOT be backfilled from an older right row."""
+    ldf = spark.createDataFrame([(1, 0, 3)], "lid long, k long, t long")
+    rdf = spark.createDataFrame(
+        [(0, 1, 5, 7), (0, 2, 9, None)],
+        "k long, t long, a long, b long")
+    out = asof_join(ldf, rdf, on="t", by=["k"], right_cols=["a", "b"]).collect()
+    assert out[0]["r_a"] == 9 and out[0]["r_b"] is None
