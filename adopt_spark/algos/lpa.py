@@ -29,8 +29,21 @@ def label_propagation(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    mode: str = "sync",
 ) -> tuple[DataFrame, list[dict]]:
-    """Returns (labels DataFrame[v: long, label: long], metrics)."""
+    """Returns (labels DataFrame[v: long, label: long], metrics).
+
+    ``mode="sync"`` (default) is classic synchronous LPA — fully
+    deterministic but can 2-cycle on bipartite structures (bounded by
+    max_iter; the round-1 documented behavior). ``mode="semi"`` is
+    semi-synchronous LPA: each superstep updates odd-id vertices
+    first (even labels fixed), then even-id vertices against the
+    refreshed labels — still deterministic at any parallelism, and
+    the two-phase schedule breaks bipartite oscillation so fixpoint
+    is reached (the classic graph-coloring-schedule fix).
+    """
+    if mode not in ("sync", "semi"):
+        raise ValueError(f"unknown mode: {mode}")
     e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
              .where(F.col("sid") != F.col("tid"))
     both = (
@@ -50,17 +63,34 @@ def label_propagation(
         labels = vertices.select("v", F.col("v").alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
+    def vote(cur: DataFrame, parity: int | None) -> DataFrame:
+        """Majority label per vertex (min-label tie-break); parity
+        restricts which vertices update, others keep their label."""
+        nbr_labels = both.join(
+            cur.select(F.col("v").alias("nbr"), F.col("label")), "nbr"
+        ).select("v", "label")
+        if parity is not None:
+            nbr_labels = nbr_labels.where(F.col("v") % 2 == parity)
+        freq = nbr_labels.groupBy("v", "label").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        # argmax(cnt) with min-label tie-break: max_by over (cnt, -label)
+        voted = freq.groupBy("v").agg(
+            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label"))))
+            .alias("label")
+        )
+        if parity is None:
+            return voted
+        kept = cur.where(F.col("v") % 2 != parity)
+        return voted.unionByName(kept)
+
     metrics: list[dict] = []
     for it in range(start_iter, max_iter):
         t0 = time.time()
-        nbr_labels = both.join(
-            labels.select(F.col("v").alias("nbr"), F.col("label")), "nbr"
-        ).select("v", "label")
-        freq = nbr_labels.groupBy("v", "label").agg(F.count(F.lit(1)).alias("cnt"))
-        # argmax(cnt) with min-label tie-break: max_by over (cnt, -label)
-        new_labels = freq.groupBy("v").agg(
-            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label")))).alias("label")
-        )
+        if mode == "semi":
+            half = vote(labels, parity=1).localCheckpoint(eager=True)
+            new_labels = vote(half, parity=0)
+        else:
+            new_labels = vote(labels, parity=None)
         # save FIRST (materializes the superstep plan exactly once and
         # truncates lineage), then count changes against the parquet-
         # backed output — same pattern as pagerank.py's save-then-agg.

@@ -52,3 +52,36 @@ def test_lpa_two_components_separate_labels(spark, two_components):
     labels2, _ = label_propagation(spark, df, max_iter=30)
     got2 = {r["v"]: r["label"] for r in labels2.collect()}
     assert got == got2
+
+
+def test_lpa_semi_converges_on_bipartite(spark):
+    """Synchronous LPA 2-cycles on bipartite structures (documented);
+    semi-synchronous mode must reach a fixpoint instead."""
+    from adopt_spark.algos.lpa import label_propagation
+
+    # single edge: the canonical oscillator
+    one = spark.createDataFrame([(1, 2)], "sid long, tid long")
+    labels, metrics = label_propagation(spark, one, max_iter=10, mode="semi")
+    assert metrics[-1]["changed"] == 0          # fixpoint reached
+    assert {r["label"] for r in labels.collect()} == {2} or \
+           {r["label"] for r in labels.collect()} == {1}
+    # bipartite star K_{1,4}
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                 "sid long, tid long")
+    labels2, metrics2 = label_propagation(spark, star, max_iter=10, mode="semi")
+    assert metrics2[-1]["changed"] == 0
+    assert len({r["label"] for r in labels2.collect()}) == 1
+    # deterministic across runs
+    labels3, _ = label_propagation(spark, star, max_iter=10, mode="semi")
+    assert {(r["v"], r["label"]) for r in labels2.collect()} == \
+           {(r["v"], r["label"]) for r in labels3.collect()}
+
+
+def test_lpa_bad_mode(spark):
+    import pytest as _pytest
+
+    from adopt_spark.algos.lpa import label_propagation
+
+    one = spark.createDataFrame([(1, 2)], "sid long, tid long")
+    with _pytest.raises(ValueError, match="mode"):
+        label_propagation(spark, one, mode="nope")
