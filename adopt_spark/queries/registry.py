@@ -510,6 +510,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_count("text").alias("n_tokens"))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate (whitespace words + standalone
+    punctuation runs) — pure Column ops with an exact SQL oracle."""
+    from adopt_spark.functions.text import word_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", word_token_count("text").alias("n_bpe_tokens"))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return exact_dedup(d)
@@ -844,6 +853,13 @@ ORACLES: dict[str, str] = {
     # documents / text
     "t_token_count": f"SELECT doc_id, CAST({_TOKENS_SQL} AS BIGINT) AS n_tokens "
                      "FROM documents",
+    "t_bpe_tokens": f"""
+        SELECT doc_id,
+               CAST({_TOKENS_SQL}
+                    + (length(text)
+                       - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents""",
     "t_exact_dedup": """
         SELECT min(doc_id) AS doc_id, sha256(text) AS text_sha,
                count(*) AS n_copies
@@ -1042,14 +1058,15 @@ def all_queries() -> dict[str, QueryFn]:
         "r_rollup": q_rollup,
         "r_cube": q_cube,
         "r_scalar_subquery": q_scalar_subquery,
-        "r_in_subquery": q_in_subquery,
         "e_stream_hourly": q_stream_hourly,
         "e_stream_sessionize": q_stream_sessionize,
         "t_token_count": q_token_count,
+        "t_bpe_tokens": q_bpe_tokens,
         "t_exact_dedup": q_exact_dedup,
         "t_doc_stats_by_lang": q_doc_stats_by_lang,
         # -- (3) oracle-bearing overflow (driver-green in round 1;
         #        re-proven every round by CORRECTNESS_FULL.json)
+        "r_in_subquery": q_in_subquery,
         "r_semi_join": q_semi_join,
         "r_anti_join": q_anti_join,
         "r_outer_join": q_outer_join,
