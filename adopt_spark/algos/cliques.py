@@ -66,12 +66,17 @@ def build_oriented_csr(edges: DataFrame,
     — skips the re-orient.
     """
     if _oriented is not None:
-        raw = _oriented.select("src", "dst").toPandas()
+        src_df = _oriented.select("src", "dst")
     else:
-        raw = (edges.where(F.col("sid") < F.col("tid"))
-               .select(F.col("sid").alias("src"), F.col("tid").alias("dst"))
-               .toPandas())
-    if len(raw) == 0 or len(raw) > CSR_BROADCAST_MAX_EDGES:
+        src_df = (edges.where(F.col("sid") < F.col("tid"))
+                  .select(F.col("sid").alias("src"), F.col("tid").alias("dst")))
+    # Bound probe BEFORE collecting — the driver-memory guard is useless
+    # if the full edge set is pulled to the driver first. limit+count
+    # stops scanning once the bound is exceeded.
+    if src_df.limit(CSR_BROADCAST_MAX_EDGES + 1).count() > CSR_BROADCAST_MAX_EDGES:
+        return None
+    raw = src_df.toPandas()
+    if len(raw) == 0:
         return None
     a = raw["src"].to_numpy(np.int64)
     b = raw["dst"].to_numpy(np.int64)
@@ -286,7 +291,10 @@ def clique_count_csr(edges: DataFrame, k: int,
     csr = build_oriented_csr(edges, _oriented=_oriented)
     if csr is None:
         from adopt_spark.algos.motifs import clique_sql, run_motif
-        out = run_motif(spark, edges, clique_sql(k))
+        # set semantics in the fallback too, so strategies never
+        # disagree on duplicated input
+        dedup = edges.dropDuplicates(["sid", "tid"])
+        out = run_motif(spark, dedup, clique_sql(k))
         return out.select(F.col("n").alias("n_cliques"))
 
     sc = spark.sparkContext

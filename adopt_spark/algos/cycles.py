@@ -67,7 +67,8 @@ def _closing_sets(edges: DataFrame, lt: DataFrame, n: int) -> DataFrame:
     return side.groupBy("v1").agg(F.sort_array(F.collect_list("c")).alias("nbrs_c"))
 
 
-def cycle_count_cogroup(edges: DataFrame, n: int) -> DataFrame:
+def cycle_count_cogroup(edges: DataFrame, n: int,
+                        _lt: DataFrame | None = None) -> DataFrame:
     """Increasing-n-cycle count (reference encoding), n in 4..;
     returns a 1-row DataFrame [n_cycles: long].
 
@@ -81,8 +82,10 @@ def cycle_count_cogroup(edges: DataFrame, n: int) -> DataFrame:
     if n < 4:
         raise ValueError("cycle kernel requires n >= 4 (3-cycle = triangle)")
     spark = edges.sparkSession
-    lt = (edges.where(F.col("sid") < F.col("tid"))
-          .dropDuplicates(["sid", "tid"])).persist()
+    own_lt = _lt is None
+    lt = (_lt if _lt is not None
+          else (edges.where(F.col("sid") < F.col("tid"))
+                .dropDuplicates(["sid", "tid"])).persist())
     closing = _closing_sets(edges, lt, n).persist()
     try:
         # p2: increasing-wedge counts per (v1, x); prune v1 that cannot
@@ -126,7 +129,8 @@ def cycle_count_cogroup(edges: DataFrame, n: int) -> DataFrame:
         return spark.createDataFrame([(count,)], "n_cycles long")
     finally:
         closing.unpersist()
-        lt.unpersist()
+        if own_lt:
+            lt.unpersist()
 
 
 def cycle4_count_cogroup(edges: DataFrame) -> DataFrame:
@@ -173,8 +177,9 @@ def cycle_count(edges: DataFrame, n: int, method: str = "auto") -> DataFrame:
         ratio = float(row["w"] or 0.0) / n_edges
         # NOTE: the chosen plan runs over the ORIGINAL edge set — the
         # n=4/5 closing edge is a raw directed edge, which the
-        # lt-filtered statistic input would lose.
-        chosen = (cycle_count_cogroup(edges, n)
+        # lt-filtered statistic input would lose. The cached lt set is
+        # threaded into the kernel so it isn't rebuilt.
+        chosen = (cycle_count_cogroup(edges, n, _lt=lt)
                   if ratio >= AUTO_WEDGE_EDGE_RATIO
                   else cycle_count(edges, n, "sql"))
         count = int(chosen.collect()[0][0])

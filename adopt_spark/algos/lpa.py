@@ -70,7 +70,10 @@ def label_propagation(
             cur.select(F.col("v").alias("nbr"), F.col("label")), "nbr"
         ).select("v", "label")
         if parity is not None:
-            nbr_labels = nbr_labels.where(F.col("v") % 2 == parity)
+            # pmod, not %: Spark's % returns negative remainders for
+            # negative ids, which would match neither phase and freeze
+            # those vertices forever
+            nbr_labels = nbr_labels.where(F.pmod(F.col("v"), F.lit(2)) == parity)
         freq = nbr_labels.groupBy("v", "label").agg(
             F.count(F.lit(1)).alias("cnt"))
         # argmax(cnt) with min-label tie-break: max_by over (cnt, -label)
@@ -80,7 +83,7 @@ def label_propagation(
         )
         if parity is None:
             return voted
-        kept = cur.where(F.col("v") % 2 != parity)
+        kept = cur.where(F.pmod(F.col("v"), F.lit(2)) != parity)
         return voted.unionByName(kept)
 
     metrics: list[dict] = []

@@ -159,55 +159,23 @@ def triangle_count_csr(edges: DataFrame,
 
     ``_oriented`` (optional, from triangle_count_auto): a pre-built
     degree-oriented deduped edge set [src, dst] — skips re-orienting.
-    """
-    spark = edges.sparkSession
-    # Pull the edge set once; orientation/dedup/CSR build are linear-time
-    # numpy on the driver — the broadcast-join "build side".
-    if _oriented is not None:
-        raw = _oriented.select("src", "dst").toPandas()
-        pre_oriented = True
-    else:
-        raw = (edges.where(F.col("sid") < F.col("tid"))
-               .select(F.col("sid").alias("src"), F.col("tid").alias("dst"))
-               .toPandas())
-        pre_oriented = False
-    if len(raw) == 0:
-        return spark.createDataFrame([(0,)], "n_triangles long")
-    if len(raw) > CSR_BROADCAST_MAX_EDGES:
-        return triangle_count_cogroup(edges, _oriented=_oriented)
 
-    a = raw["src"].to_numpy(np.int64)
-    b = raw["dst"].to_numpy(np.int64)
-    max_id = int(max(a.max(), b.max()))
-    # guards: dense-array degree count + int64 key packing need compact ids
-    if max_id >= 50_000_000 or int(min(a.min(), b.min())) < 0:
+    The CSR itself comes from cliques.build_oriented_csr (ONE shared
+    implementation of the bound probe, id/sign guards, orientation and
+    sorted-key build for every broadcast kernel); out-of-regime or
+    empty inputs fall back to the distributed cogroup plan.
+    """
+    from adopt_spark.algos.cliques import build_oriented_csr
+
+    spark = edges.sparkSession
+    csr = build_oriented_csr(edges, _oriented=_oriented)
+    if csr is None:   # empty (cogroup returns 0) or beyond broadcast regime
         return triangle_count_cogroup(edges, _oriented=_oriented)
-    m = np.int64(max_id + 1)
-    if pre_oriented:
-        src, dst = a, b              # already oriented + deduped
-    else:
-        pair = np.unique(a * m + b)  # dedup'd lt pairs
-        a, b = pair // m, pair % m
-        # degree orientation in numpy: deg over the undirected pair set
-        deg = (np.bincount(a, minlength=max_id + 1)
-               + np.bincount(b, minlength=max_id + 1))
-        fwd = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
-        src = np.where(fwd, a, b)
-        dst = np.where(fwd, b, a)
-    order = np.lexsort((dst, src))
-    src, dst = src[order], dst[order]
-    keys = src * m + dst                 # sorted because (src, dst) sorted
-    usrc, first = np.unique(src, return_index=True)
-    indptr = np.append(first, len(src))
 
     sc = spark.sparkContext
-    b_keys = sc.broadcast(keys)
-    b_usrc = sc.broadcast(usrc)
-    b_indptr = sc.broadcast(indptr)
-    b_src = sc.broadcast(src)
-    b_dst = sc.broadcast(dst)
-
-    n_edges = len(src)
+    b = sc.broadcast(csr)
+    m = csr.m
+    n_edges = len(csr.src)
     n_slices = max(sc.defaultParallelism * 4, 8)   # slices ≫ cores: work stealing
     bounds = np.linspace(0, n_edges, n_slices + 1).astype(np.int64)
     slices = spark.createDataFrame(
@@ -216,11 +184,9 @@ def triangle_count_csr(edges: DataFrame,
     ).repartition(n_slices)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        k = b_keys.value
-        us = b_usrc.value
-        ip = b_indptr.value
-        s = b_src.value
-        d = b_dst.value
+        csr_l = b.value
+        k, us, ip = csr_l.keys, csr_l.usrc, csr_l.indptr
+        s, d = csr_l.src, csr_l.dst
         for batch in it:
             out = []
             for lo, hi in zip(batch["lo"], batch["hi"]):

@@ -160,7 +160,12 @@ def _assign_cells(df: DataFrame, vec_col: str, centroids: np.ndarray,
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            try:
+                v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            except ValueError as exc:   # ragged rows outside the sample
+                raise ValueError(
+                    f"embedding column '{vec_col}' has ragged dimensions"
+                ) from exc
             vn = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
             sims = vn @ centroids.T
             top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]

@@ -17,6 +17,13 @@ sum of gap breaks) matches bit-for-bit.
 Driven to completion over a file source for test/oracle parity — at
 completion the emitted set equals batch sessionization of the same
 rows, which IS the correctness check (same pattern as windowed.py).
+
+Out-of-order bound (the watermark assumption every bounded-state
+sessionizer carries): late events are folded into the OPEN session
+(whose last-event time never regresses), but events arriving after
+their session has already closed cannot reopen it — the event list
+is not retained. Feed batches in event-time order (file source sorted
+by mtime, as the tests do) or put an upstream watermark in front.
 """
 
 from __future__ import annotations
@@ -72,6 +79,11 @@ def _session_fn(gap_seconds: int):
         s_n = bounds[1:] - bounds[:-1]
         if not brk[0]:
             s_n[0] += open_n
+            # late (out-of-order) events must not regress the open
+            # session's last-event time — the gap test and the emitted
+            # session_end both key off the true max
+            if int(u[0]) == int(open_sid) and state.exists:
+                s_end[0] = max(int(s_end[0]), int(open_last))
         state.update((int(u[-1]), int(s_start[-1]), int(s_end[-1]),
                       int(s_n[-1])))
         yield pd.DataFrame({

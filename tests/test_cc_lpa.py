@@ -85,3 +85,16 @@ def test_lpa_bad_mode(spark):
     one = spark.createDataFrame([(1, 2)], "sid long, tid long")
     with _pytest.raises(ValueError, match="mode"):
         label_propagation(spark, one, mode="nope")
+
+
+def test_lpa_semi_negative_ids(spark):
+    """pmod parity: negative odd ids must still update in semi mode."""
+    from adopt_spark.algos.lpa import label_propagation
+
+    edges = spark.createDataFrame(
+        [(-10, -8), (-10, -6), (-8, -6), (-10, -3)], "sid long, tid long")
+    labels, metrics = label_propagation(spark, edges, max_iter=10, mode="semi")
+    assert metrics[-1]["changed"] == 0
+    got = {r["v"]: r["label"] for r in labels.collect()}
+    # one community — vertex -3 must NOT be frozen at its own label
+    assert len(set(got.values())) == 1, got

@@ -71,3 +71,16 @@ def test_concat_rows_empty():
     flat, lengths, rows = concat_rows([])
     assert len(flat) == 0 and len(lengths) == 0 and len(rows) == 0
     assert member_mask(flat, rows, flat, rows, 0).tolist() == []
+
+
+def test_csr_fallback_set_semantics_huge_ids(spark):
+    """Out-of-regime CSR fallback (huge ids) must count the edge SET:
+    duplicated rows don't multiply the count in any strategy."""
+    from adopt_spark.algos.cliques import clique_count
+
+    v = [HUGE + 10, HUGE + 20, HUGE + 30]
+    tri = [(v[0], v[1]), (v[1], v[2]), (v[0], v[2])]
+    df = spark.createDataFrame(tri + tri, "sid long, tid long")  # dup rows
+    assert clique_count(df, 3, "csr").collect()[0][0] == 1
+    assert clique_count(df, 3, "cogroup").collect()[0][0] == 1
+    assert clique_count(df, 3, "sql").collect()[0][0] == 1
