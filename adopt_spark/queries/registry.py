@@ -341,6 +341,58 @@ def q_join_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated subquery (with a non-equi
+    correlated predicate) + date window + group count. The testdata
+    lineitem carries no commit/receipt dates, so the existence test is
+    'some line shipped after the order date'."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("orders_q4")
+    li.createOrReplaceTempView("lineitem_q4")
+    return spark.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_q4
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem_q4
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority""")
+
+
+def q_q12_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation — high/
+    low order-priority line counts per return flag (the testdata has
+    no l_shipmode column)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1) \
+          .otherwise(0)
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(hi).cast("long").alias("high_line_count"),
+             F.sum(1 - hi).cast("long").alias("low_line_count"))
+    )
+
+
+def q_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: join + ratio of conditional to total revenue."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.where((F.col("l_shipdate") >= "1996-09-01")
+                 & (F.col("l_shipdate") < "1996-10-01"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4)
+             .alias("promo_revenue_pct"))
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -730,6 +782,35 @@ ORACLES: dict[str, str] = {
     "r_filter_project": """
         SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
         WHERE l_quantity >= 10 AND l_quantity <= 20 AND l_discount > 0.05""",
+    "r_q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority""",
+    "r_q12_shipmode": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag""",
+    "r_q14_promo": """
+        SELECT CAST(round(100.0
+                   * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+                   AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""",
     "r_topk_orders": """
         SELECT o_orderkey, o_custkey,
                CAST(round(o_totalprice, 2) AS DOUBLE) AS price
@@ -1067,6 +1148,9 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (3) oracle-bearing overflow (driver-green in round 1;
         #        re-proven every round by CORRECTNESS_FULL.json)
         "r_in_subquery": q_in_subquery,
+        "r_q4_order_priority": q_q4_order_priority,
+        "r_q12_shipmode": q_q12_shipmode,
+        "r_q14_promo": q_q14_promo,
         "r_semi_join": q_semi_join,
         "r_anti_join": q_anti_join,
         "r_outer_join": q_outer_join,
