@@ -56,3 +56,46 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str,
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type", "n", "total_value",
     )
+
+
+def windowed_counts_append_stream(spark: SparkSession, source_dir: str,
+                                  window: str = "1 hour",
+                                  watermark: str = "30 minutes",
+                                  max_files_per_trigger: int | None = 1
+                                  ) -> DataFrame:
+    """Append-mode tumbling-window counts with REAL watermark
+    semantics: a window row is emitted exactly once, only after the
+    watermark passes its end, and events arriving later than the
+    watermark are dropped — the production late-data contract
+    (complete mode above keeps all state and re-emits, which is the
+    batch-equivalence shape, not the bounded-state shape).
+
+    ``source_dir``: directory of parquet files; with
+    ``max_files_per_trigger=1`` each file is one micro-batch in mtime
+    order, so tests can stage late arrivals across batches.
+    Returns the completed result [window_start: string, event_type,
+    n: long].
+    """
+    schema = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"evta_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+        "event_type", "n",
+    )

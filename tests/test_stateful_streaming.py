@@ -67,3 +67,51 @@ def test_sessionize_stream_matches_batch_oracle(spark):
     for key in events["event_type"].unique():
         sids = sorted(s for k, s, *_ in got if k == key)
         assert sids == list(range(1, len(sids) + 1))
+
+
+def test_append_mode_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation: windows emit once after the
+    watermark passes, and events later than the watermark are DROPPED
+    (the production late-data contract)."""
+    import os
+    import time
+
+    from adopt_spark.streaming.windowed import windowed_counts_append_stream
+
+    def mk(path, rows):
+        df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                         "event_type", "value", "props"])
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        df.to_parquet(path)
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    # Eviction happens at END of the batch where the watermark passes a
+    # window's end, AFTER that batch's input merges — so a droppable
+    # late row must arrive at least two batches after its window's
+    # data (empirically traced; Spark counts it in
+    # numRowsDroppedByWatermark).
+    # batch 0: two H0 events + one 02:00 event (watermark -> 01:30)
+    mk(str(src / "f0.parquet"), [
+        (0, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+        (1, "2024-01-01 00:20:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 02:00:00", 1, "click", 1.0, "{}"),
+    ])
+    # batch 1: 03:30 (watermark -> 03:00; evicts+emits H0 and H2)
+    mk(str(src / "f1.parquet"), [
+        (3, "2024-01-01 03:30:00", 1, "click", 1.0, "{}"),
+    ])
+    # batch 2: LATE 00:40 (H0 already closed -> DROPPED) + 04:30
+    mk(str(src / "f2.parquet"), [
+        (4, "2024-01-01 00:40:00", 1, "click", 1.0, "{}"),
+        (5, "2024-01-01 04:30:00", 1, "click", 1.0, "{}"),
+    ])
+    for i, f in enumerate(sorted(os.listdir(src))):
+        os.utime(str(src / f), (time.time() + i, time.time() + i))
+    out = {(r["window_start"], r["n"]) for r in
+           windowed_counts_append_stream(spark, str(src)).collect()}
+    # H0 once with 2 (late 00:40 dropped, NOT 3); H2 and H3 emitted;
+    # H4 never finalizes (watermark stops at 04:00)
+    assert out == {("2024-01-01 00:00:00", 2),
+                   ("2024-01-01 02:00:00", 1),
+                   ("2024-01-01 03:00:00", 1)}
