@@ -282,20 +282,19 @@ def clique_count_csr(edges: DataFrame, k: int,
                      _oriented: DataFrame | None = None) -> DataFrame:
     """k-clique count via the broadcast-CSR leapfrog; [n_cliques: long].
 
-    Falls back to the generated SQL plan (motifs.clique_sql) outside
-    the broadcast regime.
+    Falls back to the distributed cogroup leapfrog outside the
+    broadcast regime (mirrors triangles.triangle_count_csr) — the
+    regimes where the CSR bails (too many oriented edges, huge vertex
+    ids) are exactly where the SQL multi-join plan would materialize
+    the path blowup the kernels exist to avoid. ``method="sql"`` on
+    clique_count is the only route to the SQL plan.
     """
     if k < 3:
         raise ValueError("clique size must be >= 3")
     spark = edges.sparkSession
     csr = build_oriented_csr(edges, _oriented=_oriented)
     if csr is None:
-        from adopt_spark.algos.motifs import clique_sql, run_motif
-        # set semantics in the fallback too, so strategies never
-        # disagree on duplicated input
-        dedup = edges.dropDuplicates(["sid", "tid"])
-        out = run_motif(spark, dedup, clique_sql(k))
-        return out.select(F.col("n").alias("n_cliques"))
+        return clique_count_cogroup(edges, k, _oriented=_oriented)
 
     sc = spark.sparkContext
     b = sc.broadcast(csr)

@@ -79,7 +79,16 @@ def band_join(left: DataFrame, right: DataFrame,
 
     Returns left columns prefixed how_cols[0]_ and right columns
     prefixed how_cols[1]_ (plus nothing else); callers project.
+
+    ``band`` must be > 0: the bucket key divides by it, and a zero/
+    negative band would silently produce NULL bucket keys (empty
+    result) in non-ANSI Spark. An exact-match request is a plain
+    equi-join — do that directly.
     """
+    if not band > 0:
+        raise ValueError(
+            f"band_join requires band > 0, got {band}; "
+            "for exact matches use an equi-join on the value columns")
     lp, rp = how_cols
     lpref = left.select([F.col(c).alias(f"{lp}_{c}") for c in left.columns])
     rpref = right.select([F.col(c).alias(f"{rp}_{c}") for c in right.columns])

@@ -66,8 +66,15 @@ def _session_fn(gap_seconds: int):
             # no open session yet: impossible last ts forces a break at ts[0]
             open_sid, open_start, open_last, open_n = 0, ts[0], ts[0] - gap_us - 1, 0
         # break before each event whose gap from its predecessor (or the
-        # carried open session's last event) exceeds the gap
-        prev = np.concatenate([[open_last], ts[:-1]])
+        # carried open session's last event) exceeds the gap. The
+        # predecessor chain is clamped to the open session's last-event
+        # time: a late (ts <= open_last) event folds into the open
+        # session, and the event AFTER it must be gap-tested against the
+        # session's true max, not the late event — otherwise one late
+        # row in a batch spuriously splits the session. No-op for the
+        # sentinel/no-state case and for post-break events (both have
+        # predecessors >= open_last already).
+        prev = np.maximum(np.concatenate([[open_last], ts[:-1]]), open_last)
         brk = (ts - prev) > gap_us
         sid = int(open_sid) + np.cumsum(brk)     # non-break head extends open_sid
         starts = np.where(brk, ts, np.int64(open_start))

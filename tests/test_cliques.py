@@ -46,3 +46,30 @@ def test_dense_block_has_cliques(spark):
         assert counter(df, 5).collect()[0][0] == 6
         assert counter(df, 6).collect()[0][0] == 1
         assert counter(df, 7).collect()[0][0] == 0
+
+
+def test_csr_beyond_regime_falls_back_to_cogroup(spark, monkeypatch):
+    """Beyond the broadcast bound, clique_count_csr must route to the
+    distributed cogroup kernel — NEVER to the path-materializing SQL
+    plan (the blowup the kernels exist to avoid). SQL stays reachable
+    only via clique_count(..., method='sql')."""
+    import adopt_spark.algos.cliques as cl
+
+    from itertools import combinations
+    pairs = list(combinations(range(6), 2)) + [(5, 10)]
+    df = spark.createDataFrame([(a, b) for a, b in pairs], "sid long, tid long")
+
+    # force the beyond-regime path: the bound probe sees 16 edges > 2
+    monkeypatch.setattr(cl, "CSR_BROADCAST_MAX_EDGES", 2)
+    assert cl.build_oriented_csr(df) is None
+
+    called = {}
+    real = cl.clique_count_cogroup
+
+    def spy(edges, k, _oriented=None):
+        called["cogroup"] = True
+        return real(edges, k, _oriented=_oriented)
+
+    monkeypatch.setattr(cl, "clique_count_cogroup", spy)
+    assert cl.clique_count_csr(df, 4).collect()[0]["n_cliques"] == 15
+    assert called.get("cogroup") is True

@@ -78,3 +78,10 @@ def test_asof_null_right_fields_not_resurrected(spark):
         "k long, t long, a long, b long")
     out = asof_join(ldf, rdf, on="t", by=["k"], right_cols=["a", "b"]).collect()
     assert out[0]["r_a"] == 9 and out[0]["r_b"] is None
+
+
+@pytest.mark.parametrize("band", [0.0, -1.0])
+def test_band_join_rejects_nonpositive_band(spark, band):
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="band > 0"):
+        band_join(df, df, "v", "v", band=band)

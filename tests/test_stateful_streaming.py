@@ -69,6 +69,44 @@ def test_sessionize_stream_matches_batch_oracle(spark):
         assert sids == list(range(1, len(sids) + 1))
 
 
+def test_sessionize_late_events_fold_into_open_session(spark, tmp_path):
+    """In-batch late events must not split the open session: an event
+    whose gap from the open session's LAST-EVENT MAX is within the gap
+    must extend it, even when its sorted in-batch predecessor is a late
+    (earlier-than-open_last) event that makes the naive pairwise gap
+    look too large."""
+    import os
+    import time
+
+    def mk(path, ts_list):
+        df = pd.DataFrame({"event_type": ["k"] * len(ts_list),
+                           "ts": pd.to_datetime(ts_list)})
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(path)
+
+    src = tmp_path / "late"
+    src.mkdir()
+    # batch 0: open session start 10:00, last 10:20 (gap = 30 min)
+    mk(str(src / "b0.parquet"), ["2024-01-01 10:00:00", "2024-01-01 10:20:00"])
+    # batch 1: TWO late events (10:05, 10:07 <= open_last) + 10:40
+    # (25 min from the session max 10:20 -> extends; 33 min from its
+    # in-batch predecessor 10:07 -> the unclamped chain would split)
+    # + 11:30 (50 min from 10:40 -> genuinely new session)
+    mk(str(src / "b1.parquet"), ["2024-01-01 10:05:00", "2024-01-01 10:07:00",
+                                 "2024-01-01 10:40:00", "2024-01-01 11:30:00"])
+    for i, f in enumerate(sorted(os.listdir(src))):
+        os.utime(str(src / f), (time.time() + i, time.time() + i))
+    got_rows = sessionize_stream(spark, SF, gap_seconds=GAP_S,
+                                 source_dir=str(src),
+                                 max_files_per_trigger=1).collect()
+    got = {(r["event_type"], r["session_id"], r["session_start"],
+            r["session_end"], r["n_events"]) for r in got_rows}
+    assert got == {
+        ("k", 1, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 5),
+        ("k", 2, "2024-01-01 11:30:00", "2024-01-01 11:30:00", 1),
+    }
+
+
 def test_append_mode_watermark_drops_late_events(spark, tmp_path):
     """Append-mode windowed aggregation: windows emit once after the
     watermark passes, and events later than the watermark are DROPPED
