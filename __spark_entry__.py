@@ -5,9 +5,11 @@ entry()    — flagship: lineitem-derived edge table → WCOJ-style CSR
              graph_query/3_clique.sql, recast per SURVEY.md §4.3).
 queries()  — one entry per implemented operator from SURVEY.md §2
              (see adopt_spark/queries/registry.py).
-oracle_sql() — matching DuckDB SQL; omitted for non-SQL-expressible
-             ops (iterative algorithms, LSH bucketing, pandas-UDF
-             heuristics) which get rows-only checks.
+oracle_sql() — matching DuckDB SQL for EVERY query (since round 3 the
+             iterative / LSH / codec operators carry generated oracles
+             too — fixed-iteration CTE unrolling, bounded-depth
+             peeling, shared-hash replication, closed-form payloads;
+             see adopt_spark/queries/oracle_gen.py).
 """
 
 from __future__ import annotations

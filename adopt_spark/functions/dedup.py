@@ -177,16 +177,42 @@ def minhash_near_dup_pairs(docs: DataFrame, text_col: str = "text",
     return ngram_jaccard_pairs(docs, cand, text_col, id_col, shingle, threshold)
 
 
+def _md5_token_hashes(text: str) -> np.ndarray:
+    """First 8 bytes (big-endian) of md5 per whitespace token.
+
+    The md5 hash mode exists for ORACLE parity: DuckDB computes the
+    identical token hash as ('0x' || substr(md5(t), 1, 16))::UBIGINT,
+    so the full simhash (bit votes included) can be replicated in SQL
+    and the emitted pair set compared exactly. The FNV mode stays the
+    default fast path.
+    """
+    import hashlib
+
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+         for t in toks), dtype=np.uint64, count=len(toks))
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """64-bit simhash per doc: weighted bit votes of token FNV hashes."""
+            id_col: str = "doc_id", hash_mode: str = "fnv") -> DataFrame:
+    """64-bit simhash per doc: weighted bit votes of per-token hashes.
+
+    ``hash_mode``: "fnv" (default, fastest) or "md5" (shared with SQL
+    engines — see _md5_token_hashes; used by the driver contract)."""
     from adopt_spark.functions.text import _token_hashes
+
+    if hash_mode not in ("fnv", "md5"):
+        raise ValueError(f"unknown hash_mode: {hash_mode}")
+    token_hash = _token_hashes if hash_mode == "fnv" else _md5_token_hashes
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = np.empty(len(pdf), dtype=np.int64)
             for i, t in enumerate(pdf[text_col].fillna("")):
-                hs = _token_hashes(t)
+                hs = token_hash(t)
                 if hs.size == 0:
                     out[i] = 0
                     continue
@@ -204,15 +230,18 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  hash_mode: str = "fnv") -> DataFrame:
     """Near-dup pairs by simhash Hamming distance ≤ max_hamming.
 
     Bucketing: split 64 bits into (max_hamming+1) bands — any pair
     within the Hamming ball shares at least one identical band
     (pigeonhole), so candidates come from equality joins on band
-    values, never a cross join.
+    values, never a cross join. The pigeonhole is COMPLETE: the
+    output is exactly every pair within the ball, which is what lets
+    the md5 hash mode carry an exact all-pairs SQL oracle.
     """
-    sh = simhash(docs, text_col, id_col)
+    sh = simhash(docs, text_col, id_col, hash_mode=hash_mode)
     nb = max_hamming + 1
     width = 64 // nb
     bandcols = [

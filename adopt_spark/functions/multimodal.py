@@ -3,11 +3,13 @@
 Image/audio/video are opaque ``binary`` columns with a metadata
 struct. The Spark-side machinery — schema, partition sizing, Arrow
 batch shape through mapInPandas, and the metadata bookkeeping — is
-real and tested; the codec step itself is STUBBED (this container has
-no image/audio libraries): ``decode_images`` routes to a
-deterministic fake decoder unless a real one is injected, and
-``require_real_codecs()`` raises NotImplementedError so production
-callers fail loudly rather than silently using the fake.
+real and tested. The image codec is REAL for 8-bit grayscale PNG
+(png_codec.py, pure stdlib zlib): ``decode_images``' default decoder
+detects the PNG signature and runs the full chunk-parse + inflate +
+unfilter pipeline; non-PNG payloads route to a clearly-documented
+deterministic fake (raw-byte reshape) so legacy fixtures keep
+working. Audio/video formats beyond raw PCM still need an injected
+decoder — ``require_real_codecs()`` gates those loudly.
 
 Batch-shape contract (what matters at 100 TB): payloads are large, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) governs scan
@@ -24,6 +26,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from adopt_spark.functions.png_codec import png_decode, png_encode
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
@@ -31,9 +35,16 @@ MEDIA_SCHEMA = (
 
 
 def require_real_codecs() -> None:
-    """Production gate: real decode needs PIL/ffmpeg, absent here."""
+    """Production gate for formats without a native decoder.
+
+    8-bit grayscale PNG decodes natively (png_codec.py). Everything
+    else (JPEG, compressed audio, video containers) needs PIL/ffmpeg,
+    absent in this environment — inject a decoder via
+    ``decode_images(..., decoder=...)`` / ``audio_features(...,
+    decoder=...)`` or install the libraries.
+    """
     raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
+        "only grayscale PNG has a native codec here; for other formats "
         "inject a decoder via decode_images(..., decoder=...) or install PIL/ffmpeg"
     )
 
@@ -76,6 +87,71 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return arr[:need].reshape(height, width)
 
 
+def default_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Default decoder: REAL PNG decode when the payload carries the
+    PNG signature (dimensions come from IHDR, the metadata args are
+    ignored); raw-byte reshape fake otherwise (legacy fixtures)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(payload)
+    return _fake_decode(payload, width, height)
+
+
+def synthetic_png_media(keys: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Closed-form PNG media table: one real PNG per input key row.
+
+    Pixel i of image ``k`` is ``(k*31 + i*7) % 256`` over a
+    ``(k%17+8) x (k%23+8)`` frame, encoded with scanline filter
+    ``k % 5`` — every PNG filter type appears in the fixture, so the
+    decoder's whole unfilter surface runs in the pipeline. The pixel
+    law is also expressible in ANSI SQL, which is what gives
+    decode_images a value-level DuckDB oracle (the decoded stats must
+    reproduce the closed form).
+    """
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            payloads, ws, hs = [], [], []
+            for k in ids:
+                w, h = int(k % 23 + 8), int(k % 17 + 8)
+                i = np.arange(w * h, dtype=np.int64)
+                px = ((int(k) * 31 + i * 7) % 256).astype(np.uint8)
+                payloads.append(png_encode(px.reshape(h, w),
+                                           filter_type=int(k % 5)))
+                ws.append(w); hs.append(h)
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["image"] * len(ids),
+                "payload": payloads,
+                "meta": [{"width": w, "height": h, "sample_rate": 0,
+                          "n_frames": 1} for w, h in zip(ws, hs)],
+            })
+
+    return keys.select(F.col(id_col)).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_pcm_media(keys: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Closed-form raw-PCM audio table: sample i of clip ``k`` is the
+    unsigned byte ``(k*13 + i*11) % 256`` over ``k%512+256`` samples at
+    a sample rate of 8000/16000/44100 by ``k % 3`` — the same SQL-
+    expressible-law trick as synthetic_png_media, giving audio_features
+    a value-level oracle."""
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            rows = []
+            for k in ids:
+                n = int(k % 512 + 256)
+                sr = [8000, 16000, 44100][int(k % 3)]
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(k) * 13 + i * 11) % 256).astype(np.uint8)
+                rows.append((int(k), "audio", s.tobytes(),
+                             {"width": 0, "height": 0, "sample_rate": sr,
+                              "n_frames": 0}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "payload", "meta"])
+
+    return keys.select(F.col(id_col)).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 FEATURE_SCHEMA = (
     "media_id long, sha string, mean_px double, std_px double, "
     "hist array<long>, thumb_w int, thumb_h int"
@@ -89,9 +165,10 @@ def decode_images(media: DataFrame,
 
     Output per row: payload sha256 (the per-row invariant), mean/std
     pixel, 16-bin histogram, thumbnail dims after an integer resize.
-    ``decoder=None`` uses the deterministic fake (see module note).
+    ``decoder=None`` uses default_image_decode: REAL PNG decode for
+    PNG payloads, raw-byte fake otherwise (see module note).
     """
-    decode = decoder or _fake_decode
+    decode = decoder or default_image_decode
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

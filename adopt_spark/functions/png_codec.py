@@ -1,0 +1,139 @@
+"""Minimal pure-stdlib PNG codec (8-bit grayscale), RFC 2083.
+
+Retires the round-1/2 "fake decoder" caveat for images without any
+third-party library: ``png_encode`` writes a spec-conformant PNG
+(IHDR / IDAT / IEND, zlib-deflated scanlines) and ``png_decode``
+parses chunks, inflates, and reverses ALL five scanline filter types
+(None / Sub / Up / Average / Paeth) — so it decodes grayscale PNGs
+produced by any encoder, not just this one. Color types other than
+grayscale-8 raise, loudly, rather than mis-decoding.
+
+These run inside Arrow-batched ``mapInPandas`` kernels
+(multimodal.decode_images); per-image work is numpy per scanline.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an HxW uint8 array as an 8-bit grayscale PNG.
+
+    ``filter_type`` applies one scanline filter to every row (0=None,
+    1=Sub, 2=Up, 3=Average, 4=Paeth) — non-zero values exist so tests
+    can exercise every unfilter path of the decoder.
+    """
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("png_encode expects an HxW uint8 array")
+    h, w = img.shape
+    rows = []
+    prior = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        raw = img[y]
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:      # Sub: delta vs left
+            left = np.concatenate([[np.uint8(0)], raw[:-1]])
+            filt = (raw.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:      # Up: delta vs prior row
+            filt = (raw.astype(np.int16) - prior).astype(np.uint8)
+        elif filter_type == 3:      # Average
+            left = np.concatenate([[np.uint8(0)], raw[:-1]])
+            avg = (left.astype(np.int16) + prior.astype(np.int16)) // 2
+            filt = (raw.astype(np.int16) - avg).astype(np.uint8)
+        elif filter_type == 4:      # Paeth
+            left = np.concatenate([[np.uint8(0)], raw[:-1]])
+            ul = np.concatenate([[np.uint8(0)], prior[:-1]])
+            filt = (raw.astype(np.int16)
+                    - _paeth(left, prior, ul).astype(np.int16)).astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        rows.append(bytes([filter_type]) + filt.tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)   # 8-bit gray
+    idat = zlib.compress(b"".join(rows), 6)
+    return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) \
+        + _chunk(b"IEND", b"")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over (left, up, upper-left) arrays."""
+    a16, b16, c16 = (x.astype(np.int16) for x in (a, b, c))
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16,
+                   np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode an 8-bit grayscale PNG into an HxW uint8 array.
+
+    Handles any mix of the five scanline filters. Raises ValueError on
+    non-PNG input or unsupported bit depth / color type / interlace.
+    """
+    if not data.startswith(_MAGIC):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_MAGIC)
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length          # length + tag + payload + crc
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={color} "
+                    f"interlace={interlace} (only 8-bit grayscale)")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if raw.size != h * (w + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    raw = raw.reshape(h, w + 1)
+    out = np.empty((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        ft, line = int(raw[y, 0]), raw[y, 1:]
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 2:               # Up (vectorizable in one add)
+            rec = line + prior      # uint8 wraparound == mod 256
+        elif ft in (1, 3, 4):       # left-dependent: sequential scan
+            rec = np.empty(w, dtype=np.uint8)
+            left = up_left = np.uint8(0)
+            for x in range(w):
+                up = prior[x]
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = np.uint8((int(left) + int(up)) // 2)
+                else:
+                    pred = _paeth(np.array([left]), np.array([up]),
+                                  np.array([up_left]))[0]
+                rec[x] = np.uint8((int(line[x]) + int(pred)) & 0xFF)
+                left, up_left = rec[x], up
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+        prior = rec
+    return out

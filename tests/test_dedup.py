@@ -78,3 +78,41 @@ def test_simhash_pairs_find_exact_dups(spark, docs_with_dups):
     got = {(r["a"], r["b"]) for r in pairs.collect()}
     for i in range(5):
         assert (i, 10_000 + i) in got        # identical text → hamming 0
+
+
+def test_simhash_md5_mode_matches_bruteforce(spark, docs_with_dups):
+    """md5 hash mode (the oracle-shared one): engine pairs must equal a
+    direct numpy evaluation of md5-simhash + all-pairs hamming."""
+    import hashlib
+
+    import numpy as np
+
+    d = docs_with_dups.limit(30)
+    rows = {r["doc_id"]: r["text"] or "" for r in d.collect()}
+
+    def sh(text):
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                       for t in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        votes = bits.astype(np.int64).sum(axis=0) * 2 - hs.size
+        word = 0
+        for b in np.nonzero(votes > 0)[0]:
+            word |= 1 << int(b)
+        return word - (1 << 64) if word >= (1 << 63) else word
+
+    sigs = {k: sh(t) for k, t in rows.items()}
+    ids = sorted(sigs)
+    expected = {(a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+                if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 3}
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in simhash_pairs(d, max_hamming=3, hash_mode="md5").collect()}
+    assert got == expected
+
+
+def test_simhash_rejects_unknown_hash_mode(spark, docs_with_dups):
+    with pytest.raises(ValueError, match="hash_mode"):
+        simhash_pairs(docs_with_dups, hash_mode="sha1").collect()

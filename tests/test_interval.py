@@ -5,6 +5,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from adopt_spark.functions.interval import asof_join, band_join
 
 
@@ -85,3 +87,69 @@ def test_band_join_rejects_nonpositive_band(spark, band):
     df = spark.createDataFrame([(1, 2.0)], "id long, v double")
     with pytest.raises(ValueError, match="band > 0"):
         band_join(df, df, "v", "v", band=band)
+
+
+def _random_asof_frames(spark, n_left=400, n_right=300, skew_key=None):
+    """Random (key, t, payload) frames; skew_key concentrates 90% of
+    rows on one key."""
+    rng = np.random.default_rng(99)
+    def keys(n):
+        if skew_key is None:
+            return rng.integers(0, 8, n)
+        return np.where(rng.uniform(size=n) < 0.9, skew_key,
+                        rng.integers(0, 8, n))
+    lt = rng.integers(0, 10_000, n_left)
+    rt = rng.integers(0, 10_000, n_right)
+    ldf = spark.createDataFrame(
+        [(int(i), int(k), int(t)) for i, (k, t) in enumerate(zip(keys(n_left), lt))],
+        "lid long, k long, t long")
+    # right unique per (k, t): dedup keeping max rid
+    seen = {}
+    for i, (k, t) in enumerate(zip(keys(n_right), rt)):
+        seen[(int(k), int(t))] = i
+    rdf = spark.createDataFrame(
+        [(k, t, int(rid)) for (k, t), rid in seen.items()],
+        "k long, t long, rid long")
+    return ldf, rdf
+
+
+@pytest.mark.parametrize("skew_key", [None, 3])
+@pytest.mark.parametrize("width", [1, 100, 1000, 50_000])
+def test_asof_bucketed_matches_plain(spark, skew_key, width):
+    """The time-bucketed plan must be semantics-identical to the
+    single-window asof_join — including buckets with no right rows,
+    carry across many empty buckets (width=1), one-bucket degeneration
+    (width=50k > range), and a 90%-skew monster key."""
+    from adopt_spark.functions.interval import asof_join_bucketed
+
+    ldf, rdf = _random_asof_frames(spark, skew_key=skew_key)
+    plain = {(r["lid"],): r["r_rid"] for r in
+             asof_join(ldf, rdf, on="t", by=["k"], right_cols=["rid"]).collect()}
+    buck = {(r["lid"],): r["r_rid"] for r in
+            asof_join_bucketed(ldf, rdf, on="t", by=["k"], right_cols=["rid"],
+                               bucket_width=width).collect()}
+    assert buck == plain
+
+
+def test_asof_bucketed_timestamp_on_column(spark):
+    from adopt_spark.functions.interval import asof_join_bucketed
+
+    ldf = spark.createDataFrame(
+        [(1, 0, "2024-01-01 10:30:00"), (2, 0, "2024-01-01 09:00:00")],
+        "lid long, k long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    rdf = spark.createDataFrame(
+        [(0, "2024-01-01 10:30:00", 7), (0, "2024-01-01 08:00:00", 5)],
+        "k long, ts string, rid long").withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["lid"]: r["r_rid"] for r in
+           asof_join_bucketed(ldf, rdf, on="ts", by=["k"], right_cols=["rid"],
+                              bucket_width=3600).collect()}
+    assert out == {1: 7, 2: 5}   # inclusive <= at 10:30; 09:00 -> 08:00 row
+
+
+def test_asof_bucketed_rejects_bad_width(spark):
+    from adopt_spark.functions.interval import asof_join_bucketed
+
+    ldf = spark.createDataFrame([(1, 0, 5)], "lid long, k long, t long")
+    with pytest.raises(ValueError, match="bucket_width"):
+        asof_join_bucketed(ldf, ldf, on="t", by=["k"], right_cols=["lid"],
+                           bucket_width=0)
