@@ -88,20 +88,30 @@ def cycle_count_cogroup(edges: DataFrame, n: int,
                 .dropDuplicates(["sid", "tid"])).persist())
     closing = _closing_sets(edges, lt, n).persist()
     try:
+        # the final pair table's x must have a non-empty lt out-list to
+        # close — prune those x BEFORE the last aggregation shuffles
+        # their pairs (they would join-eliminate at close anyway, but
+        # only after paying the shuffle). V-sized key set: broadcastable.
+        can_extend = lt.select(F.col("sid").alias("x")).distinct()
+
         # p2: increasing-wedge counts per (v1, x); prune v1 that cannot
         # close (the cached closing table serves keys AND arrays)
         e1 = lt.select(F.col("sid").alias("v1"), F.col("tid").alias("mid"))
         e2 = lt.select(F.col("sid").alias("mid"), F.col("tid").alias("x"))
-        p = (e1.join(closing.select("v1"), "v1", "left_semi")
-             .join(e2, "mid")
-             .groupBy("v1", "x")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+        p = e1.join(closing.select("v1"), "v1", "left_semi").join(e2, "mid")
+        if n == 4:
+            p = p.join(can_extend, "x", "left_semi")
+        p = p.groupBy("v1", "x").agg(F.count(F.lit(1)).alias("cnt"))
 
-        # chain extensions: p(k) -> p(k+1), k = 2..n-3
+        # chain extensions: p(k) -> p(k+1), k = 2..n-3; on the LAST
+        # extension the same dead-end prune applies to the new endpoint
         step = lt.select(F.col("sid").alias("x"), F.col("tid").alias("y"))
-        for _ in range(n - 4):
-            p = (p.join(step, "x")
-                 .groupBy("v1", F.col("y").alias("x"))
+        for lvl in range(n - 4):
+            ext = p.join(step, "x")
+            if lvl == n - 5:
+                ext = ext.join(can_extend.withColumnRenamed("x", "y"),
+                               "y", "left_semi")
+            p = (ext.groupBy("v1", F.col("y").alias("x"))
                  .agg(F.sum("cnt").alias("cnt")))
 
         # close: |A+(x) ∩ C(v1)| per surviving pair, weighted by cnt
