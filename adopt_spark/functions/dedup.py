@@ -264,6 +264,38 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     return pairs.where(ham <= max_hamming).select("a", "b", ham.alias("hamming"))
 
 
+def near_dup_clusters(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 8, shingle: int = 5,
+                      threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """End-to-end fuzzy dedup: near-dup pairs → connected components →
+    canonical doc per cluster — the operator a 100-TB training-data
+    pipeline actually runs (pair emission alone is not dedup: A~B and
+    B~C must collapse to ONE keeper even when A~C is below threshold).
+
+    Pipeline: minhash_near_dup_pairs (banded LSH + exact verify) gives
+    the similarity edges; algos.cc.connected_components (large-star /
+    small-star hash-min, O(log n) rounds) gives min-id cluster labels;
+    docs in no pair become their own singleton cluster via a left join.
+    Returns [id, cluster, is_canonical] — ``cluster`` is the minimum
+    doc id of the component and keeping ``is_canonical`` rows is the
+    dedup. Every stage is a bounded-key shuffle; nothing all-pairs.
+    """
+    from adopt_spark.algos.cc import connected_components
+
+    pairs = minhash_near_dup_pairs(docs, text_col, id_col, num_hashes,
+                                   bands, shingle, threshold, seed)
+    edges = pairs.select(F.col("a").alias("sid"), F.col("b").alias("tid"))
+    labels, _ = connected_components(docs.sparkSession, edges)
+    out = (
+        docs.select(id_col)
+        .join(labels.withColumnRenamed("v", id_col), id_col, "left")
+        .select(id_col,
+                F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"))
+    )
+    return out.withColumn("is_canonical", F.col(id_col) == F.col("cluster"))
+
+
 def word_ngram_jaccard_all_pairs(docs: DataFrame, text_col: str = "text",
                                  id_col: str = "doc_id",
                                  n_words: int = 3) -> DataFrame:

@@ -246,6 +246,42 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
 """.strip()
 
 
+NEAR_DUP_CLUSTERS_SQL = """
+WITH RECURSIVE ascii AS (
+    SELECT doc_id AS d, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+    FROM documents
+    WHERE regexp_matches(coalesce(text, ''), '^[\\x00-\\x7F]*$')
+), padded AS (
+    SELECT d, CASE WHEN length(s) < 5 THEN rpad(s, 5, ' ') ELSE s END AS s
+    FROM ascii
+), sh AS (
+    SELECT DISTINCT d, substr(s, i, 5) AS g
+    FROM (SELECT d, s, unnest(range(1, length(s) - 3)) AS i FROM padded)
+), sizes AS (
+    SELECT d, count(*) AS n FROM sh GROUP BY d
+), inter AS (
+    SELECT x.d AS a, y.d AS b, count(*) AS i
+    FROM sh x JOIN sh y ON x.g = y.g AND x.d < y.d
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT i.a, i.b
+    FROM inter i JOIN sizes sa ON sa.d = i.a JOIN sizes sb ON sb.d = i.b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+), sym AS (
+    SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v, w.r FROM reach w JOIN sym s ON s.u = w.v
+), lab AS (
+    SELECT v, min(r) AS comp FROM reach GROUP BY v
+)
+SELECT a.d AS doc_id, coalesce(l.comp, a.d) AS cluster,
+       coalesce(l.comp, a.d) = a.d AS is_canonical
+FROM ascii a LEFT JOIN lab l ON l.v = a.d
+""".strip()
+
+
 # ----------------------------------------------------------- simhash (md5)
 
 SIMHASH_MD5_PAIRS_SQL = """

@@ -396,6 +396,81 @@ def q_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range filters + one revenue aggregate —
+    the pushdown showcase (every predicate reaches the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")
+                 & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+             .alias("revenue"))
+    )
+
+
+def q_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where((F.col("o_orderdate") >= "1996-01-01")
+               & (F.col("o_orderdate") < "1996-07-01"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.round(F.sum(rev), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q13_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution INCLUDING
+    zero-order customers (left outer + count(col) null semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o.where(~F.col("o_orderpriority").like("1-%")),
+               F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    class (lineitem stands in for partsupp; NOT-LIKE exclusion)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.where(~F.col("p_type").like("PROMO%") & (F.col("p_size") < 15))
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (HAVING over a join aggregate, then detail join)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+           .where(F.col("sum_qty") > 150))
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey",
+                F.round("o_totalprice", 2).alias("price"), "sum_qty")
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -642,6 +717,18 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("text").rlike("^[\\x00-\\x7F]*$"))
     return minhash_near_dup_pairs(d, threshold=0.8).select(
         "a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup (pairs → connected components →
+    canonical doc) over the ASCII block; oracle = exact-Jaccard pairs
+    + recursive-CTE reachability + min-id labels
+    (oracle_gen.NEAR_DUP_CLUSTERS_SQL)."""
+    from adopt_spark.functions.dedup import near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents") \
+        .where(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+    return near_dup_clusters(d, threshold=0.8)
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,6 +1251,47 @@ ORACLES.update({
 from adopt_spark.queries import oracle_gen as _og
 
 ORACLES.update({
+    "t_near_dup_clusters": _og.NEAR_DUP_CLUSTERS_SQL,
+    "r_q6_forecast": """
+        SELECT CAST(round(sum(l_extendedprice * l_discount), 4) AS DOUBLE)
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "r_q10_returns": """
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, c_nationkey
+        ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "r_q13_order_dist": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+            GROUP BY c_custkey)
+        GROUP BY c_count""",
+    "r_q16_supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_type NOT LIKE 'PROMO%' AND p_size < 15
+        GROUP BY p_brand, p_type, p_size""",
+    "r_q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 150)
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice, 2) AS DOUBLE) AS price, sum_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey""",
     "a_pagerank_top": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL, top=20),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
@@ -1209,6 +1337,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_embedding_near_dup": q_embedding_near_dup,
         "m_media_features": q_media_features,
         "m_audio_features": q_audio_features,
+        "t_near_dup_clusters": q_near_dup_clusters,
         # -- (2) round-1-green rotation (no driver row since round 1)
         "r_in_subquery": q_in_subquery,
         "r_q4_order_priority": q_q4_order_priority,
@@ -1248,10 +1377,15 @@ def all_queries() -> dict[str, QueryFn]:
         "s_knn_bruteforce": q_knn_bruteforce,
         "s_knn_ivf": q_knn_ivf,
         "m_frame_sample": q_frame_sample,
-        "e_stream_hourly": q_stream_hourly,
         # -- (4) oracle-bearing overflow (green in rounds 1-2;
         #        re-proven every round by CORRECTNESS_FULL.json)
+        "e_stream_hourly": q_stream_hourly,
         "e_stream_sessionize": q_stream_sessionize,
+        "r_q6_forecast": q_q6_forecast,
+        "r_q10_returns": q_q10_returns,
+        "r_q13_order_dist": q_q13_order_dist,
+        "r_q16_supplier_cnt": q_q16_supplier_cnt,
+        "r_q18_large_orders": q_q18_large_orders,
         "g_triangle_count": _motif(clique_sql(3)),
         "g_4clique": _motif(clique_sql(4)),
         "g_4cycle": _motif(cycle_sql(4)),

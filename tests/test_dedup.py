@@ -116,3 +116,24 @@ def test_simhash_md5_mode_matches_bruteforce(spark, docs_with_dups):
 def test_simhash_rejects_unknown_hash_mode(spark, docs_with_dups):
     with pytest.raises(ValueError, match="hash_mode"):
         simhash_pairs(docs_with_dups, hash_mode="sha1").collect()
+
+
+def test_near_dup_clusters_transitive_collapse(spark):
+    """A~B and B~C must land in ONE cluster with min-id canonical even
+    when A~C alone (j=0.52) is below threshold (0.6 < chain links 0.70/0.76); untouched docs are singletons. 32 bands of 2 rows: band-match
+    prob at j=0.70 is 0.49, miss-all-bands 4e-10 -> deterministic recall."""
+    from adopt_spark.functions.dedup import near_dup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight while stars shine")
+    mid = base.replace("lazy dog", "sleepy dog").replace("stars", "moons")
+    far = mid.replace("quick brown", "slow gray").replace("deep", "dark")
+    rows = [(0, base), (1, mid), (2, far), (7, "completely unrelated text "
+            "about pyspark shuffle partitions and adaptive query execution")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["cluster"], r["is_canonical"])
+           for r in near_dup_clusters(d, threshold=0.6, bands=32).collect()}
+    assert out[0] == (0, True)
+    assert out[1][0] == 0 and not out[1][1]
+    assert out[2][0] == 0 and not out[2][1]     # chained via doc 1
+    assert out[7] == (7, True)                  # singleton

@@ -78,3 +78,37 @@ def test_motif_join_reuses_lt_filter_pushdown(spark):
     plan = optimized_plan(q)
     # the lt-filter appears as a pushed filter on each alias branch
     assert plan.count("(sid") + plan.count("(tid") >= 3
+
+
+def test_q6_all_range_filters_pushed(spark):
+    """TPC-H Q6 shape: every range predicate must reach the parquet
+    scan and ReadSchema must carry only the 4 referenced columns."""
+    from adopt_spark.queries.registry import q_q6_forecast
+
+    df = q_q6_forecast(spark, SF)
+    # formatted explain prints PushedFilters untruncated
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters" in plan
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount,0.05",
+                 "LessThanOrEqual(l_discount,0.07",
+                 "LessThan(l_quantity,24"):
+        assert frag in plan, frag
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_asof_bucketed_carry_join_is_summary_sized(spark):
+    """The bucketed asof's carry pass must window BUCKET summaries,
+    not rows: its plan partitions windows by the by-key only at the
+    summary level, and the final window partitions by (key, bucket)."""
+    from adopt_spark.functions.interval import asof_join_bucketed
+
+    ldf = spark.createDataFrame([(1, 0, 5)], "lid long, k long, t long")
+    rdf = spark.createDataFrame([(0, 3, 9)], "k long, t long, rid long")
+    out = asof_join_bucketed(ldf, rdf, on="t", by=["k"], right_cols=["rid"],
+                             bucket_width=10)
+    plan = physical_plan(out)
+    # final window keyed by (k, _bkt) -> monster keys split across buckets
+    assert "windowspecdefinition(k" in plan and "_bkt" in plan
