@@ -14,8 +14,12 @@ Spark plan per superstep (all declarative, no Python in the hot path):
   * dangling mass: ranks of vertices with no out-edges (precomputed
     anti-join set), one scalar aggregate.
   * new rank = (1-d)/N + d·(contrib + dangling/N), for every vertex
-    (left join + coalesce 0 keeps rank-less vertices alive).
-  * L1 delta via join of old/new vectors.
+    (left join + coalesce 0 keeps rank-less vertices alive). The same
+    pass also emits |new-old| and the dangling-rank term as columns
+    (old ranks join on the shared hash(v) partitioning), so the
+    convergence check is a plain 2-column scan of the checkpoint —
+    one heavy job + one trivial job per superstep, no second join
+    pass over the vector.
 
 Checkpointing: each superstep snapshots the rank vector through
 CheckpointManager (parquet + per-partition lineage + metrics);
@@ -128,7 +132,10 @@ def pagerank(
     ranks: DataFrame
     if cm and resume and cm.latest() is not None:
         start_iter = cm.latest() + 1
-        ranks = cm.load(spark, cm.latest()).repartition(rank_parts, "v")
+        # checkpoints since the fused-superstep change also carry the
+        # adelta/dangling_rank audit columns; the loop needs (v, rank)
+        ranks = (cm.load(spark, cm.latest()).select("v", "rank")
+                 .repartition(rank_parts, "v"))
         d_mass = float(
             ranks.join(vflag, "v").where("is_dangling")
             .agg(F.sum("rank")).collect()[0][0] or 0.0
@@ -154,29 +161,40 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum(F.col("rank") * F.col("inv_deg")).alias("contrib"))
             )
+        # The superstep's ONE heavy job computes everything per-vertex in
+        # a single aligned pass: the new rank, the convergence term
+        # |new-old|, and the dangling-mass term — vertices_p, contribs
+        # and the old rank vector all join on v (vertices_p and old are
+        # already hash(v, rank_parts); only contribs exchanges). The
+        # follow-up aggregate job is then a bare 2-column scan of the
+        # just-written checkpoint — no joins — instead of a second
+        # 3-way join pass over the vector.
+        rank_expr = (
+            F.lit(1.0 - damping) * F.col("p")
+            + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                                + F.lit(d_mass) * F.col("p"))
+        )
         new_ranks = (
             vertices_p.join(contribs.withColumnRenamed("dst", "v"), "v", "left")
+            .join(ranks.select("v", F.col("rank").alias("old_rank")), "v")
             .select(
                 "v",
-                (F.lit(1.0 - damping) * F.col("p")
-                 + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                                     + F.lit(d_mass) * F.col("p"))).alias("rank"),
+                rank_expr.alias("rank"),
+                F.abs(rank_expr - F.col("old_rank")).alias("adelta"),
+                F.when(F.col("is_dangling"), rank_expr)
+                 .otherwise(F.lit(0.0)).alias("dangling_rank"),
             )
         )
-        # materialize the new rank vector ONCE (checkpoint = the job) ...
-        new_ranks = cm.save(new_ranks.repartition(rank_parts, "v"), it)
-        # ... then ONE aggregate gives both the convergence delta and the
-        # next superstep's dangling mass
-        agg_row = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "v")
-            .join(vflag, "v")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
-                 F.sum(F.when(F.col("is_dangling"), F.col("rank"))
-                       .otherwise(F.lit(0.0))).alias("d_mass"))
-            .collect()[0]
-        )
-        delta = float(agg_row["delta"] or 0.0)
-        d_mass = float(agg_row["d_mass"] or 0.0)
+        # materialize the new rank vector ONCE (checkpoint = the job);
+        # the convergence delta and next superstep's dangling mass ride
+        # the checkpoint's own lineage scan (sum_cols) — per superstep
+        # that leaves exactly one heavy join job + one column scan
+        new_ranks = cm.save(new_ranks.repartition(rank_parts, "v"), it,
+                            sum_cols=("adelta", "dangling_rank"))
+        sums = cm.metrics[-1]["sums"]
+        delta = float(sums["adelta"])
+        d_mass = float(sums["dangling_rank"])
+        new_ranks = new_ranks.select("v", "rank")
         sec = time.time() - t0
         rec = {
             "iteration": it,

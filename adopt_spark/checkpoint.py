@@ -41,8 +41,16 @@ class CheckpointManager:
     def _iter_dir(self, k: int) -> str:
         return os.path.join(self.root, f"iter={k:05d}")
 
-    def save(self, df: DataFrame, iteration: int, **metrics: Any) -> DataFrame:
-        """Write snapshot, record metrics+lineage, return truncated DF."""
+    def save(self, df: DataFrame, iteration: int,
+             sum_cols: tuple[str, ...] = (), **metrics: Any) -> DataFrame:
+        """Write snapshot, record metrics+lineage, return truncated DF.
+
+        ``sum_cols``: numeric snapshot columns whose global sums the
+        caller needs anyway (e.g. a convergence delta). They ride the
+        per-partition lineage scan — same job, zero extra passes — and
+        land in the metrics record under ``"sums"`` (read them from
+        ``self.metrics[-1]["sums"]``).
+        """
         t0 = time.time()
         path = self._iter_dir(iteration)
         tmp = path + ".tmp"
@@ -54,18 +62,22 @@ class CheckpointManager:
         os.rename(tmp, path)
         spark = df.sparkSession
         out = spark.read.parquet(path)
-        lineage = [
-            {"partition": int(r["pid"]), "rows": int(r["rows"])}
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        ]
+        agg_exprs = [F.count(F.lit(1)).alias("rows")]
+        agg_exprs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        per_part = (out.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(*agg_exprs).collect())
+        per_part.sort(key=lambda r: r["pid"])  # deterministic driver-side sum
+        lineage = [{"partition": int(r["pid"]), "rows": int(r["rows"])}
+                   for r in per_part]
+        sums = {c: float(sum(r[f"sum_{c}"] or 0.0 for r in per_part))
+                for c in sum_cols}
         rec = {
             "iteration": iteration,
             "path": path,
             "write_sec": round(time.time() - t0, 4),
             "partitions": lineage,
             "rows": sum(p["rows"] for p in lineage),
+            **({"sums": sums} if sum_cols else {}),
             **metrics,
         }
         self.metrics.append(rec)

@@ -8,8 +8,13 @@ real and tested. The image codec is REAL for 8-bit grayscale PNG
 detects the PNG signature and runs the full chunk-parse + inflate +
 unfilter pipeline; non-PNG payloads route to a clearly-documented
 deterministic fake (raw-byte reshape) so legacy fixtures keep
-working. Audio/video formats beyond raw PCM still need an injected
-decoder — ``require_real_codecs()`` gates those loudly.
+working. The audio codec is likewise REAL for RIFF/WAVE PCM
+(wav_codec.py, pure stdlib struct — 8/16-bit, any channel count,
+chunk-order tolerant): ``audio_features``' default decoder detects
+the RIFF signature and takes duration from the container's own
+sample rate. Compressed formats (JPEG, MP3/AAC, video containers)
+still need an injected decoder — ``require_real_codecs()`` gates
+those loudly.
 
 Batch-shape contract (what matters at 100 TB): payloads are large, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) governs scan
@@ -27,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from adopt_spark.functions.png_codec import png_decode, png_encode
+from adopt_spark.functions.wav_codec import wav_decode, wav_encode
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -37,15 +43,17 @@ MEDIA_SCHEMA = (
 def require_real_codecs() -> None:
     """Production gate for formats without a native decoder.
 
-    8-bit grayscale PNG decodes natively (png_codec.py). Everything
-    else (JPEG, compressed audio, video containers) needs PIL/ffmpeg,
-    absent in this environment — inject a decoder via
-    ``decode_images(..., decoder=...)`` / ``audio_features(...,
-    decoder=...)`` or install the libraries.
+    8-bit grayscale PNG (png_codec.py) and RIFF/WAVE PCM
+    (wav_codec.py) decode natively. Everything else (JPEG, compressed
+    audio, video containers) needs PIL/ffmpeg, absent in this
+    environment — inject a decoder via ``decode_images(...,
+    decoder=...)`` / ``audio_features(..., decoder=...)`` or install
+    the libraries.
     """
     raise NotImplementedError(
-        "only grayscale PNG has a native codec here; for other formats "
-        "inject a decoder via decode_images(..., decoder=...) or install PIL/ffmpeg"
+        "only grayscale PNG and PCM WAV have native codecs here; for other "
+        "formats inject a decoder via decode_images(..., decoder=...) / "
+        "audio_features(..., decoder=...) or install PIL/ffmpeg"
     )
 
 
@@ -202,6 +210,43 @@ def _fake_pcm_decode(payload: bytes, sample_rate: int) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8).astype(np.int16) - 128
 
 
+def default_audio_decode(payload: bytes, sample_rate: int):
+    """Default audio decoder: REAL RIFF/WAVE PCM decode when the
+    payload carries the RIFF signature — returns ``(waveform, sr)``
+    with the sample rate read from the container itself, overriding
+    the metadata column — raw-u8 fake otherwise (legacy fixtures),
+    returning just the waveform so the metadata rate applies."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return wav_decode(payload)
+    return _fake_pcm_decode(payload, sample_rate)
+
+
+def synthetic_wav_media(keys: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Closed-form REAL-WAV audio table: the synthetic_pcm_media sample
+    law — sample i of clip ``k`` is ``(k*13 + i*11) % 256 - 128`` over
+    ``k%512+256`` samples at 8000/16000/44100 by ``k % 3`` — encoded
+    through wav_codec as an 8-bit mono RIFF/WAVE file. Decoded
+    waveforms are byte-identical to the raw-PCM fixture's, so the same
+    SQL law (oracle_gen.AUDIO_FEATURES_SQL) is a value-level oracle for
+    the full container-parse + decode + feature path."""
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            rows = []
+            for k in ids:
+                n = int(k % 512 + 256)
+                sr = [8000, 16000, 44100][int(k % 3)]
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(k) * 13 + i * 11) % 256 - 128).astype(np.int16)
+                rows.append((int(k), "audio", wav_encode(s, sr, bits=8),
+                             {"width": 0, "height": 0, "sample_rate": sr,
+                              "n_frames": 0}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "payload", "meta"])
+
+    return keys.select(F.col(id_col)).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 def audio_features(media: DataFrame,
                    decoder: Callable[[bytes, int], np.ndarray] | None = None
                    ) -> DataFrame:
@@ -209,9 +254,12 @@ def audio_features(media: DataFrame,
 
     Output per row: payload sha256 (the per-row invariant), duration
     (samples / sample_rate), RMS amplitude, zero-crossing count, peak.
-    ``decoder=None`` uses the deterministic fake; inject a real PCM
-    decoder in production (see require_real_codecs)."""
-    decode = decoder or _fake_pcm_decode
+    ``decoder=None`` uses default_audio_decode: REAL RIFF/WAVE PCM
+    decode for WAV payloads, raw-u8 fake otherwise. A decoder may
+    return either a bare waveform (metadata sample rate applies) or a
+    ``(waveform, sample_rate)`` pair to assert the container's own
+    rate (what the WAV path does)."""
+    decode = decoder or default_audio_decode
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -222,6 +270,9 @@ def audio_features(media: DataFrame,
             for i, (p, m) in enumerate(zip(pdf["payload"], pdf["meta"])):
                 sr = max(int(m["sample_rate"]), 1)
                 wave = decode(bytes(p), sr)
+                if isinstance(wave, tuple):
+                    wave, sr = wave
+                    sr = max(int(sr), 1)
                 if wave.size == 0:
                     dur[i] = 0.0; rms[i] = 0.0; zc[i] = 0; peak[i] = 0
                     continue

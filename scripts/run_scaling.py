@@ -101,18 +101,24 @@ def main() -> None:
 
     eff_pr = round((lo["pagerank_sec_per_superstep"]
                     / hi["pagerank_sec_per_superstep"]) / (HIGH / LOW), 3)
+    eff_tri = round((lo["triangle_cogroup_sec"]
+                     / hi["triangle_cogroup_sec"]) / (HIGH / LOW), 3)
     result = {"low": lo, "high": hi, "hardware_baseline": hw,
               "efficiency_pagerank": eff_pr,
+              "efficiency_triangle": eff_tri,
               "efficiency_pagerank_hw_normalized":
-                  round(eff_pr / hw["efficiency"], 3)}
+                  round(eff_pr / hw["efficiency"], 3),
+              "efficiency_triangle_hw_normalized":
+                  round(eff_tri / hw["efficiency"], 3)}
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
 
     md = f"""# BENCH — scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N)
 
 Sandbox proxy for N→4N executors (no real cluster available): the same
-PageRank job — {lo["pagerank_supersteps"]} fixed supersteps, identical input, identical code,
-fresh JVM per level — at `local[{LOW}]` (N) and `local[{HIGH}]` (4N).
+jobs — PageRank ({lo["pagerank_supersteps"]} fixed supersteps) and the partition-parallel
+cogroup triangle count (median of 3 reps), identical input, identical
+code, fresh JVM per level — at `local[{LOW}]` (N) and `local[{HIGH}]` (4N).
 Input: deterministic Chung-Lu graph with Pareto out-degrees capped at
 30k (hub-skewed on purpose), {lo["n_edges"]:,} edges / {N_VERTICES:,} vertices, seed={SEED}.
 
@@ -120,10 +126,12 @@ Input: deterministic Chung-Lu graph with Pareto out-degrees capped at
 |---|---|---|---|---|
 | PageRank sec/superstep (median) | {lo["pagerank_sec_per_superstep"]} | {hi["pagerank_sec_per_superstep"]} | {lo["pagerank_sec_per_superstep"]/hi["pagerank_sec_per_superstep"]:.2f}× | **{eff_pr:.3f}** |
 | PageRank edges/sec/superstep | {lo["pagerank_edges_per_sec"]:,.0f} | {hi["pagerank_edges_per_sec"]:,.0f} | — | — |
+| Triangle count (partition-parallel cogroup) wall sec | {lo["triangle_cogroup_sec"]} | {hi["triangle_cogroup_sec"]} | {lo["triangle_cogroup_sec"]/hi["triangle_cogroup_sec"]:.2f}× | **{eff_tri:.3f}** |
 | hardware busy-loop baseline (no Spark) | {hw[LOW]} | {hw[HIGH]} | {hw[HIGH]/hw[LOW]:.2f}× | {hw["efficiency"]:.3f} |
 
-Efficiency = (T_N / T_4N) / 4, on the median superstep.
-Hardware-normalized engine efficiency: **{result["efficiency_pagerank_hw_normalized"]:.3f}**.
+Efficiency = (T_N / T_4N) / 4, on the median superstep / median rep.
+Hardware-normalized engine efficiency: PageRank
+**{result["efficiency_pagerank_hw_normalized"]:.3f}**, triangles **{result["efficiency_triangle_hw_normalized"]:.3f}**.
 
 Why N=2: this VM's memory subsystem saturates past ~16 busy cores — the
 same busy-loop baseline measures 0.99 efficiency for 2→8 processes but
@@ -141,7 +149,7 @@ Raw JSON: `BENCH/scaling.json`. Reproduce: `python scripts/run_scaling.py`.
     print(json.dumps(result["low"]))
     print(json.dumps(result["high"]))
     print("hw baseline:", hw)
-    print("efficiency pagerank:", eff_pr)
+    print("efficiency pagerank:", eff_pr, "triangle:", eff_tri)
 
 
 if __name__ == "__main__":
