@@ -79,10 +79,10 @@ def hardware_baseline() -> dict:
     return out
 
 
-def run_level(cpus: int, edges: str, out: str) -> dict:
+def run_level(cpus: int, edges: str, out: str, parts: str) -> dict:
     subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/scaling_job.py"),
-         str(cpus), edges, out],
+         str(cpus), edges, out, parts],
         check=True, cwd=REPO,
     )
     with open(out) as f:
@@ -94,31 +94,47 @@ def main() -> None:
     edges = "/tmp/scaling_edges_cl.parquet"
     if not os.path.exists(edges):
         build_graph(edges)
+    parts = sys.argv[1] if len(sys.argv) > 1 else "pr,cogroup,join"
 
     hw = hardware_baseline()
-    lo = run_level(LOW, edges, "/tmp/scaling_lo.json")
-    hi = run_level(HIGH, edges, "/tmp/scaling_hi.json")
+    lo = run_level(LOW, edges, "/tmp/scaling_lo.json", parts)
+    hi = run_level(HIGH, edges, "/tmp/scaling_hi.json", parts)
+    write_outputs(lo, hi, hw)
 
-    eff_pr = round((lo["pagerank_sec_per_superstep"]
-                    / hi["pagerank_sec_per_superstep"]) / (HIGH / LOW), 3)
-    eff_tri = round((lo["triangle_cogroup_sec"]
-                     / hi["triangle_cogroup_sec"]) / (HIGH / LOW), 3)
+
+def write_outputs(lo: dict, hi: dict, hw: dict) -> None:
+    """Aggregate one low-level + one high-level measurement record (all
+    parts present) into BENCH/scaling.json + BENCH/BASELINE.md. Split
+    out from main() so a re-measured part can be merged with recorded
+    results for the others without re-paying the full suite."""
+    def eff(lo_sec: float, hi_sec: float) -> float:
+        return round((lo_sec / hi_sec) / (HIGH / LOW), 3)
+
+    eff_pr = eff(lo["pagerank_sec_per_superstep"],
+                 hi["pagerank_sec_per_superstep"])
+    eff_tri = eff(lo["triangle_cogroup_sec"], hi["triangle_cogroup_sec"])
+    eff_trij = eff(lo["triangle_join_sec"], hi["triangle_join_sec"])
     result = {"low": lo, "high": hi, "hardware_baseline": hw,
               "efficiency_pagerank": eff_pr,
-              "efficiency_triangle": eff_tri,
+              "efficiency_triangle_cogroup": eff_tri,
+              "efficiency_triangle_join": eff_trij,
               "efficiency_pagerank_hw_normalized":
                   round(eff_pr / hw["efficiency"], 3),
-              "efficiency_triangle_hw_normalized":
-                  round(eff_tri / hw["efficiency"], 3)}
+              "efficiency_triangle_cogroup_hw_normalized":
+                  round(eff_tri / hw["efficiency"], 3),
+              "efficiency_triangle_join_hw_normalized":
+                  round(eff_trij / hw["efficiency"], 3)}
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
 
     md = f"""# BENCH — scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N)
 
 Sandbox proxy for N→4N executors (no real cluster available): the same
-jobs — PageRank ({lo["pagerank_supersteps"]} fixed supersteps) and the partition-parallel
-cogroup triangle count (median of 3 reps), identical input, identical
-code, fresh JVM per level — at `local[{LOW}]` (N) and `local[{HIGH}]` (4N).
+jobs — PageRank ({lo["pagerank_supersteps"]} fixed supersteps), the triangle count under the
+plan `auto` picks on this graph (degree-oriented wedge self-join), and
+the triangle count forced through the partition-parallel cogroup
+kernel (median of 3 reps each) — identical input, identical code,
+fresh JVM per level — at `local[{LOW}]` (N) and `local[{HIGH}]` (4N).
 Input: deterministic Chung-Lu graph with Pareto out-degrees capped at
 30k (hub-skewed on purpose), {lo["n_edges"]:,} edges / {N_VERTICES:,} vertices, seed={SEED}.
 
@@ -126,12 +142,29 @@ Input: deterministic Chung-Lu graph with Pareto out-degrees capped at
 |---|---|---|---|---|
 | PageRank sec/superstep (median) | {lo["pagerank_sec_per_superstep"]} | {hi["pagerank_sec_per_superstep"]} | {lo["pagerank_sec_per_superstep"]/hi["pagerank_sec_per_superstep"]:.2f}× | **{eff_pr:.3f}** |
 | PageRank edges/sec/superstep | {lo["pagerank_edges_per_sec"]:,.0f} | {hi["pagerank_edges_per_sec"]:,.0f} | — | — |
-| Triangle count (partition-parallel cogroup) wall sec | {lo["triangle_cogroup_sec"]} | {hi["triangle_cogroup_sec"]} | {lo["triangle_cogroup_sec"]/hi["triangle_cogroup_sec"]:.2f}× | **{eff_tri:.3f}** |
+| Triangle count, auto-chosen plan (wedge join) wall sec | {lo["triangle_join_sec"]} | {hi["triangle_join_sec"]} | {lo["triangle_join_sec"]/hi["triangle_join_sec"]:.2f}× | **{eff_trij:.3f}** |
+| Triangle count, cogroup kernel (forced) wall sec | {lo["triangle_cogroup_sec"]} | {hi["triangle_cogroup_sec"]} | {lo["triangle_cogroup_sec"]/hi["triangle_cogroup_sec"]:.2f}× | **{eff_tri:.3f}** |
 | hardware busy-loop baseline (no Spark) | {hw[LOW]} | {hw[HIGH]} | {hw[HIGH]/hw[LOW]:.2f}× | {hw["efficiency"]:.3f} |
 
 Efficiency = (T_N / T_4N) / 4, on the median superstep / median rep.
 Hardware-normalized engine efficiency: PageRank
-**{result["efficiency_pagerank_hw_normalized"]:.3f}**, triangles **{result["efficiency_triangle_hw_normalized"]:.3f}**.
+**{result["efficiency_pagerank_hw_normalized"]:.3f}**, triangle auto/join
+**{result["efficiency_triangle_join_hw_normalized"]:.3f}**, triangle cogroup
+**{result["efficiency_triangle_cogroup_hw_normalized"]:.3f}**.
+
+Reading the two triangle rows: on this sparse graph (directed
+wedge/edge ratio ≈ 1) `triangle_count(..., "auto")` dispatches to the
+wedge self-join — its shuffle is narrow rows and it scales with cores
+like PageRank does. The cogroup leapfrog kernel is the at-scale
+strategy for dense graphs / beyond-broadcast edge counts (the regime
+where the wedge count dwarfs E); forced onto this input it ships
+sorted adjacency ARRAYS through the shuffle, so on a single box its
+bottleneck is the shared disk/memory bandwidth, not cores — its
+in-JVM rep variance ({lo["triangle_cogroup_secs"]} / {hi["triangle_cogroup_secs"]}) shows the
+same contention. On a real N→4N cluster the shuffle fabric (disk +
+NIC per executor) grows with N, which is exactly what one box cannot
+emulate; the hardware baseline row quantifies how much of the gap is
+the box.
 
 Why N=2: this VM's memory subsystem saturates past ~16 busy cores — the
 same busy-loop baseline measures 0.99 efficiency for 2→8 processes but
@@ -142,14 +175,17 @@ property) rather than the sandbox's throttling curve. Reference
 precedent for near-linear scaling of this workload class with disjoint
 partitioning: ADOPT report Fig. 10 (30-40× at 48 threads).
 
-Raw JSON: `BENCH/scaling.json`. Reproduce: `python scripts/run_scaling.py`.
+Raw JSON: `BENCH/scaling.json`. Reproduce: `python scripts/run_scaling.py`
+(optionally `python scripts/run_scaling.py pr,join` to re-measure a
+subset; results for the named parts are merged by hand in that case).
 """
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps(result["low"]))
     print(json.dumps(result["high"]))
     print("hw baseline:", hw)
-    print("efficiency pagerank:", eff_pr, "triangle:", eff_tri)
+    print("efficiency pagerank:", eff_pr,
+          "triangle cogroup:", eff_tri, "triangle join:", eff_trij)
 
 
 if __name__ == "__main__":

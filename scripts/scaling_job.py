@@ -1,16 +1,26 @@
 """One scaling-measurement job: fixed graph workload at a given core count.
 
-Usage: python scripts/scaling_job.py <cpus> <edges_parquet> <out_json>
+Usage: python scripts/scaling_job.py <cpus> <edges_parquet> <out_json> [parts]
 
-Runs, in a fresh JVM (one process per parallelism level so nothing is
-shared): PageRank for a FIXED number of supersteps (identical work at
-every parallelism level) and the CSR cogroup triangle count, over the
-same input parquet. Prints/writes JSON timings.
+``parts`` (default ``pr,cogroup,join``) selects which measurements run,
+so a single part can be re-measured without paying for the others:
+
+  pr       — PageRank for a FIXED number of supersteps (identical work
+             at every parallelism level)
+  cogroup  — the partition-parallel cogroup triangle kernel (the north
+             star's named at-scale strategy)
+  join     — the degree-oriented wedge self-join triangle plan (what
+             ``triangle_count(..., "auto")`` actually picks on a sparse
+             W/E≈1 graph like the scaling input)
+
+Runs in a fresh JVM (one process per parallelism level so nothing is
+shared). Prints/writes JSON timings.
 """
 
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -27,6 +37,7 @@ def main() -> None:
     cpus = int(sys.argv[1])
     edges_path = sys.argv[2]
     out_path = sys.argv[3]
+    parts = (sys.argv[4] if len(sys.argv) > 4 else "pr,cogroup,join").split(",")
 
     from adopt_spark.algos.pagerank import pagerank
     from adopt_spark.algos.triangles import triangle_count
@@ -35,44 +46,50 @@ def main() -> None:
     spark = get_spark(f"scaling_{cpus}", cpus=cpus)
     edges = spark.read.parquet(edges_path).persist()
     n_edges = edges.count()
+    out = {"cpus": cpus, "n_edges": n_edges}
 
-    t0 = time.time()
-    _, metrics = pagerank(spark, edges, tol=0.0, max_iter=FIXED_SUPERSTEPS)
-    pr_sec = time.time() - t0
-    import statistics
-    # true median (averages the middle pair for even counts): jitter-robust
-    per_step = statistics.median(m["sec"] for m in metrics)
-
-    # North-rule metric also names triangle-count wall time. Measure the
-    # partition-parallel COGROUP kernel — the north star's own wording
-    # ("partition-parallel cogroup over degree-ordered CSR blocks") and
-    # the variant built to scale with executors; the broadcast-CSR
-    # kernel is the small-graph shortcut whose serial driver-side CSR
-    # build dominates here by design (measured: 69.6s→60.1s for 2→8
-    # cores = no scaling, exactly why it is NOT the 100-TB path).
-    # Median of TRIANGLE_REPS runs in the same JVM (rep 1 absorbs
-    # codegen/JIT warmup).
-    tri_secs = []
-    n_triangles = None
-    for _ in range(TRIANGLE_REPS):
+    if "pr" in parts:
         t0 = time.time()
-        rows = triangle_count(edges.selectExpr("sid", "tid"), "cogroup").collect()
-        tri_secs.append(round(time.time() - t0, 3))
-        n_triangles = int(rows[0][0])
-    tri_sec = statistics.median(tri_secs)
+        _, metrics = pagerank(spark, edges, tol=0.0, max_iter=FIXED_SUPERSTEPS)
+        pr_sec = time.time() - t0
+        # true median (averages the middle pair for even counts): jitter-robust
+        per_step = statistics.median(m["sec"] for m in metrics)
+        out.update({
+            "pagerank_supersteps": len(metrics),
+            "pagerank_total_sec": round(pr_sec, 3),
+            "pagerank_sec_per_superstep": round(per_step, 3),
+            "pagerank_edges_per_sec": round(n_edges / per_step, 1),
+            "pagerank_steps_sec": [round(m["sec"], 3) for m in metrics],
+        })
 
-    out = {
-        "cpus": cpus,
-        "n_edges": n_edges,
-        "pagerank_supersteps": len(metrics),
-        "pagerank_total_sec": round(pr_sec, 3),
-        "pagerank_sec_per_superstep": round(per_step, 3),
-        "pagerank_edges_per_sec": round(n_edges / per_step, 1),
-        "pagerank_steps_sec": [round(m["sec"], 3) for m in metrics],
-        "triangle_cogroup_sec": round(tri_sec, 3),
-        "triangle_cogroup_secs": tri_secs,
-        "n_triangles": n_triangles,
-    }
+    # North-rule metric also names triangle-count wall time. Two plans:
+    # the partition-parallel COGROUP kernel (the north star's own wording,
+    # "partition-parallel cogroup over degree-ordered CSR blocks" — the
+    # 100-TB strategy, but array-shuffle-heavy, so on ONE box it is
+    # bounded by the shared disk/memory-bandwidth, not cores), and the
+    # wedge self-JOIN plan, which is what `auto` dispatches on this
+    # sparse W/E≈1 graph and whose shuffle is rows, not arrays. The
+    # broadcast-CSR kernel is deliberately NOT measured: its serial
+    # driver-side CSR build dominates (measured 69.6s→60.1s for 2→8
+    # cores = no scaling), which is exactly why it is capped to the
+    # small-graph regime. Median of TRIANGLE_REPS runs in the same JVM
+    # (rep 1 absorbs codegen/JIT warmup).
+    for method in ("cogroup", "join"):
+        if method not in parts:
+            continue
+        secs = []
+        n_triangles = None
+        for _ in range(TRIANGLE_REPS):
+            t0 = time.time()
+            rows = triangle_count(edges.selectExpr("sid", "tid"), method).collect()
+            secs.append(round(time.time() - t0, 3))
+            n_triangles = int(rows[0][0])
+        out.update({
+            f"triangle_{method}_sec": statistics.median(secs),
+            f"triangle_{method}_secs": secs,
+            "n_triangles": n_triangles,
+        })
+
     with open(out_path, "w") as f:
         json.dump(out, f)
     print(json.dumps(out))
