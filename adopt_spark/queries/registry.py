@@ -575,6 +575,156 @@ def q_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
 
 
+def q_q2_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    offering it at the minimum unit cost — a correlated min subquery
+    decorrelated into a per-part aggregate join. Lineitem stands in for
+    partsupp: unit cost = min(l_extendedprice / l_quantity) per
+    (part, supplier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part") \
+        .where((F.col("p_size") == 2) & (F.col("p_type") == "LARGE"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    supply = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    eu = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    sup_eu = supply.join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
+    min_cost = (sup_eu.groupBy(F.col("l_partkey").alias("mc_partkey"))
+                .agg(F.min("unit_cost").alias("min_cost")))
+    return (sup_eu
+            .join(min_cost, (sup_eu.l_partkey == F.col("mc_partkey"))
+                  & (sup_eu.unit_cost == F.col("min_cost")))
+            .join(F.broadcast(p), sup_eu.l_partkey == p.p_partkey)
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                    "n_name", "p_partkey", "p_name",
+                    F.round("unit_cost", 4).alias("cost")))
+
+
+def q_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    LIKE-filtered part class — a 6-relation join with an expression
+    aggregate (p_retailprice stands in for ps_supplycost at a 10%
+    holding-cost rate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+              - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(profit), 2).alias("sum_profit")))
+
+
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value from one nation's
+    suppliers exceeds a fraction of the total — HAVING against an
+    uncorrelated scalar aggregate. Sums run in DECIMAL so the
+    threshold comparison is exact and order-independent (double sums
+    disagree across engines in the last ulp, enough to flip a
+    knife-edge HAVING)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_5", "NATION_9"))
+    val = (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+    nat_li = (li.join(s, li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    per_part = (nat_li.groupBy("l_partkey")
+                .agg(F.sum(val).alias("value")))
+    total = nat_li.agg((F.sum(val) * F.lit(0.0012).cast("decimal(8,4)"))
+                       .alias("cut"))
+    return (per_part.join(F.broadcast(total))
+            .where(F.col("value") > F.col("cut"))
+            .select("l_partkey",
+                    # 4dp: the DECIMAL(.,4) sum is ON the 4dp grid, so this
+                    # round is an identity in both engines; rounding at 2dp
+                    # would hit exact x.xx50 midpoints, where Spark HALF_UP
+                    # and DuckDB binary-round diverge
+                    F.round(F.col("value").cast("double"), 4).alias("value")))
+
+
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over one
+    quarter — a revenue view joined against its own max (scalar
+    subquery over an aggregate). Revenue accumulates in DECIMAL so the
+    max-equality join is exact across engines."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+           ).cast("decimal(18,4)")
+    revenue = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total_revenue"))
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (revenue.join(F.broadcast(top),
+                         F.col("total_revenue") == F.col("max_rev"))
+            .join(s, F.col("l_suppkey") == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    # 4dp grid round — identity on the DECIMAL(.,4) sum (see
+                    # q_q11_important_parts)
+                    F.round(F.col("total_revenue").cast("double"), 4)
+                    .alias("total_revenue")))
+
+
+def q_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers from one nation who moved more than a
+    threshold quantity of a LIKE-selected part class — a nested
+    IN-subquery (join + group + HAVING) feeding a semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    movers = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("l_suppkey")
+              .agg(F.sum("l_quantity").alias("qty"))
+              .where(F.col("qty") > F.lit(50.0)))
+    return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(movers, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+            .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+def q_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per-supplier count of returned lineitems inside
+    multi-supplier FAILED orders where that supplier is the ONLY one
+    with a return — the classic EXISTS + NOT-EXISTS double-correlated
+    pair, expressed as a conditioned semi-join plus anti-join
+    (l_returnflag = 'R' stands in for the missing receipt/commit-date
+    lateness predicate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_4"))
+    lo = li.select(F.col("l_orderkey").alias("e_ok"),
+                   F.col("l_suppkey").alias("e_sk"))
+    lr = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("r_ok"),
+                  F.col("l_suppkey").alias("r_sk")))
+    cand = (li.where(F.col("l_returnflag") == "R")
+            .join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+            .select("l_orderkey", "l_suppkey"))
+    cand = cand.join(
+        lo, (cand.l_orderkey == lo.e_ok) & (cand.l_suppkey != lo.e_sk),
+        "left_semi")
+    cand = cand.join(
+        lr, (cand.l_orderkey == lr.r_ok) & (cand.l_suppkey != lr.r_sk),
+        "left_anti")
+    return (cand.join(s, cand.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -665,6 +815,20 @@ def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
              F.count(F.lit(1)).alias("n"))
     )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (beyond the reference's
+    {min,max,avg,count,sum} set). Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so the
+    oracle is value-level; at 100-TB scale the one-line swap is
+    ``percentile_approx`` (t-digest, mergeable sketch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+                 F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4)
+                 .alias("p99_price")))
 
 
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,6 +1638,102 @@ ORACLES.update({
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY c_mktsegment""",
+    "r_q2_min_cost_supp": """
+        WITH supply AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        eu AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE')
+        SELECT CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal, s_name,
+               n_name, p_partkey, p_name,
+               CAST(round(unit_cost, 4) AS DOUBLE) AS cost
+        FROM supply
+        JOIN eu ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 2 AND p_type = 'LARGE'
+          AND unit_cost = (
+              SELECT min(s2.unit_cost) FROM supply s2
+              JOIN eu e2 ON s2.l_suppkey = e2.s_suppkey
+              WHERE s2.l_partkey = supply.l_partkey)""",
+    "r_q9_profit": """
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(round(sum(l_extendedprice * (1 - l_discount)
+                              - 0.1 * p_retailprice * l_quantity), 2) AS DOUBLE)
+                   AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate)""",
+    "r_q11_important_parts": """
+        WITH nat_li AS (
+            SELECT l_partkey,
+                   CAST(l_extendedprice * l_quantity AS DECIMAL(18,4)) AS val
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_5', 'NATION_9'))
+        SELECT l_partkey, CAST(round(CAST(sum(val) AS DOUBLE), 4) AS DOUBLE)
+                   AS value
+        FROM nat_li
+        GROUP BY l_partkey
+        HAVING sum(val) > (SELECT sum(val) * CAST(0.0012 AS DECIMAL(8,4))
+                           FROM nat_li)""",
+    "r_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               CAST(round(CAST(total_revenue AS DOUBLE), 4) AS DOUBLE)
+                   AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+    "r_q20_part_promotion": """
+        SELECT s_name, CAST(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+          AND s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+              GROUP BY l_suppkey
+              HAVING sum(l_quantity) > 50.0)""",
+    "r_percentiles": """
+        SELECT l_returnflag,
+               CAST(round(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS p50_qty,
+               CAST(round(quantile_cont(l_quantity, 0.9), 6) AS DOUBLE) AS p90_qty,
+               CAST(round(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE)
+                   AS p99_price
+        FROM lineitem GROUP BY l_returnflag""",
+    "r_q21_waiting_supplier": """
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n_name IN ('NATION_1', 'NATION_4')
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name""",
     "a_pagerank_top": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL, top=20),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
@@ -1531,6 +1791,13 @@ def all_queries() -> dict[str, QueryFn]:
         "r_q17_small_qty_revenue": q_q17_small_qty_revenue,
         "r_q19_disjunctive": q_q19_disjunctive,
         "r_q22_idle_customers": q_q22_idle_customers,
+        "r_q2_min_cost_supp": q_q2_min_cost_supp,
+        "r_q9_profit": q_q9_profit,
+        "r_q11_important_parts": q_q11_important_parts,
+        "r_q15_top_supplier": q_q15_top_supplier,
+        "r_q20_part_promotion": q_q20_part_promotion,
+        "r_q21_waiting_supplier": q_q21_waiting_supplier,
+        "r_percentiles": q_percentiles,
         # -- (2) round-1-green rotation (no driver row since round 1)
         "r_in_subquery": q_in_subquery,
         "r_q4_order_priority": q_q4_order_priority,

@@ -114,7 +114,8 @@ def main() -> None:
         with open(scaling_path) as f:
             s = json.load(f)
         extras["scaling_efficiency_pagerank"] = s.get("efficiency_pagerank")
-        extras["scaling_efficiency_triangle"] = s.get("efficiency_triangle")
+        extras["scaling_efficiency_triangle_join"] = s.get("efficiency_triangle_join")
+        extras["scaling_efficiency_triangle_cogroup"] = s.get("efficiency_triangle_cogroup")
         extras["scaling_low_cpus"] = s.get("low", {}).get("cpus")
         extras["scaling_high_cpus"] = s.get("high", {}).get("cpus")
         extras["scaling_edges"] = s.get("high", {}).get("n_edges")
