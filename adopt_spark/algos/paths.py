@@ -1,0 +1,149 @@
+"""Single-source shortest paths: hop-distance BFS + weighted SSSP.
+
+One frontier-pruned Bellman-Ford engine serves both: with unit
+weights the relaxation schedule *is* level-synchronous BFS (each
+round settles exactly the next hop ring); with per-edge long weights
+it is delta-free Bellman-Ford (each round relaxes every edge leaving
+a vertex whose distance improved last round — the classic
+frontier-pruned variant, so total work on well-behaved graphs tracks
+the BFS frontier sizes, not rounds × E).
+
+The reference is a motif-count engine with no path queries; this is
+north-rule link-graph surface (reachability rings, dependency depth)
+built in the same mold as algos/pagerank.py:
+
+  * the edge relation is the ONE layout investment — weight column
+    attached, hash-partitioned by src, sorted, cached; every round's
+    frontier⋈links sort-merge join reuses that partitioning, so only
+    the (vertex-sized) frontier moves per round.
+  * per round: candidates = frontier ⋈ links → groupBy(dst).min
+    (map-side partial agg), then a join against the settled distance
+    vector keeps strictly-improving rows only — that difference is
+    the next frontier AND the convergence test (empty → fixpoint).
+  * distances merge by full-outer join on the shared hash(v)
+    partitioning; the vector is repartitioned to ~100k vertices per
+    partition exactly like the PageRank rank vector.
+  * every round snapshots through CheckpointManager (parquet +
+    per-partition lineage + metrics); ``resume=True`` restarts from
+    the latest snapshot; ``localCheckpoint`` truncates the growing
+    join lineage.
+
+Distances are exact BIGINTs (hop counts, or sums of long weights), so
+results are bit-stable across parallelism levels — no float compare.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from adopt_spark.checkpoint import CheckpointManager
+
+# Deterministic synthetic edge weight used by the driver contract:
+# cheap, id-mixing, representable identically in Spark and DuckDB
+# (exact integer arithmetic on both sides).
+CONTRACT_WEIGHT_SQL = "1 + (src * 7 + dst * 13) % 10"
+
+
+def contract_weight(src: Column, dst: Column) -> Column:
+    """Spark twin of CONTRACT_WEIGHT_SQL (exact long arithmetic)."""
+    return F.lit(1) + F.pmod(src * F.lit(7) + dst * F.lit(13), F.lit(10))
+
+
+def shortest_paths(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    weighted: bool = False,
+    directed: bool = True,
+    max_iter: int = 64,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Distances from ``source``; returns (DataFrame[v, dist], metrics).
+
+    Only REACHED vertices appear in the output (unreachable = absent,
+    not NULL/inf). ``weighted=True`` attaches the deterministic
+    contract weight to every directed link; ``weighted=False`` is
+    plain hop-count BFS. ``directed=False`` symmetrizes first (the
+    weight of a reversed link is recomputed from its own (src, dst),
+    matching the SQL oracle's symmetrized relation).
+    """
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select(F.col("sid").cast("long").alias("src"),
+                     F.col("tid").cast("long").alias("dst"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    e = e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    w = (contract_weight(F.col("src"), F.col("dst")) if weighted
+         else F.lit(1)).cast("long")
+    links = (
+        e.select("src", "dst", w.alias("w"))
+        .repartition(parts, "src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    links.count()
+
+    n_vertices = links.select(F.col("src").alias("v")).unionAll(
+        links.select(F.col("dst").alias("v"))).distinct().count()
+    dist_parts = max(1, min(parts, n_vertices // 100_000 + 1))
+
+    cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="sssp_ckpt_"))
+    start_iter = 0
+    dist = spark.createDataFrame([(int(source), 0)], "v long, dist long") \
+                .repartition(dist_parts, "v")
+    frontier = dist
+    if resume and cm.latest() is not None:
+        start_iter = cm.latest() + 1
+        dist = cm.load(spark, cm.latest())
+        # Conservative resume frontier: the full settled vector. One
+        # extra no-improvement round re-derives emptiness and stops.
+        frontier = dist
+
+    metrics: list[dict] = []
+    for it in range(start_iter, max_iter):
+        t0 = time.time()
+        cand = (
+            frontier.join(links, frontier["v"] == links["src"])
+            .select(F.col("dst").alias("v"),
+                    (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("v").agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "v", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("v", F.col("nd").alias("dist"))
+        )
+        merged = (
+            dist.withColumnRenamed("dist", "old")
+            .join(improved.withColumnRenamed("dist", "new"), "v", "full")
+            .select("v", F.coalesce(F.col("new"), F.col("old")).alias("dist"))
+            .repartition(dist_parts, "v")
+        )
+        # save() re-reads the published snapshot, so the returned frame
+        # already carries truncated lineage — no extra localCheckpoint.
+        merged = cm.save(merged, it, phase="relax")
+        frontier = improved.localCheckpoint(eager=True)
+        n_front = frontier.count()
+        dist = merged
+        metrics.append({"iteration": it, "frontier": n_front,
+                        "sec": round(time.time() - t0, 4)})
+        if n_front == 0:
+            break
+
+    links.unpersist()
+    return dist, metrics
+
+
+def bfs_hops(spark: SparkSession, edges: DataFrame, source: int,
+             directed: bool = False, **kw) -> tuple[DataFrame, list[dict]]:
+    """Hop distance from ``source`` (unit weights)."""
+    return shortest_paths(spark, edges, source, weighted=False,
+                          directed=directed, **kw)

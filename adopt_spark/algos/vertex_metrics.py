@@ -1,0 +1,121 @@
+"""Per-vertex structural metrics: triangle participation, local
+clustering coefficients, and common-neighbor link prediction.
+
+The reference counts motifs globally (graph_query/3_clique.sql
+returns one scalar); these operators distribute the SAME triangle
+enumeration per vertex — north-rule link-graph surface (hub
+community structure, dependency-graph link suggestion).
+
+Scale design:
+  * triangle enumeration reuses the degree orientation
+    (edges.orient_by_degree): every oriented out-list is O(sqrt(E)),
+    so the wedge join's fan-out is worst-case optimal — identical
+    plan shape to algos/triangles.triangle_count_join, but the
+    matched (a, b, c) rows are exploded to their three corners and
+    count-aggregated instead of count(*)-collapsed. Two shuffles
+    beyond the orientation (wedge join, per-vertex aggregate), both
+    with map-side partial aggregation.
+  * common-neighbor wedges go through the shared middle vertex w;
+    a degree-D hub contributes D^2 candidate pairs, so
+    ``max_wedge_degree`` optionally drops super-hubs from the middle
+    role (the standard Adamic-Adar practice — a 10^6-degree hub
+    carries ~0 information and 10^12 pairs). The candidate join is a
+    bounded-key equi-join on w, never an all-pairs product.
+
+Triangle identity: id-ordered triples a < b < c over the reference's
+``sid < tid`` edge convention — exactly the 3-clique oracle's rows,
+so per-vertex counts sum to 3 x the global count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from adopt_spark.edges import orient_by_degree
+
+
+def _lt(edges: DataFrame) -> DataFrame:
+    return (edges.where(F.col("sid") < F.col("tid"))
+            .dropDuplicates(["sid", "tid"]))
+
+
+def _sym(lt: DataFrame) -> DataFrame:
+    return lt.select(F.col("sid").alias("v"), F.col("tid").alias("nbr")) \
+             .unionAll(lt.select(F.col("tid").alias("v"),
+                                 F.col("sid").alias("nbr")))
+
+
+def vertex_triangle_counts(edges: DataFrame) -> DataFrame:
+    """DataFrame[v, tri]: triangles through each vertex (tri > 0 rows).
+
+    Degree-oriented wedge join + closing join enumerate each triangle
+    once; the three corners are exploded and aggregated.
+    """
+    o = orient_by_degree(_lt(edges))
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = (e1.join(e2, "a").where(F.col("b") != F.col("c"))
+            .join(e3, ["b", "c"]))
+    corners = tris.select(F.explode(F.array("a", "b", "c")).alias("v"))
+    return corners.groupBy("v").agg(F.count(F.lit(1)).alias("tri"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """DataFrame[v, deg, tri, coeff] for every vertex with deg >= 2.
+
+    coeff = 2*tri / (deg*(deg-1)) over the lt-canonical undirected
+    graph, rounded to 6 dp (both engines compute the same rational).
+    """
+    lt = _lt(edges)
+    deg = _sym(lt).groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    tri = vertex_triangle_counts(lt)
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "v", "left")
+        .select(
+            "v", "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+            F.round(F.lit(2.0) * F.coalesce(F.col("tri"), F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - F.lit(1))), 6)
+             .alias("coeff"),
+        )
+    )
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction over non-adjacent pairs: DataFrame[u, v, cn, aa].
+
+    cn = |N(u) ∩ N(v)|, aa = Adamic-Adar sum over the common
+    neighbors w of 1/ln(deg(w)) (deg(w) >= 2 by construction, so the
+    log never vanishes), for u < v NOT already an edge, keeping pairs
+    with cn >= ``min_common``.
+    """
+    lt = _lt(edges)
+    sym = _sym(lt)
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    mid = sym.select(F.col("nbr").alias("w"), F.col("v").alias("u"))
+    if max_wedge_degree is not None:
+        small = deg.where(F.col("deg") <= max_wedge_degree) \
+                   .select(F.col("v").alias("w"))
+        mid = mid.join(small, "w")
+    cand = (
+        mid.join(mid.select(F.col("w"), F.col("u").alias("v2")), "w")
+        .where(F.col("u") < F.col("v2"))
+        .select("u", F.col("v2").alias("v"), "w")
+    )
+    non_edges = cand.join(
+        lt.select(F.col("sid").alias("u"), F.col("tid").alias("v")),
+        ["u", "v"], "left_anti")
+    scored = (
+        non_edges.join(deg.select(F.col("v").alias("w"),
+                                  F.col("deg").alias("wdeg")), "w")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"),
+             F.round(F.sum(F.lit(1.0) / F.log(F.col("wdeg"))), 6).alias("aa"))
+    )
+    return scored.where(F.col("cn") >= min_common)

@@ -449,3 +449,56 @@ SELECT st.media_id,
        CAST(st.peak AS INTEGER) AS peak
 FROM st JOIN zc ON zc.media_id = st.media_id
 """.strip()
+
+
+# ------------------------------------------------------- shortest paths
+
+# Round budgets for the unrolled Bellman-Ford oracles, calibrated
+# with margin over the measured fixture needs: the sf0.01 sparse
+# undirected graph has eccentricity 34 from the min-sid source (14,527
+# reached — measured by widening the unroll until the reach set and
+# max dist stop growing), and the weighted dense SSSP settles by round
+# 10 (d10 == d16 exactly). An under-budget cannot pass silently: the
+# oracle's not-yet-settled distances would disagree with the engine's
+# fixpoint — exactly how the original 12-round BFS budget was caught.
+BFS_ROUNDS = 48
+SSSP_ROUNDS = 16
+
+# DuckDB twin of algos.paths.CONTRACT_WEIGHT_SQL (exact integer
+# arithmetic on both sides; operands are nonnegative, so % == pmod).
+_W_EXPR = "1 + (src * 7 + dst * 13) % 10"
+
+
+def shortest_path_sql(edge_sql: str, rounds: int, weighted: bool = False,
+                      directed: bool = True) -> str:
+    """Unrolled frontier-free Bellman-Ford from the min-sid source.
+
+    Each step is one MATERIALIZED CTE computing
+      d_i(v) = min(d_{i-1}(v), min over (u,v) in rel of d_{i-1}(u)+w)
+    — the same recurrence algos/paths.py iterates with frontier
+    pruning (pruning never changes the fixpoint, only the work).
+    Output: (v, dist) for every REACHED vertex, dist as BIGINT.
+    """
+    sym = "" if directed else "\n        UNION SELECT tid, sid FROM edge"
+    w = _W_EXPR if weighted else "1"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+    SELECT v, min(dist) AS dist FROM (
+        SELECT v, dist FROM d{i-1}
+        UNION ALL
+        SELECT r.dst AS v, p.dist + r.w AS dist
+        FROM d{i-1} p JOIN rel r ON r.src = p.v
+    ) GROUP BY v
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), rel AS MATERIALIZED (
+    SELECT src, dst, CAST({w} AS BIGINT) AS w FROM (
+        SELECT sid AS src, tid AS dst FROM edge{sym}
+    ) WHERE src <> dst
+), d0 AS MATERIALIZED (
+    SELECT CAST((SELECT min(sid) FROM edge) AS BIGINT) AS v,
+           CAST(0 AS BIGINT) AS dist
+), {', '.join(steps)}
+SELECT v, dist FROM d{rounds}"""

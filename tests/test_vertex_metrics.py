@@ -1,0 +1,95 @@
+"""Per-vertex triangles / clustering coefficients / link prediction
+vs pure-python oracles on the shared graph fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from adopt_spark.algos.vertex_metrics import (
+    clustering_coefficients, common_neighbor_scores, vertex_triangle_counts,
+)
+
+
+def py_vertex_metrics(pairs):
+    es = {(a, b) for a, b in pairs if a < b}
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in es:
+        for c in adj[a] & adj[b]:
+            if c > b:  # count each a<b<c triangle once
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    return adj, tri
+
+
+def test_vertex_triangles_tri6(spark, tri6):
+    edges, pairs = tri6
+    adj, tri = py_vertex_metrics(pairs)
+    got = {int(r["v"]): int(r["tri"])
+           for r in vertex_triangle_counts(edges).collect()}
+    assert got == {v: t for v, t in tri.items() if t > 0}
+
+
+def test_vertex_triangles_powerlaw(spark, powerlaw_small):
+    edges, pairs = powerlaw_small
+    adj, tri = py_vertex_metrics(pairs)
+    rows = vertex_triangle_counts(edges).collect()
+    got = {int(r["v"]): int(r["tri"]) for r in rows}
+    assert got == {v: t for v, t in tri.items() if t > 0}
+    # corner sum identity: 3 triangles counted per corner
+    from tests.conftest import py_triangles
+    assert sum(got.values()) == 3 * py_triangles(pairs)
+
+
+def test_clustering_coefficients_powerlaw(spark, powerlaw_small):
+    edges, pairs = powerlaw_small
+    adj, tri = py_vertex_metrics(pairs)
+    rows = clustering_coefficients(edges).collect()
+    got = {int(r["v"]): (int(r["deg"]), int(r["tri"]), float(r["coeff"]))
+           for r in rows}
+    for v, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            assert v not in got
+            continue
+        coeff = round(2.0 * tri[v] / (d * (d - 1)), 6)
+        assert got[v] == (d, tri[v], pytest.approx(coeff))
+
+
+def test_common_neighbors_tri6(spark, tri6):
+    edges, pairs = tri6
+    # non-edges with >=2 common neighbors, by hand on the fixture:
+    # 1-4 share {2, 5}; 0-3/0-4/1-3 share only {2}; 2-5 shares {1, 4}
+    rows = common_neighbor_scores(edges, min_common=2).collect()
+    got = {(int(r["u"]), int(r["v"])): int(r["cn"]) for r in rows}
+    assert got == {(1, 4): 2, (2, 5): 2}
+    adj, _ = py_vertex_metrics(pairs)
+    aa = {(int(r["u"]), int(r["v"])): float(r["aa"]) for r in rows}
+    for (u, v), score in aa.items():
+        expect = round(sum(1.0 / math.log(len(adj[w]))
+                           for w in adj[u] & adj[v]), 6)
+        assert score == pytest.approx(expect)
+
+
+def test_common_neighbors_excludes_edges_and_respects_cap(spark, powerlaw_small):
+    edges, pairs = powerlaw_small
+    adj, _ = py_vertex_metrics(pairs)
+    es = {(a, b) for a, b in pairs if a < b}
+    rows = common_neighbor_scores(edges, min_common=3).collect()
+    for r in rows:
+        u, v = int(r["u"]), int(r["v"])
+        assert (u, v) not in es
+        assert len(adj[u] & adj[v]) == int(r["cn"]) >= 3
+    # hub-capped variant only loses pairs whose middles were all hubs
+    capped = common_neighbor_scores(edges, min_common=3,
+                                    max_wedge_degree=10).collect()
+    for r in capped:
+        u, v = int(r["u"]), int(r["v"])
+        mids = {w for w in adj[u] & adj[v] if len(adj[w]) <= 10}
+        assert int(r["cn"]) == len(mids)
