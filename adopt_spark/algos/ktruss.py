@@ -1,0 +1,105 @@
+"""k-truss decomposition: per-edge truss numbers by support peeling.
+
+The k-truss of a graph is the maximal subgraph in which every edge
+participates in >= k-2 triangles (Cohen 2008); the truss number
+t(e) is the largest k whose truss contains e. Trusses are the
+edge-analogue of k-cores — denser, more cohesive, and built directly
+on the engine's WCOJ triangle machinery, so this is the natural
+"ADOPT-adjacent" decomposition (the reference only counts triangles;
+SURVEY.md §2.3).
+
+Algorithm (the standard distributed peel, mirroring kcore.py's
+incremental schedule): for k = 3, 4, ... peel the k-truss out of the
+surviving (k-1)-truss — repeatedly drop edges with support < k-2
+until a fixpoint, then move to k+1 on the survivors. Total work is
+one triangle enumeration per round over a shrinking edge set.
+
+Per-round Spark plan:
+  * support: degree-oriented wedge join + closing join (identical
+    plan shape to triangles.triangle_count_join — fan-out O(sqrt E))
+    enumerates each surviving triangle once; its three edges are
+    exploded in canonical (lo, hi) form and count-aggregated
+    (map-side partial agg), then an inner join keeps edges meeting
+    the support threshold. Two shuffles per round beyond the
+    orientation, both key-bounded.
+  * convergence: survivor count unchanged (one action per round).
+
+Output is per-edge (sid, tid, truss) with truss >= 2 (every edge is
+trivially in the 2-truss), deterministic and parallelism-independent.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from adopt_spark.edges import orient_by_degree
+
+
+def _lt(edges: DataFrame) -> DataFrame:
+    return (edges.where(F.col("sid") < F.col("tid"))
+            .dropDuplicates(["sid", "tid"]))
+
+
+def edge_supports(lt: DataFrame) -> DataFrame:
+    """DataFrame[sid, tid, support] for edges in >= 1 triangle."""
+    o = orient_by_degree(lt)
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    e3 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = (e1.join(e2, "a").where(F.col("b") != F.col("c"))
+            .join(e3, ["b", "c"]))
+    sides = tris.select(F.explode(F.array(
+        F.struct(F.least("a", "b").alias("sid"),
+                 F.greatest("a", "b").alias("tid")),
+        F.struct(F.least("a", "c").alias("sid"),
+                 F.greatest("a", "c").alias("tid")),
+        F.struct(F.least("b", "c").alias("sid"),
+                 F.greatest("b", "c").alias("tid")),
+    )).alias("e")).select("e.sid", "e.tid")
+    return sides.groupBy("sid", "tid").agg(F.count(F.lit(1)).alias("support"))
+
+
+def truss_numbers(
+    spark: SparkSession,
+    edges: DataFrame,
+    k_max: int = 30,
+    max_rounds: int = 100,
+) -> tuple[DataFrame, list[dict]]:
+    """Returns (DataFrame[sid, tid, truss], metrics)."""
+    lt = _lt(edges).localCheckpoint(eager=True)
+    n_cur = lt.count()
+    stages: list[tuple[int, DataFrame]] = [(2, lt)]
+    metrics: list[dict] = []
+    cur = lt
+    k = 3
+    while n_cur > 0 and k <= k_max:
+        rounds = 0
+        for _ in range(max_rounds):
+            t0 = time.time()
+            sup = edge_supports(cur)
+            survivors = (cur.join(sup, ["sid", "tid"])
+                         .where(F.col("support") >= k - 2)
+                         .select("sid", "tid")
+                         .localCheckpoint(eager=True))
+            n_next = survivors.count()
+            rounds += 1
+            metrics.append({"k": k, "round": rounds, "edges": n_next,
+                            "sec": round(time.time() - t0, 4)})
+            dropped = n_cur - n_next
+            cur, n_cur = survivors, n_next
+            if dropped == 0:
+                break
+        else:
+            raise RuntimeError(f"truss peel at k={k} exceeded {max_rounds}")
+        if n_cur > 0:
+            stages.append((k, cur))
+        k += 1
+
+    tagged = None
+    for kk, df in stages:
+        t = df.select("sid", "tid", F.lit(kk).alias("truss"))
+        tagged = t if tagged is None else tagged.unionAll(t)
+    out = tagged.groupBy("sid", "tid").agg(F.max("truss").alias("truss"))
+    return out, metrics

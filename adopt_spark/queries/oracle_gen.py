@@ -502,3 +502,55 @@ def shortest_path_sql(edge_sql: str, rounds: int, weighted: bool = False,
            CAST(0 AS BIGINT) AS dist
 ), {', '.join(steps)}
 SELECT v, dist FROM d{rounds}"""
+
+
+# ------------------------------------------------------------- k-truss
+
+# Per-stage peel-round budgets for the unrolled truss oracle,
+# calibrated with ~2x margin over the measured sf0.01 cascades
+# (k=3: 1 round, k=4: 3 rounds, k=5 empties immediately; max truss 4).
+# Same silent-failure argument as KCORE_ROUNDS: an under-budget would
+# leave the oracle's peel unfinished and disagree with the engine.
+TRUSS_ROUNDS = {3: 3, 4: 6}
+TRUSS_DEFAULT_ROUNDS = 3
+TRUSS_K_MAX = 6
+
+
+def truss_numbers_sql(edge_sql: str, k_max: int = TRUSS_K_MAX) -> str:
+    """Bounded-depth k-truss peel: stage k repeatedly drops edges in
+    fewer than k-2 surviving triangles; t(e) = the last stage e
+    survives (>= 2 for every edge). Output: per-edge truss numbers."""
+    parts = []
+    prev = "lt"
+    stage_final = []
+    for k in range(3, k_max + 1):
+        for r in range(1, TRUSS_ROUNDS.get(k, TRUSS_DEFAULT_ROUNDS) + 1):
+            tname, pname = f"t{k}_{r}", f"p{k}_{r}"
+            parts.append(f"""{tname} AS MATERIALIZED (
+    SELECT e1.sid AS a, e1.tid AS b, e2.tid AS c
+    FROM {prev} e1
+    JOIN {prev} e2 ON e2.sid = e1.sid AND e1.tid < e2.tid
+    JOIN {prev} e3 ON e3.sid = e1.tid AND e3.tid = e2.tid
+), {pname} AS MATERIALIZED (
+    SELECT sid, tid FROM (
+        SELECT sid, tid, count(*) AS c FROM (
+            SELECT a AS sid, b AS tid FROM {tname}
+            UNION ALL SELECT a, c FROM {tname}
+            UNION ALL SELECT b, c FROM {tname}
+        ) GROUP BY sid, tid
+    ) WHERE c >= {k - 2}
+)""")
+            prev = pname
+        stage_final.append((k, prev))
+    tagged = "\n    UNION ALL\n    ".join(
+        f"SELECT sid, tid, {k} AS k FROM {nm}" for k, nm in stage_final)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), lt AS MATERIALIZED (
+    SELECT DISTINCT sid, tid FROM edge WHERE sid < tid
+), {', '.join(parts)}
+SELECT sid, tid, CAST(max(k) AS INTEGER) AS truss FROM (
+    SELECT sid, tid, 2 AS k FROM lt
+    UNION ALL
+    {tagged}
+) GROUP BY sid, tid"""

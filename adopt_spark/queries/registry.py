@@ -1826,6 +1826,16 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("v", "comp")
 
 
+def q_truss_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge truss numbers of the dense graph (support peeling on
+    the engine's WCOJ triangle plan); oracle = bounded-depth unrolled
+    peel (oracle_gen.truss_numbers_sql)."""
+    from adopt_spark.algos.ktruss import truss_numbers
+
+    out, _ = truss_numbers(spark, derived_edges(spark, sf_dir))
+    return out.select("sid", "tid", F.col("truss").cast("int").alias("truss"))
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k distinct sketch over orders.o_custkey —
     the approximate ESTIMATE itself is oracle-checked bit-for-bit."""
@@ -1895,6 +1905,7 @@ GROUP BY verts.v""",
 from adopt_spark.functions.sketch import kmv_distinct_sql as _kmv_sql  # noqa: E402
 
 ORACLES["r_kmv_distinct"] = _kmv_sql("orders", "o_custkey", k=256)
+ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -1923,6 +1934,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_link_prediction": q_link_prediction,
         "a_scc_components": q_scc_components,
         "r_kmv_distinct": q_kmv_distinct,
+        "g_truss_numbers": q_truss_numbers,
         # -- (1) newly oracle-ized (rows-only through round 2)
         "a_pagerank_fixed": q_pagerank_fixed,
         "a_pagerank_top": q_pagerank_top,
