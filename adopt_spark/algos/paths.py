@@ -56,7 +56,7 @@ def contract_weight(src: Column, dst: Column) -> Column:
 def shortest_paths(
     spark: SparkSession,
     edges: DataFrame,
-    source: int,
+    source: int | list[int],
     weighted: bool = False,
     directed: bool = True,
     max_iter: int = 64,
@@ -66,6 +66,9 @@ def shortest_paths(
 ) -> tuple[DataFrame, list[dict]]:
     """Distances from ``source``; returns (DataFrame[v, dist], metrics).
 
+    ``source`` may be a single vertex or a seed LIST — the multi-
+    source variant computes min distance to ANY seed (the standard
+    distance-to-seed-set primitive) in the same frontier schedule.
     Only REACHED vertices appear in the output (unreachable = absent,
     not NULL/inf). ``weighted=True`` attaches the deterministic
     contract weight to every directed link; ``weighted=False`` is
@@ -97,7 +100,10 @@ def shortest_paths(
 
     cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="sssp_ckpt_"))
     start_iter = 0
-    dist = spark.createDataFrame([(int(source), 0)], "v long, dist long") \
+    seeds = [int(source)] if isinstance(source, int) else \
+        sorted({int(s) for s in source})
+    dist = spark.createDataFrame([(s, 0) for s in seeds],
+                                 "v long, dist long") \
                 .repartition(dist_parts, "v")
     frontier = dist
     if resume and cm.latest() is not None:

@@ -67,3 +67,59 @@ SELECT CASE WHEN (SELECT count(*) FROM b) < {k}
        END AS estimate,
        (SELECT CAST(count(*) AS BIGINT) FROM h) AS exact_distinct
 """.strip()
+
+
+def kmv_distinct_by(df: DataFrame, group_col: str, col: str,
+                    k: int = 256) -> DataFrame:
+    """Per-group KMV: DataFrame[group_col, estimate, exact_distinct].
+
+    Declarative per-group bottom-k: distinct (group, hash) pairs,
+    then a rank window ordered by hash within each group. The window
+    sorts only DISTINCT hashes per group (the distinct aggregation
+    partially combines map-side first); for billion-key groups swap
+    in the same per-partition heap + merge the global kmv_distinct
+    gets from TakeOrdered.
+    """
+    g = F.col(group_col)
+    hashes = df.select(g, kmv_hash(F.col(col)).alias("h")).distinct()
+    from pyspark.sql import Window
+    ranked = hashes.withColumn(
+        "rn", F.row_number().over(Window.partitionBy(g).orderBy("h")))
+    return (
+        ranked.groupBy(group_col)
+        .agg(F.sum((F.col("rn") <= k).cast("long")).alias("nb"),
+             F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("hk"),
+             F.count(F.lit(1)).alias("exact_distinct"))
+        .select(
+            group_col,
+            F.when(F.col("nb") < k, F.col("nb").cast("double"))
+             .otherwise(F.round(F.lit(float(k - 1)) * F.lit(float(KMV_M))
+                                / F.col("hk"), 4))
+             .alias("estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+def kmv_distinct_by_sql(table: str, group_col: str, col: str,
+                        k: int = 256) -> str:
+    """DuckDB twin of kmv_distinct_by."""
+    return f"""
+WITH h AS (
+    SELECT DISTINCT {group_col},
+           ({KMV_A} * CAST({col} AS BIGINT) + {KMV_B}) % {KMV_M} AS h
+    FROM {table}
+), r AS (
+    SELECT {group_col}, h,
+           row_number() OVER (PARTITION BY {group_col} ORDER BY h) AS rn
+    FROM h
+)
+SELECT {group_col},
+       CASE WHEN sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) < {k}
+            THEN CAST(sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS DOUBLE)
+            ELSE round({k - 1} * {KMV_M}.0
+                       / max(CASE WHEN rn <= {k} THEN h END), 4)
+       END AS estimate,
+       CAST(count(*) AS BIGINT) AS exact_distinct
+FROM r GROUP BY {group_col}
+""".strip()

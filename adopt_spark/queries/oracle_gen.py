@@ -470,8 +470,12 @@ _W_EXPR = "1 + (src * 7 + dst * 13) % 10"
 
 
 def shortest_path_sql(edge_sql: str, rounds: int, weighted: bool = False,
-                      directed: bool = True) -> str:
-    """Unrolled frontier-free Bellman-Ford from the min-sid source.
+                      directed: bool = True,
+                      sources_sql: str | None = None) -> str:
+    """Unrolled frontier-free Bellman-Ford from the min-sid source,
+    or from the seed SET given by ``sources_sql`` (a query yielding a
+    single vertex-id column) — the multi-source variant's d0 seeds
+    every listed vertex at distance 0.
 
     Each step is one MATERIALIZED CTE computing
       d_i(v) = min(d_{i-1}(v), min over (u,v) in rel of d_{i-1}(u)+w)
@@ -481,6 +485,12 @@ def shortest_path_sql(edge_sql: str, rounds: int, weighted: bool = False,
     """
     sym = "" if directed else "\n        UNION SELECT tid, sid FROM edge"
     w = _W_EXPR if weighted else "1"
+    if sources_sql is None:
+        d0_body = ("SELECT CAST((SELECT min(sid) FROM edge) AS BIGINT) AS v,\n"
+                   "           CAST(0 AS BIGINT) AS dist")
+    else:
+        d0_body = (f"SELECT CAST(v AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist\n"
+                   f"    FROM ({sources_sql}) s(v)")
     steps = []
     for i in range(1, rounds + 1):
         steps.append(f"""d{i} AS MATERIALIZED (
@@ -498,8 +508,7 @@ def shortest_path_sql(edge_sql: str, rounds: int, weighted: bool = False,
         SELECT sid AS src, tid AS dst FROM edge{sym}
     ) WHERE src <> dst
 ), d0 AS MATERIALIZED (
-    SELECT CAST((SELECT min(sid) FROM edge) AS BIGINT) AS v,
-           CAST(0 AS BIGINT) AS dist
+    {d0_body}
 ), {', '.join(steps)}
 SELECT v, dist FROM d{rounds}"""
 

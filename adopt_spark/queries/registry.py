@@ -1798,6 +1798,28 @@ LINKPRED_MIN_COMMON = 4
 SCC_ID_LIM = 300
 
 
+def q_msbfs_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (min hop distance to a 5-vertex seed set)
+    over the UNDIRECTED sparse graph — the distance-to-seed-set
+    primitive; same unrolled oracle with a seeded d0."""
+    from adopt_spark.algos.paths import shortest_paths
+
+    e = derived_edges_sparse(spark, sf_dir)
+    seeds = [int(r[0]) for r in
+             e.select("sid").distinct().orderBy("sid").limit(5).collect()]
+    dist, _ = shortest_paths(spark, e, seeds, weighted=False, directed=False)
+    return dist.select("v", "dist")
+
+
+def q_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct sketch (customers per order priority);
+    grouped estimates oracle-checked bit-for-bit."""
+    from adopt_spark.functions.sketch import kmv_distinct_by
+
+    return kmv_distinct_by(_t(spark, sf_dir, "orders"),
+                           "o_orderpriority", "o_custkey", k=256)
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient of every deg>=2 vertex of the
     dense graph (per-vertex triangle participation / wedge count)."""
@@ -1907,6 +1929,16 @@ from adopt_spark.functions.sketch import kmv_distinct_sql as _kmv_sql  # noqa: E
 ORACLES["r_kmv_distinct"] = _kmv_sql("orders", "o_custkey", k=256)
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
 
+from adopt_spark.functions.sketch import (  # noqa: E402
+    kmv_distinct_by_sql as _kmv_by_sql,
+)
+
+ORACLES["r_kmv_by_group"] = _kmv_by_sql(
+    "orders", "o_orderpriority", "o_custkey", k=256)
+ORACLES["a_msbfs_seeds"] = _og.shortest_path_sql(
+    SPARSE_EDGE_SQL, _og.BFS_ROUNDS, weighted=False, directed=False,
+    sources_sql="SELECT DISTINCT sid FROM edge ORDER BY sid LIMIT 5")
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -1935,6 +1967,8 @@ def all_queries() -> dict[str, QueryFn]:
         "a_scc_components": q_scc_components,
         "r_kmv_distinct": q_kmv_distinct,
         "g_truss_numbers": q_truss_numbers,
+        "a_msbfs_seeds": q_msbfs_seeds,
+        "r_kmv_by_group": q_kmv_by_group,
         # -- (1) newly oracle-ized (rows-only through round 2)
         "a_pagerank_fixed": q_pagerank_fixed,
         "a_pagerank_top": q_pagerank_top,

@@ -107,3 +107,20 @@ def test_bfs_rounds_within_oracle_budget(spark, powerlaw_small):
     _, m_sssp = shortest_paths(spark, edges, 0, weighted=True, directed=False)
     assert len(m_bfs) <= BFS_ROUNDS
     assert len(m_sssp) <= SSSP_ROUNDS
+
+
+def test_multi_source_bfs(spark, powerlaw_small):
+    edges, pairs = powerlaw_small
+    seeds = [0, 50, 100]
+    dist, _ = bfs_hops(spark, edges, seeds)
+    per_seed = [py_dijkstra(pairs, s, directed=False) for s in seeds]
+    verts = set().union(*[d.keys() for d in per_seed])
+    expected = {v: min(d.get(v, 10**9) for d in per_seed) for v in verts}
+    assert _got(dist) == expected
+
+
+def test_multi_source_equals_single_when_one_seed(spark, powerlaw_small):
+    edges, _ = powerlaw_small
+    a, _ = bfs_hops(spark, edges, 0)
+    b, _ = bfs_hops(spark, edges, [0])
+    assert _got(a) == _got(b)

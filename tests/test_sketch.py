@@ -49,3 +49,37 @@ def test_sql_twin_matches_spark(spark, tmp_path):
     con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
     oc = con.execute(kmv_distinct_sql("t", "x", k=128)).fetchone()
     assert (got["estimate"], got["exact_distinct"]) == (oc[0], oc[1])
+
+
+def test_grouped_kmv_matches_python_and_sql(spark, tmp_path):
+    import duckdb
+    from adopt_spark.functions.sketch import kmv_distinct_by, kmv_distinct_by_sql
+
+    df = spark.range(30_000).selectExpr("id % 3 AS g", "(id * 17) % 9001 AS x")
+    p = str(tmp_path / "g.parquet")
+    df.write.parquet(p)
+    got = {r["g"]: (r["estimate"], r["exact_distinct"])
+           for r in kmv_distinct_by(spark.read.parquet(p), "g", "x", k=128)
+           .collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    oc = {r[0]: (r[1], r[2]) for r in
+          con.execute(kmv_distinct_by_sql("t", "g", "x", k=128)).fetchall()}
+    assert got == oc
+    # python replica for one group
+    vals = {(i * 17) % 9001 for i in range(30_000) if i % 3 == 0}
+    hs = sorted({(KMV_A * v + KMV_B) % KMV_M for v in vals})
+    if len(hs) >= 128:
+        expect = round(127 * KMV_M / hs[127], 4)
+    else:
+        expect = float(len(hs))
+    assert got[0] == (pytest.approx(expect), len(vals))
+
+
+def test_grouped_kmv_small_groups_exact(spark):
+    from adopt_spark.functions.sketch import kmv_distinct_by
+
+    df = spark.range(1000).selectExpr("id % 4 AS g", "id % 20 AS x")
+    rows = kmv_distinct_by(df, "g", "x", k=64).collect()
+    for r in rows:
+        assert r["estimate"] == float(r["exact_distinct"]) == 5.0
