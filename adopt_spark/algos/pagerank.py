@@ -51,17 +51,24 @@ def pagerank(
     num_partitions: int | None = None,
     hub_threshold: int | None = None,
     reset_vertices: list[int] | None = None,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (ranks DataFrame[v: long, rank: double], metrics list).
 
     ``reset_vertices`` switches to personalized PageRank: the teleport
     distribution (and dangling-mass redistribution) becomes uniform
     over the given source set instead of over all vertices.
+    ``weight_col`` switches to WEIGHTED PageRank: each out-edge
+    carries rank proportional to its (strictly positive) weight
+    instead of 1/outdeg — the contribution becomes
+    rank(u) * w(u,v) / Σ_x w(u,x). Unweighted is the w ≡ 1 case.
     """
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    wcols = ([F.col(weight_col).cast("double").alias("w")]
+             if weight_col else [])
     e = edges.select(F.col("sid").cast("long").alias("src"),
-                     F.col("tid").cast("long").alias("dst")) \
+                     F.col("tid").cast("long").alias("dst"), *wcols) \
              .dropDuplicates(["src", "dst"])
     vertices = (
         e.select(F.col("src").alias("v"))
@@ -79,7 +86,10 @@ def pagerank(
     # one checkpoint file; a 10^9-vertex vector still fans out wide.
     rank_parts = max(1, min(parts, n_vertices // 100_000 + 1))
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out "degree" = edge count, or total out-weight when weighted —
+    # either way the per-link share below is w_link / outdeg
+    outdeg = e.groupBy("src").agg(
+        (F.sum("w") if weight_col else F.count(F.lit(1))).alias("outdeg"))
     # One-time layout investment, amortized over every superstep: links
     # hash-partitioned AND sorted by src. The cached relation keeps both
     # outputPartitioning and outputOrdering, so the per-superstep
@@ -91,7 +101,9 @@ def pagerank(
     # plus optional explicit salting (hub_threshold) for degenerate hubs.
     links = (
         e.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_deg"))
+        .select("src", "dst",
+                ((F.col("w") if weight_col else F.lit(1.0))
+                 / F.col("outdeg")).alias("inv_deg"))
         .repartition(parts, "src")
         .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -40,7 +40,8 @@ PR_DAMPING = 0.85
 
 def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
                        damping: float = PR_DAMPING,
-                       top: int | None = None) -> str:
+                       top: int | None = None,
+                       weighted: bool = False) -> str:
     """Fixed-iteration PageRank over the derived edge table.
 
     Recurrence (identical to algos/pagerank.py with tol=0):
@@ -49,6 +50,10 @@ def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
     summed over vertices with no out-edges. Output rounded to 6 dp;
     ``top`` adds ORDER BY rank DESC, v LIMIT top.
     """
+    # per-link share: w/Σw when weighted, 1/outdeg otherwise — the
+    # exact twin of algos/pagerank.py's inv_deg column
+    contrib = ("sum(pr.r * e.w / od.outdeg)" if weighted
+               else "sum(pr.r / od.outdeg)")
     steps = []
     for i in range(1, k_iters + 1):
         prev = f"r{i-1}"
@@ -62,19 +67,24 @@ def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
     FROM verts
     JOIN pp p ON p.v = verts.v
     LEFT JOIN (
-        SELECT e.tid AS v, sum(pr.r / od.outdeg) AS contrib
+        SELECT e.tid AS v, {contrib} AS contrib
         FROM edge e JOIN {prev} pr ON pr.v = e.sid
         JOIN outdeg od ON od.sid = e.sid
         GROUP BY e.tid
     ) c ON c.v = verts.v
 )""")
     tail = f"\nORDER BY rank DESC, v LIMIT {top}" if top else ""
+    edge_cols = ("SELECT sid, tid, CAST(1 + (sid * 7 + tid * 13) % 10 "
+                 "AS DOUBLE) AS w FROM (\n{0}\n)".format(edge_sql)
+                 if weighted else edge_sql)
+    od = ("SELECT sid, sum(w) AS outdeg FROM edge GROUP BY sid" if weighted
+          else "SELECT sid, count(*) AS outdeg FROM edge GROUP BY sid")
     return f"""WITH edge AS MATERIALIZED (
-{edge_sql}
+{edge_cols}
 ), verts AS MATERIALIZED (
     SELECT sid AS v FROM edge UNION SELECT tid FROM edge
 ), outdeg AS MATERIALIZED (
-    SELECT sid, count(*) AS outdeg FROM edge GROUP BY sid
+    {od}
 ), pp AS MATERIALIZED (
     SELECT v, 1.0 / (SELECT count(*) FROM verts) AS p FROM verts
 ), r0 AS MATERIALIZED (
@@ -563,3 +573,49 @@ SELECT sid, tid, CAST(max(k) AS INTEGER) AS truss FROM (
     UNION ALL
     {tagged}
 ) GROUP BY sid, tid"""
+
+
+# ---------------------------------------------------------------- HITS
+
+HITS_ITERS = 12
+
+
+def hits_fixed_sql(edge_sql: str, k_iters: int = HITS_ITERS) -> str:
+    """Fixed-iteration HITS with L1 normalization — the exact twin of
+    algos/hits.py: auth ← Σ hub over in-edges then /Σ, hub ← Σ auth
+    over out-edges then /Σ. Output (v, auth, hub) rounded to 6 dp."""
+    steps = []
+    for i in range(1, k_iters + 1):
+        prev = f"s{i-1}"
+        steps.append(f"""ar{i} AS MATERIALIZED (
+    SELECT verts.v, coalesce(x.raw, 0.0) AS raw FROM verts
+    LEFT JOIN (
+        SELECT e.tid AS v, sum(p.hub) AS raw
+        FROM edge e JOIN {prev} p ON p.v = e.sid GROUP BY e.tid
+    ) x ON x.v = verts.v
+), a{i} AS MATERIALIZED (
+    SELECT v, raw / greatest((SELECT sum(raw) FROM ar{i}), 1e-300) AS auth
+    FROM ar{i}
+), hr{i} AS MATERIALIZED (
+    SELECT verts.v, coalesce(x.raw, 0.0) AS raw FROM verts
+    LEFT JOIN (
+        SELECT e.sid AS v, sum(a.auth) AS raw
+        FROM edge e JOIN a{i} a ON a.v = e.tid GROUP BY e.sid
+    ) x ON x.v = verts.v
+), s{i} AS MATERIALIZED (
+    SELECT a{i}.v, a{i}.auth,
+           hr{i}.raw / greatest((SELECT sum(raw) FROM hr{i}), 1e-300) AS hub
+    FROM a{i} JOIN hr{i} ON hr{i}.v = a{i}.v
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), verts AS MATERIALIZED (
+    SELECT sid AS v FROM edge UNION SELECT tid FROM edge
+), s0 AS MATERIALIZED (
+    SELECT v, 1.0 / (SELECT count(*) FROM verts) AS auth,
+           1.0 / (SELECT count(*) FROM verts) AS hub
+    FROM verts
+), {', '.join(steps)}
+SELECT v, CAST(round(auth, 6) AS DOUBLE) AS auth,
+       CAST(round(hub, 6) AS DOUBLE) AS hub
+FROM s{k_iters}"""

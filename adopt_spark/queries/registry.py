@@ -1798,6 +1798,32 @@ LINKPRED_MIN_COMMON = 4
 SCC_ID_LIM = 300
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank (per-edge contract weights 1..10): full
+    per-vertex vector at PR_ITERS supersteps vs the weighted unrolled
+    recurrence (rank flows w/Σw per link instead of 1/outdeg)."""
+    from adopt_spark.algos.paths import contract_weight
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    e = derived_edges(spark, sf_dir).withColumn(
+        "w", contract_weight(F.col("sid"), F.col("tid")).cast("double"))
+    ranks, _ = pagerank(spark, e, tol=0.0, max_iter=PR_ITERS, weight_col="w")
+    return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities at HITS_ITERS fixed iterations, L1-
+    normalized; full per-vertex (auth, hub) vector vs the unrolled
+    oracle."""
+    from adopt_spark.algos.hits import hits
+    from adopt_spark.queries.oracle_gen import HITS_ITERS
+
+    state, _ = hits(spark, derived_edges(spark, sf_dir),
+                    max_iter=HITS_ITERS)
+    return state.select("v", F.round("auth", 6).alias("auth"),
+                        F.round("hub", 6).alias("hub"))
+
+
 def q_msbfs_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (min hop distance to a 5-vertex seed set)
     over the UNDIRECTED sparse graph — the distance-to-seed-set
@@ -1938,6 +1964,9 @@ ORACLES["r_kmv_by_group"] = _kmv_by_sql(
 ORACLES["a_msbfs_seeds"] = _og.shortest_path_sql(
     SPARSE_EDGE_SQL, _og.BFS_ROUNDS, weighted=False, directed=False,
     sources_sql="SELECT DISTINCT sid FROM edge ORDER BY sid LIMIT 5")
+ORACLES["a_pagerank_weighted"] = _og.pagerank_fixed_sql(
+    DERIVED_EDGE_SQL, weighted=True)
+ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -1969,6 +1998,8 @@ def all_queries() -> dict[str, QueryFn]:
         "g_truss_numbers": q_truss_numbers,
         "a_msbfs_seeds": q_msbfs_seeds,
         "r_kmv_by_group": q_kmv_by_group,
+        "a_pagerank_weighted": q_pagerank_weighted,
+        "a_hits_scores": q_hits_scores,
         # -- (1) newly oracle-ized (rows-only through round 2)
         "a_pagerank_fixed": q_pagerank_fixed,
         "a_pagerank_top": q_pagerank_top,

@@ -98,6 +98,20 @@ def main() -> None:
     connected_components(spark, corpus_edges)
     timings["cc"] = round(time.time() - t0, 3)
 
+    # --- weighted SSSP on the dense graph (round-3 iterative op)
+    from adopt_spark.algos.paths import shortest_paths
+
+    def run_sssp():
+        src = int(edges.agg(F.min("sid")).collect()[0][0])
+        d, m = shortest_paths(spark, edges, src, weighted=True, directed=True)
+        d.count()
+        return m
+
+    t0 = time.time()
+    sssp_metrics = run_sssp()
+    timings["sssp"] = round(time.time() - t0, 3)
+    extras["sssp_rounds"] = len(sssp_metrics)
+
     # --- relational / text / similarity slice via the registry
     qs = all_queries()
     for name in ("r_q1_pricing", "r_join_q3", "r_join_q5ish", "r_window_rank",
