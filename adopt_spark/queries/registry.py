@@ -1798,6 +1798,16 @@ LINKPRED_MIN_COMMON = 4
 SCC_ID_LIM = 300
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-hour distinct-user KMV estimates (bounded O(k)
+    state per window via applyInPandasWithState); the mergeable-
+    sketch identity makes the stream's final estimates equal batch
+    KMV, so the batch DuckDB twin checks them value-for-value."""
+    from adopt_spark.streaming.sketch_stream import windowed_distinct_kmv_stream
+
+    return windowed_distinct_kmv_stream(spark, sf_dir, k=32)
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEIGHTED PageRank (per-edge contract weights 1..10): full
     per-vertex vector at PR_ITERS supersteps vs the weighted unrolled
@@ -1968,6 +1978,31 @@ ORACLES["a_pagerank_weighted"] = _og.pagerank_fixed_sql(
     DERIVED_EDGE_SQL, weighted=True)
 ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
 
+from adopt_spark.functions.sketch import (  # noqa: E402
+    KMV_A as _KA, KMV_B as _KB, KMV_M as _KM,
+)
+
+ORACLES["e_stream_kmv"] = f"""
+WITH h AS (
+    SELECT DISTINCT
+        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+            AS window_start,
+        ({_KA} * CAST(user_id AS BIGINT) + {_KB}) % {_KM} AS h
+    FROM events
+), r AS (
+    SELECT window_start, h,
+           row_number() OVER (PARTITION BY window_start ORDER BY h) AS rn
+    FROM h
+)
+SELECT window_start,
+       CASE WHEN sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END) < 32
+            THEN CAST(sum(CASE WHEN rn <= 32 THEN 1 ELSE 0 END) AS DOUBLE)
+            ELSE round(31 * {_KM}.0
+                       / max(CASE WHEN rn <= 32 THEN h END), 4)
+       END AS estimate
+FROM r GROUP BY window_start
+""".strip()
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -2000,6 +2035,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_kmv_by_group": q_kmv_by_group,
         "a_pagerank_weighted": q_pagerank_weighted,
         "a_hits_scores": q_hits_scores,
+        "e_stream_kmv": q_stream_kmv,
         # -- (1) newly oracle-ized (rows-only through round 2)
         "a_pagerank_fixed": q_pagerank_fixed,
         "a_pagerank_top": q_pagerank_top,

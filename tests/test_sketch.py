@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -83,3 +85,46 @@ def test_grouped_kmv_small_groups_exact(spark):
     rows = kmv_distinct_by(df, "g", "x", k=64).collect()
     for r in rows:
         assert r["estimate"] == float(r["exact_distinct"]) == 5.0
+
+
+def test_streaming_kmv_single_and_multi_batch_match_batch(spark, tmp_path):
+    """The mergeable-sketch identity: streaming fold (1 file, or 3
+    micro-batches) equals batch KMV per window, value-for-value."""
+    import numpy as np
+    import pandas as pd
+
+    from adopt_spark.functions.sketch import KMV_A, KMV_B, KMV_M
+    from adopt_spark.streaming.sketch_stream import windowed_distinct_kmv_stream
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ts = pd.to_datetime("2024-03-01") + pd.to_timedelta(
+        rng.integers(0, 4 * 3600, n), unit="s")
+    df = pd.DataFrame({"ts": ts, "user_id": rng.integers(0, 500, n)})
+    df = df.sort_values("ts").reset_index(drop=True)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, part in enumerate(np.array_split(df, 3)):
+        out_part = part.drop(columns=["w"], errors="ignore").copy()
+        out_part["ts"] = out_part["ts"].astype("datetime64[us]")
+        out_part.to_parquet(str(src / f"f{i}.parquet"))
+        os.utime(str(src / f"f{i}.parquet"), (1000 + i, 1000 + i))
+
+    # python batch oracle per hour window
+    k = 32
+    expect = {}
+    df["w"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+    for w, grp in df.groupby("w"):
+        hs = sorted({(KMV_A * int(u) + KMV_B) % KMV_M
+                     for u in grp["user_id"]})
+        expect[w] = (float(len(hs)) if len(hs) < k
+                     else round((k - 1) * KMV_M / hs[k - 1], 4))
+
+    for trigger in (None, 1):
+        out = windowed_distinct_kmv_stream(
+            spark, None, k=k, source_dir=str(src),
+            max_files_per_trigger=trigger)
+        got = {r["window_start"]: r["estimate"] for r in out.collect()}
+        assert got == expect, f"trigger={trigger}"
+
+
