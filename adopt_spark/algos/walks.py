@@ -1,0 +1,127 @@
+"""Deterministic random-walk corpus generation.
+
+Random walks are the standard precursor to graph embeddings
+(DeepWalk / node2vec feed walk "sentences" into word2vec); at
+100 TB the walk corpus is itself a big dataset, so generation must
+be distributed and restart-safe. Here the "randomness" is a
+deterministic integer mix of (walk_id, step, current-vertex) — the
+same shared-hash trick the KMV/LSH oracles use — which buys three
+properties a seeded RNG cannot give in a distributed setting:
+
+  * parallelism-independence: the walk taken from vertex v does not
+    depend on partitioning, task retries, or scheduling;
+  * resumability: any step can be recomputed from its state alone;
+  * oracle-checkability: DuckDB replays the exact walks with a
+    row_number index over the same sorted adjacency.
+
+Per step, every active walk advances to
+  next = sorted_out_neighbors(cur)[ mix(walk_id, step, cur) % outdeg ]
+and a walk ends early at a vertex with no out-edges (inner join drops
+it — the truncating-walk convention).
+
+Spark plan: the sorted-adjacency layout (one groupBy(src) shuffle,
+arrays O(sqrt E) under orientation or raw out-degree here) is built
+once and cached; each step is one equi-join of the vertex-sized
+walker state against it plus an element_at — no Python, no RNG, no
+collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Mix constants: Knuth multiplicative + two 32-bit primes, mod the
+# Mersenne prime 2^31-1. Exact in BIGINT for vertex ids < ~2^31 and
+# identical in Spark pmod / DuckDB % (nonnegative operands).
+MIX_A1 = 2_654_435_761
+MIX_A2 = 40_503
+MIX_A3 = 2_246_822_519
+MIX_B = 104_729
+MIX_M = 2_147_483_647
+
+MIX_SQL = (f"({MIX_A1} * walk_id + {MIX_A2} * {{step}} + {MIX_A3} * cur "
+           f"+ {MIX_B}) % {MIX_M}")
+
+
+def _mix(walk_id: Column, step: int, cur: Column) -> Column:
+    return F.pmod(F.lit(MIX_A1) * walk_id + F.lit(MIX_A2 * step)
+                  + F.lit(MIX_A3) * cur + F.lit(MIX_B), F.lit(MIX_M))
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One deterministic walk per source vertex; returns
+    DataFrame[walk_id, step, v] with step 0 = the start vertex and
+    walks truncated at dangling vertices.
+    """
+    parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (edges.select(F.col("sid").cast("long").alias("src"),
+                      F.col("tid").cast("long").alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .dropDuplicates(["src", "dst"]))
+    adj = (e.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("adj"),
+                F.count(F.lit(1)).alias("deg"))
+           .repartition(parts, "src")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    adj.count()
+
+    state = e.select(F.col("src").alias("walk_id")).distinct() \
+             .select("walk_id", F.col("walk_id").alias("cur"))
+    outputs = [state.select("walk_id", F.lit(0).alias("step"),
+                            F.col("cur").alias("v"))]
+    for step in range(1, length + 1):
+        nxt = (
+            state.join(adj.withColumnRenamed("src", "cur"), "cur")
+            .select(
+                "walk_id",
+                F.element_at(
+                    F.col("adj"),
+                    (F.pmod(_mix(F.col("walk_id"), step, F.col("cur")),
+                            F.col("deg")) + F.lit(1)).cast("int")
+                ).alias("cur"),
+            )
+        )
+        state = nxt.localCheckpoint(eager=True)
+        outputs.append(state.select("walk_id", F.lit(step).alias("step"),
+                                    F.col("cur").alias("v")))
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionAll(o)
+    adj.unpersist()
+    return out
+
+
+def random_walks_sql(edge_sql: str, length: int = 8) -> str:
+    """DuckDB twin: replays the identical walks via a row_number
+    index over the same sorted adjacency."""
+    steps = []
+    for i in range(1, length + 1):
+        mix = MIX_SQL.format(step=i)
+        steps.append(f"""w{i} AS MATERIALIZED (
+    SELECT w.walk_id, a.tid AS cur
+    FROM w{i-1} w JOIN adj a
+      ON a.sid = w.cur AND a.idx = ({mix}) % a.deg
+)""")
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT walk_id, {i} AS step, cur AS v FROM w{i}"
+        for i in range(0, length + 1))
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), adj AS MATERIALIZED (
+    SELECT sid, tid,
+           row_number() OVER (PARTITION BY sid ORDER BY tid) - 1 AS idx,
+           count(*) OVER (PARTITION BY sid) AS deg
+    FROM (SELECT DISTINCT sid, tid FROM edge WHERE sid <> tid)
+), w0 AS MATERIALIZED (
+    SELECT DISTINCT sid AS walk_id, sid AS cur FROM adj
+), {', '.join(steps)}
+SELECT walk_id, CAST(step AS INTEGER) AS step, v FROM (
+    {sel}
+)"""

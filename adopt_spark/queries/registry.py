@@ -1798,6 +1798,15 @@ LINKPRED_MIN_COMMON = 4
 SCC_ID_LIM = 300
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic walk corpus (one 8-step walk per vertex of the
+    dense graph); the DuckDB twin replays every step via the shared
+    integer mix over the same sorted adjacency."""
+    from adopt_spark.algos.walks import random_walks
+
+    return random_walks(spark, derived_edges(spark, sf_dir), length=8)
+
+
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING per-hour distinct-user KMV estimates (bounded O(k)
     state per window via applyInPandasWithState); the mergeable-
@@ -1978,6 +1987,10 @@ ORACLES["a_pagerank_weighted"] = _og.pagerank_fixed_sql(
     DERIVED_EDGE_SQL, weighted=True)
 ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
 
+from adopt_spark.algos.walks import random_walks_sql as _walks_sql  # noqa: E402
+
+ORACLES["a_random_walks"] = _walks_sql(DERIVED_EDGE_SQL, length=8)
+
 from adopt_spark.functions.sketch import (  # noqa: E402
     KMV_A as _KA, KMV_B as _KB, KMV_M as _KM,
 )
@@ -2036,6 +2049,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_pagerank_weighted": q_pagerank_weighted,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
+        "a_random_walks": q_random_walks,
         # -- (1) newly oracle-ized (rows-only through round 2)
         "a_pagerank_fixed": q_pagerank_fixed,
         "a_pagerank_top": q_pagerank_top,
