@@ -619,3 +619,66 @@ def hits_fixed_sql(edge_sql: str, k_iters: int = HITS_ITERS) -> str:
 SELECT v, CAST(round(auth, 6) AS DOUBLE) AS auth,
        CAST(round(hub, 6) AS DOUBLE) AS hub
 FROM s{k_iters}"""
+
+
+# ------------------------------------------------- betweenness (Brandes)
+
+# Forward-level budget for the unrolled Brandes oracle: the dense
+# directed contract graph has eccentricity <= 5 from the low-id
+# pivots at both test SFs; 8 leaves margin (extra levels are empty
+# CTEs, so over-budget is free).
+BRANDES_LEVELS = 8
+BRANDES_PIVOTS = 4
+
+
+def betweenness_sql(edge_sql: str, n_pivots: int = BRANDES_PIVOTS,
+                    levels: int = BRANDES_LEVELS) -> str:
+    """Unrolled Brandes from the ``n_pivots`` lowest distinct source
+    vertices: per pivot, BFS levels with BIGINT path counts forward,
+    dependency accumulation backward; bc(v) = Σ pivots' δ (pivot
+    itself excluded). Output (v, bc) rounded to 6 dp."""
+    parts = []
+    arms = []
+    for p in range(n_pivots):
+        piv = (f"(SELECT DISTINCT sid FROM edge ORDER BY sid "
+               f"LIMIT 1 OFFSET {p})")
+        parts.append(f"""f{p}_0 AS MATERIALIZED (
+    SELECT CAST({piv} AS BIGINT) AS v, CAST(1 AS BIGINT) AS sigma
+), vis{p}_0 AS MATERIALIZED (SELECT v FROM f{p}_0)""")
+        for i in range(1, levels + 1):
+            parts.append(f"""f{p}_{i} AS MATERIALIZED (
+    SELECT e.tid AS v, sum(f.sigma) AS sigma
+    FROM f{p}_{i-1} f JOIN edge e ON e.sid = f.v
+    WHERE e.tid NOT IN (SELECT v FROM vis{p}_{i-1})
+    GROUP BY e.tid
+), vis{p}_{i} AS MATERIALIZED (
+    SELECT v FROM vis{p}_{i-1} UNION ALL SELECT v FROM f{p}_{i}
+)""")
+        parts.append(f"""d{p}_{levels} AS MATERIALIZED (
+    SELECT v, 0.0 AS delta FROM f{p}_{levels}
+)""")
+        for i in range(levels - 1, -1, -1):
+            parts.append(f"""d{p}_{i} AS MATERIALIZED (
+    SELECT f.v, f.sigma * coalesce(c.terms, 0.0) AS delta
+    FROM f{p}_{i} f LEFT JOIN (
+        SELECT e.sid AS v, sum((1.0 + dn.delta) / fn.sigma) AS terms
+        FROM edge e
+        JOIN f{p}_{i+1} fn ON fn.v = e.tid
+        JOIN d{p}_{i+1} dn ON dn.v = e.tid
+        GROUP BY e.sid
+    ) c ON c.v = f.v
+)""")
+        arms += [f"SELECT v, delta FROM d{p}_{i} WHERE v <> {piv}"
+                 for i in range(0, levels + 1)]
+    union = "\n        UNION ALL\n        ".join(arms)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), verts AS MATERIALIZED (
+    SELECT sid AS v FROM edge UNION SELECT tid FROM edge
+), {', '.join(parts)}
+SELECT verts.v AS v,
+       CAST(round(coalesce(sum(t.delta), 0.0), 6) AS DOUBLE) AS bc
+FROM verts LEFT JOIN (
+        {union}
+) t ON t.v = verts.v
+GROUP BY verts.v"""

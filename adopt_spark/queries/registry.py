@@ -1798,6 +1798,20 @@ LINKPRED_MIN_COMMON = 4
 SCC_ID_LIM = 300
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-set betweenness (Brandes from the 4 lowest sources) on
+    the directed dense graph; full per-vertex dependency sums vs the
+    unrolled forward-sigma/backward-delta oracle."""
+    from adopt_spark.algos.betweenness import betweenness_from_pivots
+    from adopt_spark.queries.oracle_gen import BRANDES_PIVOTS
+
+    e = derived_edges(spark, sf_dir)
+    pivots = [int(r[0]) for r in e.select("sid").distinct()
+              .orderBy("sid").limit(BRANDES_PIVOTS).collect()]
+    out, _ = betweenness_from_pivots(spark, e, pivots)
+    return out.select("v", F.round("bc", 6).alias("bc"))
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic walk corpus (one 8-step walk per vertex of the
     dense graph); the DuckDB twin replays every step via the shared
@@ -1990,6 +2004,7 @@ ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
 from adopt_spark.algos.walks import random_walks_sql as _walks_sql  # noqa: E402
 
 ORACLES["a_random_walks"] = _walks_sql(DERIVED_EDGE_SQL, length=8)
+ORACLES["a_betweenness"] = _og.betweenness_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.functions.sketch import (  # noqa: E402
     KMV_A as _KA, KMV_B as _KB, KMV_M as _KM,
@@ -2050,6 +2065,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,
+        "a_betweenness": q_betweenness,
         # -- (1) newly oracle-ized (rows-only through round 2)
         "a_pagerank_fixed": q_pagerank_fixed,
         "a_pagerank_top": q_pagerank_top,
