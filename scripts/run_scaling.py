@@ -114,7 +114,11 @@ def write_outputs(lo: dict, hi: dict, hw: dict) -> None:
                  hi["pagerank_sec_per_superstep"])
     eff_tri = eff(lo["triangle_cogroup_sec"], hi["triangle_cogroup_sec"])
     eff_trij = eff(lo["triangle_join_sec"], hi["triangle_join_sec"])
+    eff_sssp = (eff(lo["sssp_sec_per_round"], hi["sssp_sec_per_round"])
+                if "sssp_sec_per_round" in lo and "sssp_sec_per_round" in hi
+                else None)
     result = {"low": lo, "high": hi, "hardware_baseline": hw,
+              "efficiency_sssp": eff_sssp,
               "efficiency_pagerank": eff_pr,
               "efficiency_triangle_cogroup": eff_tri,
               "efficiency_triangle_join": eff_trij,
@@ -144,6 +148,7 @@ Input: deterministic Chung-Lu graph with Pareto out-degrees capped at
 | PageRank edges/sec/superstep | {lo["pagerank_edges_per_sec"]:,.0f} | {hi["pagerank_edges_per_sec"]:,.0f} | — | — |
 | Triangle count, auto-chosen plan (wedge join) wall sec | {lo["triangle_join_sec"]} | {hi["triangle_join_sec"]} | {lo["triangle_join_sec"]/hi["triangle_join_sec"]:.2f}× | **{eff_trij:.3f}** |
 | Triangle count, cogroup kernel (forced) wall sec | {lo["triangle_cogroup_sec"]} | {hi["triangle_cogroup_sec"]} | {lo["triangle_cogroup_sec"]/hi["triangle_cogroup_sec"]:.2f}× | **{eff_tri:.3f}** |
+{(f"| Weighted SSSP sec/round (median, {lo['sssp_rounds']} rounds) | {lo['sssp_sec_per_round']} | {hi['sssp_sec_per_round']} | {lo['sssp_sec_per_round']/hi['sssp_sec_per_round']:.2f}× | **{eff_sssp:.3f}** |" if eff_sssp else "")}
 | hardware busy-loop baseline (no Spark) | {hw[LOW]} | {hw[HIGH]} | {hw[HIGH]/hw[LOW]:.2f}× | {hw["efficiency"]:.3f} |
 
 Efficiency = (T_N / T_4N) / 4, on the median superstep / median rep.

@@ -2,7 +2,7 @@
 
 Usage: python scripts/scaling_job.py <cpus> <edges_parquet> <out_json> [parts]
 
-``parts`` (default ``pr,cogroup,join``) selects which measurements run,
+``parts`` (default ``pr,cogroup,join``; also ``sssp``) selects which measurements run,
 so a single part can be re-measured without paying for the others:
 
   pr       — PageRank for a FIXED number of supersteps (identical work
@@ -88,6 +88,26 @@ def main() -> None:
             f"triangle_{method}_sec": statistics.median(secs),
             f"triangle_{method}_secs": secs,
             "n_triangles": n_triangles,
+        })
+
+    if "sssp" in parts:
+        # weighted SSSP from vertex 0: the round count is a property of
+        # the graph, not the parallelism, so the work is identical at
+        # every level; median round time is the scaling statistic.
+        from adopt_spark.algos.paths import shortest_paths
+
+        t0 = time.time()
+        dist, metrics = shortest_paths(spark, edges, 0, weighted=True,
+                                       directed=True)
+        n_reached = dist.count()
+        sssp_sec = time.time() - t0
+        per_round = statistics.median(m["sec"] for m in metrics)
+        out.update({
+            "sssp_rounds": len(metrics),
+            "sssp_reached": n_reached,
+            "sssp_total_sec": round(sssp_sec, 3),
+            "sssp_sec_per_round": round(per_round, 3),
+            "sssp_round_secs": [round(m["sec"], 3) for m in metrics],
         })
 
     with open(out_path, "w") as f:
