@@ -41,13 +41,18 @@ PR_DAMPING = 0.85
 def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
                        damping: float = PR_DAMPING,
                        top: int | None = None,
-                       weighted: bool = False) -> str:
+                       weighted: bool = False,
+                       personalized: int | None = None) -> str:
     """Fixed-iteration PageRank over the derived edge table.
 
     Recurrence (identical to algos/pagerank.py with tol=0):
-      r_{t+1}(v) = (1-d)/N + d * (contrib_t(v) + dangling_t / N)
+      r_{t+1}(v) = (1-d)*p(v) + d * (contrib_t(v) + dangling_t * p(v))
     with contrib from out-degree-normalized in-edges and dangling mass
-    summed over vertices with no out-edges. Output rounded to 6 dp;
+    summed over vertices with no out-edges. p is uniform 1/N, or —
+    when ``personalized=K`` — uniform over the K smallest vertex ids
+    and zero elsewhere (personalized PageRank: teleport AND dangling
+    redistribution both follow p, and r0 = p, exactly like
+    algos/pagerank.py with reset_vertices). Output rounded to 6 dp;
     ``top`` adds ORDER BY rank DESC, v LIMIT top.
     """
     # per-link share: w/Σw when weighted, 1/outdeg otherwise — the
@@ -79,16 +84,24 @@ def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
                  if weighted else edge_sql)
     od = ("SELECT sid, sum(w) AS outdeg FROM edge GROUP BY sid" if weighted
           else "SELECT sid, count(*) AS outdeg FROM edge GROUP BY sid")
+    if personalized:
+        rset = f"""), rset AS MATERIALIZED (
+    SELECT v FROM verts ORDER BY v LIMIT {personalized}"""
+        pp = (f"SELECT verts.v, CASE WHEN verts.v IN (SELECT v FROM rset) "
+              f"THEN 1.0 / {personalized} ELSE 0.0 END AS p FROM verts")
+    else:
+        rset = ""
+        pp = "SELECT v, 1.0 / (SELECT count(*) FROM verts) AS p FROM verts"
     return f"""WITH edge AS MATERIALIZED (
 {edge_cols}
 ), verts AS MATERIALIZED (
-    SELECT sid AS v FROM edge UNION SELECT tid FROM edge
+    SELECT sid AS v FROM edge UNION SELECT tid FROM edge{rset}
 ), outdeg AS MATERIALIZED (
     {od}
 ), pp AS MATERIALIZED (
-    SELECT v, 1.0 / (SELECT count(*) FROM verts) AS p FROM verts
+    {pp}
 ), r0 AS MATERIALIZED (
-    SELECT v, 1.0 / (SELECT count(*) FROM verts) AS r FROM verts
+    SELECT v, p AS r FROM pp
 ), {', '.join(steps)}
 SELECT v, CAST(round(r, 6) AS DOUBLE) AS rank FROM r{k_iters}{tail}"""
 

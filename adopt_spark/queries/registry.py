@@ -1844,6 +1844,26 @@ def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_pagerank_personal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (reset_vertices = the 3 smallest vertex
+    ids): teleport and dangling redistribution follow the reset
+    distribution, r0 = p. Full per-vertex vector at PR_ITERS fixed
+    supersteps vs the personalized unrolled recurrence
+    (oracle_gen.pagerank_fixed_sql(personalized=3))."""
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    e = derived_edges(spark, sf_dir)
+    seeds = [
+        int(r[0])
+        for r in (e.select(F.col("sid").alias("v"))
+                  .union(e.select(F.col("tid").alias("v")))
+                  .distinct().orderBy("v").limit(3).collect())
+    ]
+    ranks, _ = pagerank(spark, e, tol=0.0, max_iter=PR_ITERS,
+                        reset_vertices=seeds)
+    return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities at HITS_ITERS fixed iterations, L1-
     normalized; full per-vertex (auth, hub) vector vs the unrolled
@@ -1999,6 +2019,8 @@ ORACLES["a_msbfs_seeds"] = _og.shortest_path_sql(
     sources_sql="SELECT DISTINCT sid FROM edge ORDER BY sid LIMIT 5")
 ORACLES["a_pagerank_weighted"] = _og.pagerank_fixed_sql(
     DERIVED_EDGE_SQL, weighted=True)
+ORACLES["a_pagerank_personal"] = _og.pagerank_fixed_sql(
+    DERIVED_EDGE_SQL, personalized=3)
 ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.algos.walks import random_walks_sql as _walks_sql  # noqa: E402
@@ -2063,6 +2085,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_msbfs_seeds": q_msbfs_seeds,
         "r_kmv_by_group": q_kmv_by_group,
         "a_pagerank_weighted": q_pagerank_weighted,
+        "a_pagerank_personal": q_pagerank_personal,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

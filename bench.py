@@ -25,6 +25,48 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _hw_calibration() -> dict:
+    """Fixed numpy busy-work measured immediately before the suite —
+    a same-box noise gauge for this VM's documented bursty CPU (the
+    identical binary workload has measured 1x-6x wall-time swings
+    between runs). Readers comparing BENCH_r{N}.json across rounds
+    should read suite seconds relative to these two constants:
+    `hw_calib_1p_sec` (single process) and `hw_calib_8p_sec`
+    (8 concurrent processes, which also senses all-core throttling /
+    co-tenant contention). The work is fixed and deterministic, so on
+    an idle box both numbers are stable run-to-run.
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(reps: int) -> None:
+        rng = np.random.default_rng(0)
+        keys = np.sort(rng.integers(0, 1 << 40, 2_000_000))
+        q = rng.integers(0, 1 << 40, 500_000)
+        for _ in range(reps):
+            np.searchsorted(keys, q)
+
+    t0 = time.time()
+    burn(10)
+    one = round(time.time() - t0, 3)
+    t0 = time.time()
+    with mp.Pool(8) as p:
+        p.map(_burn_child, [10] * 8)
+    eight = round(time.time() - t0, 3)
+    return {"hw_calib_1p_sec": one, "hw_calib_8p_sec": eight}
+
+
+def _burn_child(reps: int) -> None:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    keys = np.sort(rng.integers(0, 1 << 40, 2_000_000))
+    q = rng.integers(0, 1 << 40, 500_000)
+    for _ in range(reps):
+        np.searchsorted(keys, q)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -43,7 +85,7 @@ def main() -> None:
 
     spark = get_spark("bench", cpus=CPUS)
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict[str, float] = dict(_hw_calibration())
 
     def timed(name, fn):
         t0 = time.time()
