@@ -119,3 +119,39 @@ def common_neighbor_scores(
              F.round(F.sum(F.lit(1.0) / F.log(F.col("wdeg"))), 6).alias("aa"))
     )
     return scored.where(F.col("cn") >= min_common)
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """One-row directed-graph summary: |V|, |E|, avg/max out- and
+    in-degree, and the degree assortativity — the Pearson correlation
+    between src out-degree and dst in-degree over the edge list (the
+    directed analogue of Newman's r; hub-to-hub-heavy graphs score
+    positive, hub-to-leaf negative).
+
+    Scale shape: two degree aggregations (map-side partial agg), two
+    bounded equi-joins back onto the edge list for the per-edge
+    (outdeg, indeg) pairs, then single-row aggregates cross-joined —
+    nothing driver-side. Averages are over vertices that HAVE the
+    respective degree (out-rows / in-rows), matching the SQL oracle.
+    """
+    e = edges.select(F.col("sid").cast("long").alias("sid"),
+                     F.col("tid").cast("long").alias("tid")) \
+             .dropDuplicates(["sid", "tid"])
+    outd = e.groupBy("sid").agg(F.count(F.lit(1)).alias("outdeg"))
+    ind = e.groupBy("tid").agg(F.count(F.lit(1)).alias("indeg"))
+    per_edge = e.join(outd, "sid").join(ind, "tid")
+    nv = (e.select(F.col("sid").alias("v"))
+          .union(e.select(F.col("tid").alias("v")))
+          .distinct()
+          .agg(F.count(F.lit(1)).alias("n_vertices")))
+    base = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    od = outd.agg(F.round(F.avg("outdeg"), 6).alias("avg_outdeg"),
+                  F.max("outdeg").alias("max_outdeg"))
+    idg = ind.agg(F.round(F.avg("indeg"), 6).alias("avg_indeg"),
+                  F.max("indeg").alias("max_indeg"))
+    assort = per_edge.agg(
+        F.round(F.corr(F.col("outdeg").cast("double"),
+                       F.col("indeg").cast("double")), 6)
+         .alias("assortativity"))
+    return (nv.crossJoin(base).crossJoin(od).crossJoin(idg)
+            .crossJoin(assort))

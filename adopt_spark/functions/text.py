@@ -179,3 +179,46 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(text_col))
         .withColumn("lang_pred", lang_id(F.col(text_col)))
     )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
+                    k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document -> (doc_id, term, tfidf, rn).
+
+    Tokens are lowercased whitespace splits (the repo's cross-engine
+    token convention, same as dedup.word n-grams). Smooth IDF:
+    ``idf = ln((N + 1) / (df + 1)) + 1`` rounded to 6 dp BEFORE the
+    tf multiply, so the score both engines rank by is the identical
+    IEEE double (ln() may differ in the last ulp between libms; the
+    6-dp quantization absorbs that). Ties break on term ASC.
+
+    Scale shape: two hash aggregations with map-side partial agg
+    (doc-term tf, then term df), one equi-join on term (AQE handles
+    hot stopword terms), one per-doc window. Nothing driver-side
+    except the N scalar. Reference parity: this is a new-engine
+    training-data op (no ADOPT counterpart); tokenization matches
+    functions/dedup.py:306.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+         .alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select("doc_id").distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0), 6)
+    scored = tf.join(dfreq, "term").select(
+        "doc_id", "term",
+        (F.col("tf").cast("double") * idf).alias("tfidf"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("doc_id", "term",
+                    F.round("tfidf", 4).alias("tfidf"),
+                    F.col("rn").cast("int").alias("rn")))

@@ -908,6 +908,37 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", token_count("text").alias("n_tokens"))
 
 
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row graph summary over the derived edge table: |V|, |E|,
+    avg/max out- and in-degree, directed degree assortativity
+    (Pearson over per-edge (outdeg(src), indeg(dst)))."""
+    from adopt_spark.algos.vertex_metrics import degree_stats
+
+    return degree_stats(derived_edges(spark, sf_dir))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gate stratified sample of documents:
+    keep 200/1000 of 'en', 800/1000 of 'zh', 500/1000 elsewhere.
+    Pure Column filter (no rand(), no shuffle) — same rows on any
+    engine/retry; gate+rate ship as audit columns."""
+    from adopt_spark.functions.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        key_col="doc_id", stratum_col="lang",
+        rates_per_mille={"en": 200, "zh": 800}, default_per_mille=500)
+
+
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (smooth idf quantized to 6 dp
+    before the tf multiply so both engines rank the identical double;
+    ties on term ASC)."""
+    from adopt_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2021,6 +2052,69 @@ ORACLES["a_pagerank_weighted"] = _og.pagerank_fixed_sql(
     DERIVED_EDGE_SQL, weighted=True)
 ORACLES["a_pagerank_personal"] = _og.pagerank_fixed_sql(
     DERIVED_EDGE_SQL, personalized=3)
+
+ORACLES["g_degree_stats"] = f"""
+WITH edge AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), outd AS (
+    SELECT sid, count(*) AS outdeg FROM edge GROUP BY 1
+), ind AS (
+    SELECT tid, count(*) AS indeg FROM edge GROUP BY 1
+), pe AS (
+    SELECT o.outdeg, i.indeg
+    FROM edge e JOIN outd o USING (sid) JOIN ind i USING (tid)
+)
+SELECT
+  (SELECT count(*)
+   FROM (SELECT sid AS v FROM edge UNION SELECT tid FROM edge)) AS n_vertices,
+  (SELECT count(*) FROM edge) AS n_edges,
+  (SELECT round(avg(outdeg), 6) FROM outd) AS avg_outdeg,
+  (SELECT max(outdeg) FROM outd) AS max_outdeg,
+  (SELECT round(avg(indeg), 6) FROM ind) AS avg_indeg,
+  (SELECT max(indeg) FROM ind) AS max_indeg,
+  (SELECT round(corr(CAST(outdeg AS DOUBLE), CAST(indeg AS DOUBLE)), 6)
+   FROM pe) AS assortativity
+""".strip()
+
+ORACLES["t_stratified_sample"] = """
+SELECT doc_id, lang,
+       CAST(((doc_id % 100000007) * 2654435761 + 11)
+            % 1000000007 % 1000 AS INT) AS gate,
+       CAST(CASE WHEN lang = 'en' THEN 200
+                 WHEN lang = 'zh' THEN 800 ELSE 500 END AS INT) AS rate
+FROM documents
+WHERE ((doc_id % 100000007) * 2654435761 + 11) % 1000000007 % 1000
+      < CASE WHEN lang = 'en' THEN 200
+             WHEN lang = 'zh' THEN 800 ELSE 500 END
+""".strip()
+
+ORACLES["t_tfidf_top"] = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM toks WHERE term <> '' GROUP BY 1, 2
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n FROM documents
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * round(ln((CAST((SELECT n FROM n) AS DOUBLE) + 1)
+                            / (dfreq.df + 1)) + 1, 6) AS tfidf
+    FROM tf JOIN dfreq USING (term)
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term ASC) AS rn
+    FROM scored
+)
+SELECT doc_id, term, CAST(round(tfidf, 4) AS DOUBLE) AS tfidf,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 5
+""".strip()
 ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.algos.walks import random_walks_sql as _walks_sql  # noqa: E402
@@ -2086,6 +2180,9 @@ def all_queries() -> dict[str, QueryFn]:
         "r_kmv_by_group": q_kmv_by_group,
         "a_pagerank_weighted": q_pagerank_weighted,
         "a_pagerank_personal": q_pagerank_personal,
+        "t_tfidf_top": q_tfidf_top,
+        "g_degree_stats": q_degree_stats,
+        "t_stratified_sample": q_stratified_sample,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

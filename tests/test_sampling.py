@@ -1,0 +1,104 @@
+"""Deterministic stratified sampling + the two other round-3 additions
+(degree_stats, tfidf_top_terms), differentially tested against plain
+numpy/pandas references on the same data."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from adopt_spark.functions.sampling import sample_gate, stratified_sample
+
+
+def _py_gate(key: int) -> int:
+    return ((key % 100_000_007) * 2_654_435_761 + 11) % 1_000_000_007 % 1000
+
+
+def test_gate_matches_python_reference(spark):
+    keys = list(range(0, 5000, 7)) + [2**40 + 3, 2**62 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.g for r in
+           df.select("k", sample_gate(F.col("k")).alias("g")).collect()}
+    for k in keys:
+        assert got[k] == _py_gate(k), k
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    rows = [(i, ["en", "zh", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, "doc_id", "lang",
+                            {"en": 200, "zh": 800}, 500).toPandas()
+    # exact membership vs the python gate
+    expect = {(i, l) for i, l in rows
+              if _py_gate(i) < {"en": 200, "zh": 800}.get(l, 500)}
+    assert set(zip(out.doc_id, out.lang)) == expect
+    # audit columns carry the gate + applied rate
+    for _, r in out.iterrows():
+        assert r.gate == _py_gate(r.doc_id)
+        assert r.rate == {"en": 200, "zh": 800}.get(r.lang, 500)
+    # two runs identical (no rand() anywhere)
+    again = stratified_sample(df, "doc_id", "lang",
+                              {"en": 200, "zh": 800}, 500).toPandas()
+    assert sorted(again.doc_id) == sorted(out.doc_id)
+
+
+def test_degree_stats_vs_numpy(spark):
+    from adopt_spark.algos.vertex_metrics import degree_stats
+
+    rng = np.random.default_rng(7)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 40, (300, 2))
+             if a != b}
+    df = spark.createDataFrame(sorted(pairs), "sid long, tid long")
+    row = degree_stats(df).collect()[0]
+
+    e = np.array(sorted(pairs))
+    out = pd.Series(e[:, 0]).value_counts()
+    ind = pd.Series(e[:, 1]).value_counts()
+    assert row.n_vertices == len(set(e[:, 0]) | set(e[:, 1]))
+    assert row.n_edges == len(pairs)
+    assert math.isclose(row.avg_outdeg, round(out.mean(), 6), abs_tol=1e-9)
+    assert row.max_outdeg == out.max()
+    assert math.isclose(row.avg_indeg, round(ind.mean(), 6), abs_tol=1e-9)
+    assert row.max_indeg == ind.max()
+    per_edge = np.array([(out[a], ind[b]) for a, b in e], dtype=float)
+    r = np.corrcoef(per_edge[:, 0], per_edge[:, 1])[0, 1]
+    assert math.isclose(row.assortativity, round(r, 6), abs_tol=1e-6)
+
+
+def test_tfidf_top_terms_vs_pandas(spark):
+    from adopt_spark.functions.text import tfidf_top_terms
+
+    docs = [(1, "apple banana apple cherry"),
+            (2, "banana banana date"),
+            (3, "apple  date\tdate fig fig fig"),
+            (4, "unique words only here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2).toPandas()
+
+    rows = []
+    n = len(docs)
+    tf: dict[tuple[int, str], int] = {}
+    for d, t in docs:
+        for w in t.lower().split():
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    dfreq: dict[str, int] = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    for (d, w), c in tf.items():
+        idf = round(math.log((n + 1) / (dfreq[w] + 1)) + 1, 6)
+        rows.append((d, w, c * idf))
+    ref = pd.DataFrame(rows, columns=["doc_id", "term", "tfidf"])
+    ref["rn"] = (ref.sort_values(["tfidf", "term"],
+                                 ascending=[False, True])
+                 .groupby("doc_id").cumcount() + 1)
+    ref = ref[ref.rn <= 2]
+    ref["tfidf"] = ref.tfidf.round(4)
+
+    got = {(r.doc_id, r.rn): (r.term, r.tfidf) for r in out.itertuples()}
+    want = {(r.doc_id, r.rn): (r.term, round(r.tfidf, 4))
+            for r in ref.itertuples()}
+    assert got == want
