@@ -35,6 +35,16 @@ def get_spark(
     """
     n = cpus or DEFAULT_CPUS
     parts = shuffle_partitions or max(2 * n, 8)
+    # Local-mode Python workers inherit os.environ, not the driver's
+    # sys.path — export the package root so pandas-UDF kernels can
+    # `import adopt_spark` regardless of the launch cwd. (On a real
+    # cluster the dist zip travels via spark-submit --py-files instead;
+    # see scripts/make_dist.sh.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else ""))
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)

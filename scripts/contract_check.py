@@ -13,10 +13,16 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+# Spark's local-mode Python workers inherit the driver's environment,
+# not its sys.path edits — export the repo root so pandas-UDF kernels
+# can `import adopt_spark` regardless of the launch cwd.
+os.environ["PYTHONPATH"] = "/root/repo" + os.pathsep + \
+    os.environ.get("PYTHONPATH", "")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
