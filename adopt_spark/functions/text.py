@@ -222,3 +222,68 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text",
             .select("doc_id", "term",
                     F.round("tfidf", 4).alias("tfidf"),
                     F.col("rn").cast("int").alias("rn")))
+
+
+def doc_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher/Dolma-style quality
+    filters) -> (doc_id, n_words, dup_word_frac, dup_3gram_frac,
+    top_word_frac), fractions rounded to 6 dp.
+
+      * ``dup_word_frac``  = 1 - distinct_words / total_words
+      * ``dup_3gram_frac`` = 1 - distinct_3grams / total_3grams
+        (0.0 when the doc has fewer than 3 words)
+      * ``top_word_frac``  = max single-word count / total_words
+
+    Tokens are lowercased whitespace splits (the repo's cross-engine
+    convention). The 3-gram list is built JVM-side with
+    ``transform(sequence(...))`` over the token array — no window, no
+    Python. Scale shape: two hash aggregations keyed by (doc_id, token)
+    and (doc_id, gram) with map-side partial agg, then two per-doc
+    roll-ups joined back — every key is document-bounded, so skew is
+    capped by max document length, not corpus size. Docs with no
+    tokens report zeros. Reference parity: new-engine training-data op
+    (no ADOPT counterpart).
+    """
+    arr = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != "")
+    base = docs.select("doc_id", arr.alias("arr"))
+    toks = base.select("doc_id", F.explode("arr").alias("w"))
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    words = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_c"))
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("arr") >= 3,
+                   F.transform(
+                       F.sequence(F.lit(0), F.size("arr") - 3),
+                       lambda i: F.concat_ws(
+                           " ", F.element_at(F.col("arr"), i + 1),
+                           F.element_at(F.col("arr"), i + 2),
+                           F.element_at(F.col("arr"), i + 3))))
+            .otherwise(F.array().cast("array<string>"))).alias("g"))
+    gc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    g3 = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"))
+
+    out = (docs.select("doc_id")
+           .join(words, "doc_id", "left")
+           .join(g3, "doc_id", "left"))
+    nw = F.coalesce(F.col("n_words"), F.lit(0))
+    ng = F.coalesce(F.col("n_grams"), F.lit(0))
+    return out.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.round(F.when(nw > 0,
+                       1.0 - F.col("n_distinct") / nw.cast("double"))
+                .otherwise(0.0), 6).alias("dup_word_frac"),
+        F.round(F.when(ng > 0,
+                       1.0 - F.col("n_distinct_grams") / ng.cast("double"))
+                .otherwise(0.0), 6).alias("dup_3gram_frac"),
+        F.round(F.when(nw > 0, F.col("max_c") / nw.cast("double"))
+                .otherwise(0.0), 6).alias("top_word_frac"))

@@ -939,6 +939,14 @@ def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals: duplicate-word
+    fraction, duplicate-3-gram fraction, top-word frequency."""
+    from adopt_spark.functions.text import doc_repetition
+
+    return doc_repetition(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2115,6 +2123,48 @@ SELECT doc_id, term, CAST(round(tfidf, 4) AS DOUBLE) AS tfidf,
        CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= 5
 """.strip()
+ORACLES["t_doc_repetition"] = """
+WITH arr AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS a
+    FROM documents
+), toks AS (
+    SELECT doc_id, unnest(a) AS w FROM arr
+), wc AS (
+    SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2
+), words AS (
+    SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+           max(c) AS max_c
+    FROM wc GROUP BY 1
+), pos AS (
+    SELECT doc_id, a, unnest(generate_series(1, len(a) - 2)) AS i
+    FROM arr
+), grams AS (
+    SELECT doc_id, a[i] || ' ' || a[i + 1] || ' ' || a[i + 2] AS g
+    FROM pos
+), gc AS (
+    SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), g3 AS (
+    SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct_grams
+    FROM gc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(w.n_words, 0) AS BIGINT) AS n_words,
+       round(CASE WHEN coalesce(w.n_words, 0) > 0
+             THEN 1.0 - w.n_distinct / CAST(w.n_words AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_word_frac,
+       round(CASE WHEN coalesce(g.n_grams, 0) > 0
+             THEN 1.0 - g.n_distinct_grams / CAST(g.n_grams AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_3gram_frac,
+       round(CASE WHEN coalesce(w.n_words, 0) > 0
+             THEN w.max_c / CAST(w.n_words AS DOUBLE)
+             ELSE 0.0 END, 6) AS top_word_frac
+FROM documents d
+LEFT JOIN words w USING (doc_id)
+LEFT JOIN g3 g USING (doc_id)
+""".strip()
+
 ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.algos.walks import random_walks_sql as _walks_sql  # noqa: E402
@@ -2183,6 +2233,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_tfidf_top": q_tfidf_top,
         "g_degree_stats": q_degree_stats,
         "t_stratified_sample": q_stratified_sample,
+        "t_doc_repetition": q_doc_repetition,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -74,3 +74,28 @@ def test_text_stats_schema(spark):
     out = text_stats(docs)
     assert {"n_tokens", "n_chars_calc", "quality", "lang_pred"} <= set(out.columns)
     assert out.count() == 50
+
+
+def test_doc_repetition_vs_python(spark):
+    from adopt_spark.functions.text import doc_repetition
+
+    docs = [(1, "a b a b a b a"),          # heavy repetition
+            (2, "one two three four"),      # all distinct
+            (3, "x y"),                     # < 3 words: no 3-grams
+            (4, ""),                        # empty
+            (5, "  spaced   out \t words  here  ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in doc_repetition(df).collect()}
+
+    for doc_id, text in docs:
+        ws = [w for w in text.lower().split() if w]
+        grams = [" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)]
+        n, g = len(ws), len(grams)
+        r = got[doc_id]
+        assert r.n_words == n
+        assert r.dup_word_frac == round(
+            1 - len(set(ws)) / n, 6) if n else r.dup_word_frac == 0.0
+        assert r.dup_3gram_frac == (
+            round(1 - len(set(grams)) / g, 6) if g else 0.0)
+        top = max((ws.count(w) for w in set(ws)), default=0)
+        assert r.top_word_frac == (round(top / n, 6) if n else 0.0)
