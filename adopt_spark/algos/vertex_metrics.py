@@ -155,3 +155,30 @@ def degree_stats(edges: DataFrame) -> DataFrame:
          .alias("assortativity"))
     return (nv.crossJoin(base).crossJoin(od).crossJoin(idg)
             .crossJoin(assort))
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """One-row directed-graph reciprocity: of the distinct non-loop
+    edges, how many have their reverse edge present ->
+    (n_edges, n_reciprocal, reciprocity) with the ratio at 6 dp.
+
+    Scale shape: one dedup aggregation + one self-equi-join on the
+    reversed key (both sides identically hash-partitioned on the join
+    key, so AQE plans a single shuffle each) + single-row aggregates.
+    Nothing driver-side. A standard link-graph health metric (mutual
+    dependency links in a repo-dependency graph).
+    """
+    e = (edges.select(F.col("sid").cast("long").alias("sid"),
+                      F.col("tid").cast("long").alias("tid"))
+         .where(F.col("sid") != F.col("tid"))
+         .dropDuplicates(["sid", "tid"]))
+    rev = e.select(F.col("tid").alias("sid"), F.col("sid").alias("tid"))
+    recip = e.join(rev, ["sid", "tid"]).agg(
+        F.count(F.lit(1)).alias("n_reciprocal"))
+    total = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return total.crossJoin(recip).select(
+        "n_edges", "n_reciprocal",
+        F.round(F.when(F.col("n_edges") > 0,
+                       F.col("n_reciprocal")
+                       / F.col("n_edges").cast("double"))
+                .otherwise(0.0), 6).alias("reciprocity"))

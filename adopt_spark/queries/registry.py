@@ -947,6 +947,13 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_repetition(_t(spark, sf_dir, "documents"))
 
 
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row directed reciprocity over the derived edge table."""
+    from adopt_spark.algos.vertex_metrics import reciprocity
+
+    return reciprocity(derived_edges(spark, sf_dir))
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2123,6 +2130,22 @@ SELECT doc_id, term, CAST(round(tfidf, 4) AS DOUBLE) AS tfidf,
        CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= 5
 """.strip()
+ORACLES["g_reciprocity"] = f"""
+WITH edge AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), rec AS (
+    SELECT count(*) AS n_reciprocal
+    FROM edge e JOIN edge r ON e.sid = r.tid AND e.tid = r.sid
+)
+SELECT (SELECT count(*) FROM edge) AS n_edges,
+       rec.n_reciprocal,
+       round(CASE WHEN (SELECT count(*) FROM edge) > 0
+             THEN rec.n_reciprocal
+                  / CAST((SELECT count(*) FROM edge) AS DOUBLE)
+             ELSE 0.0 END, 6) AS reciprocity
+FROM rec
+""".strip()
+
 ORACLES["t_doc_repetition"] = """
 WITH arr AS (
     SELECT doc_id,
@@ -2234,6 +2257,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_degree_stats": q_degree_stats,
         "t_stratified_sample": q_stratified_sample,
         "t_doc_repetition": q_doc_repetition,
+        "g_reciprocity": q_reciprocity,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -102,3 +102,26 @@ def test_tfidf_top_terms_vs_pandas(spark):
     want = {(r.doc_id, r.rn): (r.term, round(r.tfidf, 4))
             for r in ref.itertuples()}
     assert got == want
+
+
+def test_reciprocity_vs_python(spark):
+    from adopt_spark.algos.vertex_metrics import reciprocity
+
+    # 2<->3 and 7<->8 mutual; a loop and a duplicate must be ignored
+    pairs = [(1, 2), (2, 3), (3, 2), (4, 5), (7, 8), (8, 7), (8, 7),
+             (9, 9), (5, 6)]
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    row = reciprocity(df).collect()[0]
+    clean = {(a, b) for a, b in pairs if a != b}
+    rec = sum(1 for a, b in clean if (b, a) in clean)
+    assert row.n_edges == len(clean)
+    assert row.n_reciprocal == rec
+    assert row.reciprocity == round(rec / len(clean), 6)
+
+
+def test_reciprocity_empty(spark):
+    from adopt_spark.algos.vertex_metrics import reciprocity
+
+    empty = spark.createDataFrame([], "sid long, tid long")
+    row = reciprocity(empty).collect()[0]
+    assert (row.n_edges, row.n_reciprocal, row.reciprocity) == (0, 0, 0.0)
