@@ -153,3 +153,88 @@ def bfs_hops(spark: SparkSession, edges: DataFrame, source: int,
     """Hop distance from ``source`` (unit weights)."""
     return shortest_paths(spark, edges, source, weighted=False,
                           directed=directed, **kw)
+
+
+def pivot_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    n_pivots: int = 4,
+    directed: bool = True,
+    max_iter: int = 64,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact hop distances from the ``n_pivots`` LOWEST-id vertices ->
+    (pivot, v, dist), only reached (pivot_id, v) pairs.
+
+    One level-synchronous BFS over the composite key (pivot_id, v) — the
+    standard multi-source-with-source-id trick — instead of n_pivots
+    sequential sweeps: per level ONE frontier-links join + ONE
+    (pivot_id, v) min-aggregate, so the level count is max eccentricity,
+    not pivots x eccentricity. State is bounded by n_pivots x |V|
+    rows of three longs; the links layout is cached once and reused
+    across levels (same shape as shortest_paths above). Deterministic
+    lowest-id pivots make the sample exactly replayable, mirroring
+    betweenness.py's pivot policy.
+    """
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select(F.col("sid").cast("long").alias("src"),
+                     F.col("tid").cast("long").alias("dst"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    e = e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    links = (e.repartition(parts, "src").sortWithinPartitions("src")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    links.count()
+
+    pivots = [int(r.v) for r in
+              links.select(F.col("src").alias("v"))
+              .unionAll(links.select(F.col("dst").alias("v")))
+              .distinct().orderBy("v").limit(n_pivots).collect()]
+    dist = spark.createDataFrame([(p, p, 0) for p in pivots],
+                                 "pivot_id long, v long, dist long") \
+                .repartition(parts, "v")
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (frontier.join(links, frontier["v"] == links["src"])
+                .select("pivot_id", F.col("dst").alias("v"),
+                        (F.col("dist") + 1).alias("nd"))
+                .groupBy("pivot_id", "v").agg(F.min("nd").alias("nd")))
+        improved = (cand.join(dist, ["pivot_id", "v"], "left")
+                    .where(F.col("dist").isNull())
+                    .select("pivot_id", "v", F.col("nd").alias("dist")))
+        frontier = improved.localCheckpoint(eager=True)
+        if frontier.count() == 0:
+            break
+        dist = (dist.unionAll(frontier)
+                .repartition(parts, "v")
+                .localCheckpoint(eager=True))
+    links.unpersist()
+    return dist
+
+
+def eccentricity_profile(spark: SparkSession, edges: DataFrame,
+                         n_pivots: int = 4,
+                         directed: bool = True) -> DataFrame:
+    """Per-pivot forward eccentricity + reach -> (pivot_id, ecc,
+    n_reached); max(ecc) over rows is the standard pivot lower bound
+    on the directed diameter."""
+    d = pivot_distances(spark, edges, n_pivots, directed)
+    return (d.groupBy("pivot_id")
+            .agg(F.max("dist").alias("ecc"),
+                 F.count(F.lit(1)).alias("n_reached"))
+            .select("pivot_id", "ecc", "n_reached"))
+
+
+def harmonic_centrality(spark: SparkSession, edges: DataFrame,
+                        n_pivots: int = 4,
+                        directed: bool = True) -> DataFrame:
+    """Pivot-sample harmonic centrality -> (v, harmonic): for each
+    reached vertex v, sum over pivots of 1/d(pivot_id, v) (d > 0),
+    rounded to 6 dp. Exactly replayable (deterministic pivots)."""
+    d = pivot_distances(spark, edges, n_pivots, directed)
+    return (d.where(F.col("dist") > 0)
+            .groupBy("v")
+            .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6)
+                 .alias("harmonic")))

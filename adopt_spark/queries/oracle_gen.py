@@ -695,3 +695,42 @@ FROM verts LEFT JOIN (
         {union}
 ) t ON t.v = verts.v
 GROUP BY verts.v"""
+
+
+def pivot_distance_sql(edge_sql: str, rounds: int, n_pivots: int = 4,
+                       directed: bool = True) -> str:
+    """Unrolled per-pivot BFS over the composite key (pivot_id, v): hop
+    distances from the ``n_pivots`` lowest vertex ids — the SQL twin
+    of algos/paths.py:pivot_distances. Each step is one MATERIALIZED
+    CTE of the recurrence
+      d_i(p, v) = min(d_{i-1}(p, v), min over (u,v) of d_{i-1}(p, u)+1)
+    so a ``rounds`` budget ABOVE the fixture's max eccentricity makes
+    the last CTE the fixpoint (same budget-domination argument as
+    shortest_path_sql). Output: (pivot_id, v, dist) for reached pairs.
+    """
+    sym = "" if directed else "\n        UNION SELECT tid, sid FROM edge"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+    SELECT pivot_id, v, min(dist) AS dist FROM (
+        SELECT pivot_id, v, dist FROM d{i-1}
+        UNION ALL
+        SELECT p.pivot_id, r.dst AS v, p.dist + 1 AS dist
+        FROM d{i-1} p JOIN rel r ON r.src = p.v
+    ) GROUP BY pivot_id, v
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), rel AS MATERIALIZED (
+    SELECT src, dst FROM (
+        SELECT sid AS src, tid AS dst FROM edge{sym}
+    ) WHERE src <> dst
+), pv AS MATERIALIZED (
+    SELECT v FROM (SELECT sid AS v FROM edge UNION SELECT tid FROM edge)
+    ORDER BY v LIMIT {n_pivots}
+), d0 AS MATERIALIZED (
+    SELECT CAST(v AS BIGINT) AS pivot_id, CAST(v AS BIGINT) AS v,
+           CAST(0 AS BIGINT) AS dist
+    FROM pv
+), {', '.join(steps)}
+SELECT pivot_id, v, dist FROM d{rounds}"""

@@ -954,6 +954,24 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reciprocity(derived_edges(spark, sf_dir))
 
 
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pivot forward eccentricity + reach from the 4 lowest-id
+    vertices of the derived graph (one composite-key BFS, not 4)."""
+    from adopt_spark.algos.paths import eccentricity_profile
+
+    return eccentricity_profile(spark, derived_edges(spark, sf_dir),
+                                n_pivots=4, directed=True)
+
+
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-sample harmonic centrality (sum of 1/d from the 4
+    lowest-id pivots, 6 dp) over the derived graph."""
+    from adopt_spark.algos.paths import harmonic_centrality
+
+    return harmonic_centrality(spark, derived_edges(spark, sf_dir),
+                               n_pivots=4, directed=True)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2130,6 +2148,24 @@ SELECT doc_id, term, CAST(round(tfidf, 4) AS DOUBLE) AS tfidf,
        CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= 5
 """.strip()
+# Pivot-BFS oracles: rounds=16 dominates the measured max pivot
+# eccentricity (8 at sf0.001, 3 at sf0.01) with 2x margin — the same
+# budget-domination argument as the shortest-path oracles; pytest
+# guards the domination at fixture scale.
+_PIVOT_SQL = _og.pivot_distance_sql(DERIVED_EDGE_SQL, rounds=16,
+                                    n_pivots=4, directed=True)
+ORACLES["a_eccentricity"] = f"""
+SELECT pivot_id, max(dist) AS ecc, count(*) AS n_reached
+FROM ({_PIVOT_SQL})
+GROUP BY pivot_id
+""".strip()
+ORACLES["a_harmonic"] = f"""
+SELECT v, round(sum(1.0 / dist), 6) AS harmonic
+FROM ({_PIVOT_SQL})
+WHERE dist > 0
+GROUP BY v
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2258,6 +2294,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_stratified_sample": q_stratified_sample,
         "t_doc_repetition": q_doc_repetition,
         "g_reciprocity": q_reciprocity,
+        "a_eccentricity": q_eccentricity,
+        "a_harmonic": q_harmonic,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -124,3 +124,66 @@ def test_multi_source_equals_single_when_one_seed(spark, powerlaw_small):
     a, _ = bfs_hops(spark, edges, 0)
     b, _ = bfs_hops(spark, edges, [0])
     assert _got(a) == _got(b)
+
+
+def py_pivot_bfs(pairs, n_pivots, directed=True):
+    verts = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    out = {}
+    for p in verts[:n_pivots]:
+        dist = {p: 0}
+        frontier = [p]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            out[(p, v)] = d
+    return out
+
+
+def test_pivot_distances_vs_python(spark, powerlaw_small):
+    from adopt_spark.algos.paths import pivot_distances
+
+    edges, pairs = powerlaw_small
+    got = {(r.pivot_id, r.v): r.dist
+           for r in pivot_distances(spark, edges, 3, directed=True).collect()}
+    assert got == py_pivot_bfs(pairs, 3, directed=True)
+
+
+def test_eccentricity_and_harmonic(spark):
+    from adopt_spark.algos.paths import (eccentricity_profile,
+                                         harmonic_centrality)
+
+    # 0->1->2->3 chain plus 1->3 shortcut; pivots (k=2) are 0 and 1
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(pairs, "sid long, tid long")
+    ecc = {r.pivot_id: (r.ecc, r.n_reached)
+           for r in eccentricity_profile(spark, edges, 2).collect()}
+    # from 0: d={0:0,1:1,2:2,3:2}; from 1: d={1:0,2:1,3:1}
+    assert ecc == {0: (2, 4), 1: (1, 3)}
+    har = {r.v: r.harmonic
+           for r in harmonic_centrality(spark, edges, 2).collect()}
+    assert har == {1: 1.0, 2: round(1 / 2 + 1, 6), 3: round(1 / 2 + 1, 6)}
+
+
+def test_pivot_rounds_within_oracle_budget(spark, powerlaw_small):
+    # the contract oracle unrolls 16 rounds; the engine must converge
+    # in fewer on the contract fixture (measured max ecc 8 at sf0.001)
+    from adopt_spark.algos.paths import pivot_distances
+    from adopt_spark.edges import derived_edges
+
+    d = pivot_distances(
+        spark, derived_edges(spark, "/root/testdata/sf0.001"), 4,
+        directed=True)
+    assert d.agg({"dist": "max"}).collect()[0][0] < 16
