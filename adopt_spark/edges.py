@@ -182,3 +182,38 @@ def adjacency(edges: DataFrame, src: str = "sid", dst: str = "tid") -> DataFrame
         edges.groupBy(F.col(src).alias("src"))
         .agg(F.sort_array(F.collect_set(F.col(dst))).alias("adj"))
     )
+
+
+def bipartite_project(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 1,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Project a bipartite (group, item) relation onto a weighted
+    item-item co-occurrence graph -> (sid, tid, weight): sid < tid,
+    weight = number of distinct groups containing both items.
+
+    The classic market-basket / co-purchase graph construction. Scale
+    shape: dedup to distinct (group, item), optionally DROP groups
+    larger than ``max_group_size`` (a hub basket of size B fans out
+    B^2/2 pairs — at 100 TB the cap, not salting, is the standard
+    control because mega-groups are almost always degenerate), then
+    one self-equi-join on the group key + one pair-count aggregate
+    with map-side partial agg. Nothing driver-side.
+    """
+    g = (df.select(F.col(group_col).alias("g"),
+                   F.col(item_col).cast("long").alias("item"))
+         .dropDuplicates(["g", "item"]))
+    if max_group_size is not None:
+        sizes = g.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+        g = (g.join(sizes.where(F.col("n") <= max_group_size)
+                    .select("g"), "g"))
+    a = g.select("g", F.col("item").alias("sid"))
+    b = g.select("g", F.col("item").alias("tid"))
+    pairs = (a.join(b, "g")
+             .where(F.col("sid") < F.col("tid"))
+             .groupBy("sid", "tid")
+             .agg(F.count(F.lit(1)).alias("weight")))
+    return pairs.where(F.col("weight") >= min_weight)

@@ -263,3 +263,27 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     cand = cand.dropDuplicates(["a", "b"])
     cos = (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos")
     return cand.select("a", "b", cos).where(F.col("cos") >= threshold)
+
+
+def group_centroids(df: DataFrame, group_col: str,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean vector per group, in LONG form ->
+    (``group_col``, pos, centroid) with pos 0-based and the mean at
+    6 dp (double accumulation; the quantization absorbs sum-order
+    last-ulp differences between engines).
+
+    Scale shape: one posexplode (rows x dim, a narrow map) + one hash
+    aggregate keyed by (group, pos) with map-side partial agg — the
+    standard distributed dense-centroid plan (what a k-means superstep
+    or a per-language embedding profile runs). Long form keeps the
+    result join-/oracle-friendly; re-assembling an array column is a
+    sort_array(collect_list(struct(pos, val))) away when needed.
+    """
+    ex = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    return (ex.groupBy(group_col, "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6)
+                 .alias("centroid"))
+            .select(group_col, F.col("pos").cast("int").alias("pos"),
+                    "centroid"))

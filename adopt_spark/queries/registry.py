@@ -972,6 +972,24 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n_pivots=4, directed=True)
 
 
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted part-part co-purchase graph: bipartite projection of
+    (l_orderkey, l_partkey) with weight >= 2 and basket cap 16."""
+    from adopt_spark.edges import bipartite_project
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return bipartite_project(li, "l_orderkey", "l_partkey",
+                             min_weight=2, max_group_size=16)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label element-wise mean embedding in long form
+    (label, pos, centroid at 6 dp)."""
+    from adopt_spark.functions.similarity import group_centroids
+
+    return group_centroids(_t(spark, sf_dir, "embeddings"), "label")
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2166,6 +2184,33 @@ WHERE dist > 0
 GROUP BY v
 """.strip()
 
+ORACLES["g_copurchase"] = """
+WITH gi AS (
+    SELECT DISTINCT l_orderkey AS g, CAST(l_partkey AS BIGINT) AS item
+    FROM lineitem
+), ok AS (
+    SELECT g FROM gi GROUP BY g HAVING count(*) <= 16
+), gg AS (
+    SELECT gi.g, gi.item FROM gi JOIN ok USING (g)
+)
+SELECT a.item AS sid, b.item AS tid, count(*) AS weight
+FROM gg a JOIN gg b ON a.g = b.g AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""".strip()
+
+ORACLES["s_label_centroids"] = """
+SELECT label,
+       CAST(i - 1 AS INT) AS pos,
+       round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+FROM (
+    SELECT label, embedding,
+           unnest(generate_series(1, len(embedding))) AS i
+    FROM embeddings
+)
+GROUP BY 1, 2
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2296,6 +2341,8 @@ def all_queries() -> dict[str, QueryFn]:
         "g_reciprocity": q_reciprocity,
         "a_eccentricity": q_eccentricity,
         "a_harmonic": q_harmonic,
+        "g_copurchase": q_copurchase,
+        "s_label_centroids": q_label_centroids,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

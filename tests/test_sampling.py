@@ -125,3 +125,42 @@ def test_reciprocity_empty(spark):
     empty = spark.createDataFrame([], "sid long, tid long")
     row = reciprocity(empty).collect()[0]
     assert (row.n_edges, row.n_reciprocal, row.reciprocity) == (0, 0, 0.0)
+
+
+def test_bipartite_project_vs_python(spark):
+    from adopt_spark.edges import bipartite_project
+
+    # baskets: g1={1,2,3}, g2={2,3}, g3={1,2,3,4,5} (dropped by cap 4),
+    # g4={2,3}; duplicate (g1,2) row must not inflate weights
+    rows = [(1, 1), (1, 2), (1, 2), (1, 3), (2, 2), (2, 3),
+            (3, 1), (3, 2), (3, 3), (3, 4), (3, 5), (4, 2), (4, 3)]
+    df = spark.createDataFrame(rows, "g long, item long")
+    got = {(r.sid, r.tid): r.weight
+           for r in bipartite_project(df, "g", "item", min_weight=2,
+                                      max_group_size=4).collect()}
+    # surviving baskets: {1,2,3}, {2,3}, {2,3} -> (2,3) x3, (1,2) x1,
+    # (1,3) x1; min_weight=2 keeps only (2,3)
+    assert got == {(2, 3): 3}
+    # without cap or threshold g3's pairs count too
+    full = {(r.sid, r.tid): r.weight
+            for r in bipartite_project(df, "g", "item").collect()}
+    assert full[(2, 3)] == 4 and full[(1, 2)] == 2 and full[(4, 5)] == 1
+
+
+def test_group_centroids_vs_numpy(spark):
+    from adopt_spark.functions.similarity import group_centroids
+
+    rng = np.random.default_rng(11)
+    rows = [(int(i % 3), rng.standard_normal(8).astype("float32").tolist())
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "label long, embedding array<float>")
+    got = {(r.label, r.pos): r.centroid
+           for r in group_centroids(df, "label").collect()}
+    import collections
+    acc = collections.defaultdict(list)
+    for lab, vec in rows:
+        acc[lab].append(np.asarray(vec, dtype=np.float64))
+    for lab, vecs in acc.items():
+        mean = np.mean(vecs, axis=0)
+        for pos in range(8):
+            assert abs(got[(lab, pos)] - round(float(mean[pos]), 6)) < 2e-6
