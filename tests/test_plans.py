@@ -112,3 +112,39 @@ def test_asof_bucketed_carry_join_is_summary_sized(spark):
     plan = physical_plan(out)
     # final window keyed by (k, _bkt) -> monster keys split across buckets
     assert "windowspecdefinition(k" in plan and "_bkt" in plan
+
+
+def test_round3_ops_plan_shape(spark):
+    """Round-3 operators: partial (map-side) aggregation present, no
+    cartesian product, no per-row Python eval anywhere in the plan."""
+    from adopt_spark.edges import bipartite_project
+    from adopt_spark.functions.sampling import stratified_sample
+    from adopt_spark.functions.text import doc_repetition, tfidf_top_terms
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    proj = bipartite_project(li, "l_orderkey", "l_partkey",
+                             min_weight=2, max_group_size=16)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for q in (proj,
+              tfidf_top_terms(docs, k=3),
+              doc_repetition(docs)):
+        plan = physical_plan(q)
+        assert "HashAggregate" in plan
+        assert "partial" in plan.lower()      # map-side combine
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan  # no per-row Python
+        assert "ArrowEvalPython" not in plan  # and no pandas UDF either
+
+
+def test_stratified_sample_is_narrow_filter(spark):
+    """The sample gate must stay a scan-level filter: no shuffle
+    (Exchange) and no Python in the plan."""
+    from adopt_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = stratified_sample(docs.select("doc_id", "lang"), "doc_id",
+                          "lang", {"en": 200, "zh": 800}, 500)
+    plan = physical_plan(q)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Filter" in plan
