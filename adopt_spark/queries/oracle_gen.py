@@ -42,6 +42,7 @@ def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
                        damping: float = PR_DAMPING,
                        top: int | None = None,
                        weighted: bool = False,
+                       weighted_inline: bool = False,
                        personalized: int | None = None) -> str:
     """Fixed-iteration PageRank over the derived edge table.
 
@@ -56,7 +57,11 @@ def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
     ``top`` adds ORDER BY rank DESC, v LIMIT top.
     """
     # per-link share: w/Σw when weighted, 1/outdeg otherwise — the
-    # exact twin of algos/pagerank.py's inv_deg column
+    # exact twin of algos/pagerank.py's inv_deg column.
+    # ``weighted_inline`` means edge_sql ALREADY yields (sid, tid, w)
+    # — e.g. a co-occurrence projection's pair counts — instead of the
+    # synthetic contract weight being attached here.
+    weighted = weighted or weighted_inline
     contrib = ("sum(pr.r * e.w / od.outdeg)" if weighted
                else "sum(pr.r / od.outdeg)")
     steps = []
@@ -79,9 +84,13 @@ def pagerank_fixed_sql(edge_sql: str, k_iters: int = PR_ITERS,
     ) c ON c.v = verts.v
 )""")
     tail = f"\nORDER BY rank DESC, v LIMIT {top}" if top else ""
-    edge_cols = ("SELECT sid, tid, CAST(1 + (sid * 7 + tid * 13) % 10 "
-                 "AS DOUBLE) AS w FROM (\n{0}\n)".format(edge_sql)
-                 if weighted else edge_sql)
+    if weighted_inline:
+        edge_cols = edge_sql
+    elif weighted:
+        edge_cols = ("SELECT sid, tid, CAST(1 + (sid * 7 + tid * 13) % 10 "
+                     "AS DOUBLE) AS w FROM (\n{0}\n)".format(edge_sql))
+    else:
+        edge_cols = edge_sql
     od = ("SELECT sid, sum(w) AS outdeg FROM edge GROUP BY sid" if weighted
           else "SELECT sid, count(*) AS outdeg FROM edge GROUP BY sid")
     if personalized:

@@ -990,6 +990,25 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_centroids(_t(spark, sf_dir, "embeddings"), "label")
 
 
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: build the weighted co-purchase graph from
+    lineitem (bipartite projection), symmetrize it, and rank parts
+    with WEIGHTED PageRank — graph construction feeding graph
+    analytics in one declarative plan."""
+    from adopt_spark.edges import bipartite_project
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = bipartite_project(li, "l_orderkey", "l_partkey",
+                           min_weight=2, max_group_size=16)
+    w = F.col("weight").cast("double").alias("w")
+    sym = cp.select("sid", "tid", w).unionAll(
+        cp.select(F.col("tid").alias("sid"), F.col("sid").alias("tid"), w))
+    ranks, _ = pagerank(spark, sym, tol=0.0, max_iter=PR_ITERS,
+                        weight_col="w")
+    return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2211,6 +2230,15 @@ FROM (
 GROUP BY 1, 2
 """.strip()
 
+_CP_SYM_SQL = f"""
+SELECT sid, tid, CAST(weight AS DOUBLE) AS w FROM ({ORACLES["g_copurchase"]})
+UNION ALL
+SELECT tid AS sid, sid AS tid, CAST(weight AS DOUBLE) AS w
+FROM ({ORACLES["g_copurchase"]})
+""".strip()
+ORACLES["a_pagerank_copurchase"] = _og.pagerank_fixed_sql(
+    _CP_SYM_SQL, weighted_inline=True)
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2343,6 +2371,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_harmonic": q_harmonic,
         "g_copurchase": q_copurchase,
         "s_label_centroids": q_label_centroids,
+        "a_pagerank_copurchase": q_pagerank_copurchase,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,
