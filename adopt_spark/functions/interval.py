@@ -190,3 +190,55 @@ def band_join(left: DataFrame, right: DataFrame,
            .where(F.abs(F.col(lcol) - F.col(rcol)) <= band)
            .drop("_bk", "_bk0"))
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "s",
+    left_end: str = "e",
+    right_start: str = "s",
+    right_end: str = "e",
+    bucket: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs whose CLOSED intervals overlap:
+    ``l.start <= r.end AND r.start <= l.end`` (integer endpoints,
+    e.g. epoch seconds).
+
+    Physical plan (the standard distributed interval join): each
+    interval explodes into the width-``bucket`` cells it covers, the
+    two sides equi-join on the cell, and the exact overlap predicate
+    filters. Each overlapping pair is emitted EXACTLY ONCE without a
+    dedup shuffle: a candidate survives only in the cell containing
+    the overlap's start (``floor(max(starts)/bucket) == cell``) — the
+    classic attribute-to-first-cell trick. Candidate volume is
+    output + cell collisions, never |L|x|R|; pick ``bucket`` near the
+    median interval length so fan-out stays O(1) per row.
+
+    Right-side columns are suffixed with ``suffix`` on name clashes.
+    """
+    if bucket <= 0:
+        raise ValueError("bucket must be a positive integer")
+
+    def explode_cells(df, s, e, side):
+        cell = F.explode(F.sequence(
+            F.floor(F.col(s) / bucket).cast("long"),
+            F.floor(F.col(e) / bucket).cast("long"))).alias("_cell")
+        return df.where(F.col(s) <= F.col(e)).select("*", cell)
+
+    clash = set(left.columns) & set(right.columns)
+    r = right
+    for c in clash:
+        r = r.withColumnRenamed(c, c + suffix)
+    rs, re_ = (right_start + suffix if right_start in clash else right_start,
+               right_end + suffix if right_end in clash else right_end)
+    le = explode_cells(left, left_start, left_end, "l")
+    re2 = explode_cells(r, rs, re_, "r")
+    ov_start = F.greatest(F.col(left_start), F.col(rs))
+    return (le.join(re2, "_cell")
+            .where((F.col(left_start) <= F.col(re_))
+                   & (F.col(rs) <= F.col(left_end))
+                   & (F.floor(ov_start / bucket).cast("long")
+                      == F.col("_cell")))
+            .drop("_cell"))

@@ -1009,6 +1009,27 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("v", F.round("rank", 6).alias("rank"))
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join: error-event windows x purchase-event
+    windows (deterministic [ts, ts + 60 + id%240] second intervals),
+    bucketed candidate generation, each pair emitted exactly once."""
+    from adopt_spark.functions.interval import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 60
+         + F.pmod(F.col("event_id"), F.lit(240))).alias("e"),
+        "event_type")
+    lefts = base.where(F.col("event_type") == "error") \
+                .select("event_id", "s", "e")
+    rights = base.where(F.col("event_type") == "purchase") \
+                 .select("event_id", "s", "e")
+    return interval_overlap_join(lefts, rights, "s", "e", "s", "e",
+                                 bucket=300)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2239,6 +2260,25 @@ FROM ({ORACLES["g_copurchase"]})
 ORACLES["a_pagerank_copurchase"] = _og.pagerank_fixed_sql(
     _CP_SYM_SQL, weighted_inline=True)
 
+ORACLES["e_interval_overlap"] = """
+WITH base AS (
+    -- floor(), not CAST: epoch() keeps microseconds and BIGINT CAST
+    -- rounds-to-nearest, while Spark's unix_timestamp truncates
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS s,
+           CAST(floor(epoch(ts)) AS BIGINT) + 60 + event_id % 240 AS e,
+           event_type
+    FROM events
+), l AS (
+    SELECT event_id, s, e FROM base WHERE event_type = 'error'
+), r AS (
+    SELECT event_id, s, e FROM base WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.s, l.e,
+       r.event_id AS event_id_r, r.s AS s_r, r.e AS e_r
+FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2372,6 +2412,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_copurchase": q_copurchase,
         "s_label_centroids": q_label_centroids,
         "a_pagerank_copurchase": q_pagerank_copurchase,
+        "e_interval_overlap": q_interval_overlap,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -153,3 +153,39 @@ def test_asof_bucketed_rejects_bad_width(spark):
     with pytest.raises(ValueError, match="bucket_width"):
         asof_join_bucketed(ldf, ldf, on="t", by=["k"], right_cols=["lid"],
                            bucket_width=0)
+
+
+def test_interval_overlap_join_vs_python(spark):
+    from adopt_spark.functions.interval import interval_overlap_join
+
+    import itertools
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    L = [(i, int(s), int(s + rng.integers(0, 500)))
+         for i, s in enumerate(rng.integers(0, 5000, 60))]
+    R = [(i, int(s), int(s + rng.integers(0, 500)))
+         for i, s in enumerate(rng.integers(0, 5000, 60))]
+    ldf = spark.createDataFrame(L, "lid long, s long, e long")
+    rdf = spark.createDataFrame(R, "rid long, s long, e long")
+    for bucket in (1, 97, 300, 10_000):   # incl. degenerate bucket sizes
+        got = {(r.lid, r.rid) for r in
+               interval_overlap_join(ldf, rdf, "s", "e", "s", "e",
+                                     bucket=bucket).collect()}
+        want = {(a, b) for (a, ls, le), (b, rs, re)
+                in itertools.product(L, R)
+                if ls <= re and rs <= le}
+        assert got == want, bucket
+    # exactly-once: collect() (not a set) has no duplicate pairs
+    rows = interval_overlap_join(ldf, rdf, bucket=97).collect()
+    pairs = [(r.lid, r.rid) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_interval_overlap_join_rejects_bad_bucket(spark):
+    from adopt_spark.functions.interval import interval_overlap_join
+
+    df = spark.createDataFrame([(1, 0, 10)], "i long, s long, e long")
+    import pytest
+    with pytest.raises(ValueError):
+        interval_overlap_join(df, df, bucket=0)
