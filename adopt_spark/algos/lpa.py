@@ -110,3 +110,51 @@ def label_propagation(
         if changed == 0:
             break
     return labels, metrics
+
+
+def directed_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Leicht-Newman directed modularity of a community assignment ->
+    one row (n_edges, n_communities, modularity at 6 dp):
+
+      Q = within/m  -  sum_c (dout_c * din_c) / m^2
+
+    with m = distinct non-loop directed edges, within = edges whose
+    endpoints share a label, dout_c/din_c = community out-/in-degree
+    sums. All inputs are exact BIGINTs; the two final divisions are
+    the only floats, so the 6 dp result is engine-order-independent.
+
+    Scale shape: two label equi-joins onto the edge list (AQE handles
+    hub communities), two degree aggregations, one per-label roll-up —
+    the standard community-evaluation plan after LPA/CC.
+    """
+    e = (edges.select(F.col("sid").cast("long").alias("sid"),
+                      F.col("tid").cast("long").alias("tid"))
+         .where(F.col("sid") != F.col("tid"))
+         .dropDuplicates(["sid", "tid"]))
+    lab = labels.select(F.col("v").cast("long").alias("v"), "label")
+    m = e.agg(F.count(F.lit(1)).alias("m"))
+    within = (e.join(lab.withColumnRenamed("v", "sid")
+                     .withColumnRenamed("label", "_la"), "sid")
+              .join(lab.withColumnRenamed("v", "tid")
+                    .withColumnRenamed("label", "_lb"), "tid")
+              .where(F.col("_la") == F.col("_lb"))
+              .agg(F.count(F.lit(1)).alias("within")))
+    outd = e.groupBy("sid").agg(F.count(F.lit(1)).alias("k")) \
+            .withColumnRenamed("sid", "v")
+    ind = e.groupBy("tid").agg(F.count(F.lit(1)).alias("k")) \
+           .withColumnRenamed("tid", "v")
+    comm = (lab.join(outd, "v", "left").withColumnRenamed("k", "dout")
+            .join(ind, "v", "left").withColumnRenamed("k", "din")
+            .groupBy("label")
+            .agg(F.coalesce(F.sum("dout"), F.lit(0)).alias("dout"),
+                 F.coalesce(F.sum("din"), F.lit(0)).alias("din")))
+    null_model = comm.agg(
+        F.sum(F.col("dout") * F.col("din")).alias("dd"),
+        F.count(F.lit(1)).alias("n_communities"))
+    return (m.crossJoin(within).crossJoin(null_model)
+            .select(F.col("m").alias("n_edges"),
+                    "n_communities",
+                    F.round(F.col("within") / F.col("m").cast("double")
+                            - F.col("dd")
+                            / (F.col("m") * F.col("m")).cast("double"),
+                            6).alias("modularity")))

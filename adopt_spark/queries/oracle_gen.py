@@ -120,12 +120,15 @@ SELECT v, CAST(round(r, 6) AS DOUBLE) AS rank FROM r{k_iters}{tail}"""
 LPA_ITERS = 10
 
 
-def lpa_fixed_sql(edge_sql: str, k_iters: int = LPA_ITERS) -> str:
+def lpa_fixed_sql(edge_sql: str, k_iters: int = LPA_ITERS,
+                  output: str = "histogram") -> str:
     """Fixed-iteration synchronous LPA: each step every vertex adopts
     its most frequent neighbor label, ties to the minimum label — the
     exact vote of algos/lpa.py. If the engine reaches fixpoint before
     ``k_iters``, the extra SQL steps are no-ops, so early stopping
-    and full unrolling agree. Output: community-size histogram."""
+    and full unrolling agree. Output: community-size histogram, or the
+    raw (v, label) assignment when ``output="labels"`` (feeds derived
+    metrics like modularity)."""
     steps = []
     for i in range(1, k_iters + 1):
         steps.append(f"""l{i} AS MATERIALIZED (
@@ -147,7 +150,9 @@ def lpa_fixed_sql(edge_sql: str, k_iters: int = LPA_ITERS) -> str:
 ), l0 AS MATERIALIZED (
     SELECT DISTINCT v, v AS label FROM sym
 ), {', '.join(steps)}
-SELECT label, count(*) AS size FROM l{k_iters} GROUP BY label"""
+{("SELECT v, label FROM l" + str(k_iters)) if output == "labels"
+ else ("SELECT label, count(*) AS size FROM l" + str(k_iters)
+       + " GROUP BY label")}"""
 
 
 # ------------------------------------------------------------------ k-core

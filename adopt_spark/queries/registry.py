@@ -1030,6 +1030,18 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  bucket=300)
 
 
+def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leicht-Newman directed modularity of the LPA communities on the
+    derived graph — community detection feeding its own evaluation
+    metric (all-integer inputs, one 6 dp division at the end)."""
+    from adopt_spark.algos.lpa import directed_modularity
+    from adopt_spark.queries.oracle_gen import LPA_ITERS
+
+    e = derived_edges(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, max_iter=LPA_ITERS)
+    return directed_modularity(e, labels)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2279,6 +2291,35 @@ SELECT l.event_id, l.s, l.e,
 FROM l JOIN r ON l.s <= r.e AND r.s <= l.e
 """.strip()
 
+_LPA_LABELS_SQL = _og.lpa_fixed_sql(DERIVED_EDGE_SQL, output="labels")
+ORACLES["a_lpa_modularity"] = f"""
+WITH lab AS MATERIALIZED (
+    SELECT v, label FROM ({_LPA_LABELS_SQL})
+), e2 AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), m AS (SELECT count(*) AS m FROM e2),
+wi AS (
+    SELECT count(*) AS within
+    FROM e2 JOIN lab a ON a.v = e2.sid JOIN lab b ON b.v = e2.tid
+    WHERE a.label = b.label
+), outd AS (SELECT sid AS v, count(*) AS k FROM e2 GROUP BY 1),
+ind AS (SELECT tid AS v, count(*) AS k FROM e2 GROUP BY 1),
+comm AS (
+    SELECT lab.label,
+           coalesce(sum(o.k), 0) AS dout,
+           coalesce(sum(i.k), 0) AS din
+    FROM lab LEFT JOIN outd o ON o.v = lab.v
+             LEFT JOIN ind i ON i.v = lab.v
+    GROUP BY 1
+)
+SELECT (SELECT m FROM m) AS n_edges,
+       (SELECT count(*) FROM comm) AS n_communities,
+       round((SELECT within FROM wi) / CAST((SELECT m FROM m) AS DOUBLE)
+             - (SELECT sum(dout * din) FROM comm)
+               / CAST((SELECT m FROM m) * (SELECT m FROM m) AS DOUBLE),
+             6) AS modularity
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2413,6 +2454,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_label_centroids": q_label_centroids,
         "a_pagerank_copurchase": q_pagerank_copurchase,
         "e_interval_overlap": q_interval_overlap,
+        "a_lpa_modularity": q_lpa_modularity,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

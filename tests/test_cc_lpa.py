@@ -98,3 +98,34 @@ def test_lpa_semi_negative_ids(spark):
     got = {r["v"]: r["label"] for r in labels.collect()}
     # one community — vertex -3 must NOT be frozen at its own label
     assert len(set(got.values())) == 1, got
+
+
+def test_directed_modularity_vs_python(spark):
+    from adopt_spark.algos.lpa import directed_modularity
+
+    # two dense blobs {0..3} and {10..13} with two cross links
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+    pairs += [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    pairs += [(0, 10), (11, 1)]
+    edges = spark.createDataFrame(pairs, "sid long, tid long")
+    labels = spark.createDataFrame(
+        [(v, 0) for v in range(4)] + [(v, 1) for v in range(10, 14)],
+        "v long, label long")
+    row = directed_modularity(edges, labels).collect()[0]
+
+    m = len(set(pairs))
+    within = sum(1 for a, b in set(pairs)
+                 if (a < 4) == (b < 4))
+    outd, ind = {}, {}
+    for a, b in set(pairs):
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    q = within / m
+    for lab in (range(4), range(10, 14)):
+        dout = sum(outd.get(v, 0) for v in lab)
+        din = sum(ind.get(v, 0) for v in lab)
+        q -= dout * din / (m * m)
+    assert row.n_edges == m and row.n_communities == 2
+    assert row.modularity == round(q, 6)
+    # perfect split without the cross links ~ higher modularity
+    assert row.modularity > 0.3
