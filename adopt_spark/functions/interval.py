@@ -242,3 +242,43 @@ def interval_overlap_join(
                    & (F.floor(ov_start / bucket).cast("long")
                       == F.col("_cell")))
             .drop("_cell"))
+
+
+def sessionize_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch gap-sessionization -> one row per session:
+    (``key_col``, session_idx, s_start, s_end, n_events), epoch-second
+    timestamps, sessions numbered 1.. per key in time order.
+
+    The batch twin of streaming/stateful.py's stateful sessionizer
+    (same gap semantics, whole-history input): the classic two-window
+    plan — ``lag`` marks gap breaks, a running sum of breaks numbers
+    the sessions, one aggregate collapses them. Both windows share the
+    SAME partitioning (one shuffle on the key); per-key history sits in
+    one task, so a monster key serializes — the documented trade-off
+    as asof_join, with the bucketed variant the escape hatch there.
+    """
+    from pyspark.sql import Window
+
+    t = F.unix_timestamp(F.col(ts_col)).cast("long")
+    w = Window.partitionBy(key_col).orderBy("t", "tie")
+    base = events.select(
+        F.col(key_col), t.alias("t"),
+        # deterministic tie-break for equal timestamps on both engines
+        F.col("event_id").alias("tie"))
+    marked = base.withColumn(
+        "brk",
+        F.when(F.col("t") - F.lag("t").over(w) > gap_seconds, 1)
+         .otherwise(0))
+    sess = marked.withColumn(
+        "session_idx",
+        (F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)) + 1).cast("long"))
+    return (sess.groupBy(key_col, "session_idx")
+            .agg(F.min("t").alias("s_start"),
+                 F.max("t").alias("s_end"),
+                 F.count(F.lit(1)).alias("n_events")))

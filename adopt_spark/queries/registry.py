@@ -1042,6 +1042,15 @@ def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directed_modularity(e, labels)
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization of events per user (gap 1800 s):
+    lag-marks breaks, running-sum numbers sessions, one collapse."""
+    from adopt_spark.functions.interval import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"),
+                            "user_id", "ts", 1800)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2320,6 +2329,30 @@ SELECT (SELECT m FROM m) AS n_edges,
              6) AS modularity
 """.strip()
 
+ORACLES["e_sessionize_batch"] = """
+WITH base AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t,
+           event_id AS tie
+    FROM events
+), marked AS (
+    SELECT user_id, t, tie,
+           CASE WHEN t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY t, tie)
+), sess AS (
+    SELECT user_id, t,
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, tie
+                               ROWS UNBOUNDED PRECEDING) + 1
+                AS BIGINT) AS session_idx
+    FROM marked
+)
+SELECT user_id, session_idx,
+       min(t) AS s_start, max(t) AS s_end, count(*) AS n_events
+FROM sess
+GROUP BY 1, 2
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2455,6 +2488,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_pagerank_copurchase": q_pagerank_copurchase,
         "e_interval_overlap": q_interval_overlap,
         "a_lpa_modularity": q_lpa_modularity,
+        "e_sessionize_batch": q_sessionize_batch,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -189,3 +189,35 @@ def test_interval_overlap_join_rejects_bad_bucket(spark):
     import pytest
     with pytest.raises(ValueError):
         interval_overlap_join(df, df, bucket=0)
+
+
+def test_sessionize_batch_vs_python(spark):
+    from adopt_spark.functions.interval import sessionize_batch
+
+    import datetime as dt
+
+    def T(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    # user 1: [0, 100, 2000] -> sessions {0,100} and {2000};
+    # user 2: single event; user 3: equal timestamps tie-broken by id
+    rows = [(0, T(0), 1), (1, T(100), 1), (2, T(2000), 1),
+            (3, T(50), 2),
+            (4, T(10), 3), (5, T(10), 3), (6, T(5000), 3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {(r.user_id, r.session_idx): (r.s_start, r.s_end, r.n_events)
+           for r in sessionize_batch(df, gap_seconds=1800).collect()}
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    assert got == {
+        (1, 1): (base + 0, base + 100, 2),
+        (1, 2): (base + 2000, base + 2000, 1),
+        (2, 1): (base + 50, base + 50, 1),
+        (3, 1): (base + 10, base + 10, 2),
+        (3, 2): (base + 5000, base + 5000, 1),
+    }
+    # matches the streaming sessionizer's single-batch gap semantics:
+    # events exactly `gap` apart stay in one session (strict >)
+    rows2 = [(0, T(0), 9), (1, T(1800), 9), (2, T(3601), 9)]
+    df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp, user_id long")
+    got2 = sessionize_batch(df2, gap_seconds=1800).collect()
+    assert {(r.session_idx, r.n_events) for r in got2} == {(1, 2), (2, 1)}
