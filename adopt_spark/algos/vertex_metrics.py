@@ -182,3 +182,37 @@ def reciprocity(edges: DataFrame) -> DataFrame:
                        F.col("n_reciprocal")
                        / F.col("n_edges").cast("double"))
                 .otherwise(0.0), 6).alias("reciprocity"))
+
+
+def directed_triad_counts(edges: DataFrame) -> DataFrame:
+    """One-row directed triad census over the simple digraph ->
+    (n_cyclic, n_transitive):
+
+      * cyclic      — vertex triples carrying a directed 3-cycle
+                      a->b->c->a, each cycle orbit counted once
+                      (anchored at its minimum vertex; the reversed
+                      cycle is a different edge set and counts
+                      separately iff present);
+      * transitive  — ordered triples with a->b, b->c AND the shortcut
+                      a->c (the feed-forward / "trust" triad).
+
+    Scale shape: the edge list deduped once, then two self-equi-joins
+    per pattern (join keys are single vertices, so AQE's skew split
+    covers hub fan-out) and a count-only aggregate — the same
+    bounded-intermediate shape as the motif SQL suite; no orientation
+    trick applies because the patterns are direction-sensitive.
+    """
+    e = (edges.select(F.col("sid").cast("long").alias("sid"),
+                      F.col("tid").cast("long").alias("tid"))
+         .where(F.col("sid") != F.col("tid"))
+         .dropDuplicates(["sid", "tid"]))
+    ab = e.select(F.col("sid").alias("a"), F.col("tid").alias("b"))
+    bc = e.select(F.col("sid").alias("b"), F.col("tid").alias("c"))
+    ca = e.select(F.col("sid").alias("c"), F.col("tid").alias("a"))
+    ac = e.select(F.col("sid").alias("a"), F.col("tid").alias("c"))
+    cyc = (ab.join(bc, "b").join(ca, ["c", "a"])
+           .where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+           .agg(F.count(F.lit(1)).alias("n_cyclic")))
+    tra = (ab.join(bc, "b").join(ac, ["a", "c"])
+           .agg(F.count(F.lit(1)).alias("n_transitive")))
+    return cyc.crossJoin(tra)

@@ -1051,6 +1051,14 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "user_id", "ts", 1800)
 
 
+def q_triad_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad census (cyclic + transitive counts) over the
+    derived digraph."""
+    from adopt_spark.algos.vertex_metrics import directed_triad_counts
+
+    return directed_triad_counts(derived_edges(spark, sf_dir))
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2353,6 +2361,22 @@ FROM sess
 GROUP BY 1, 2
 """.strip()
 
+ORACLES["g_triad_counts"] = f"""
+WITH edge AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), cyc AS (
+    SELECT count(*) AS n_cyclic
+    FROM edge e1 JOIN edge e2 ON e2.sid = e1.tid
+                 JOIN edge e3 ON e3.sid = e2.tid AND e3.tid = e1.sid
+    WHERE e1.sid < e1.tid AND e1.sid < e2.tid
+), tra AS (
+    SELECT count(*) AS n_transitive
+    FROM edge e1 JOIN edge e2 ON e2.sid = e1.tid
+                 JOIN edge e3 ON e3.sid = e1.sid AND e3.tid = e2.tid
+)
+SELECT cyc.n_cyclic, tra.n_transitive FROM cyc, tra
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2489,6 +2513,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_interval_overlap": q_interval_overlap,
         "a_lpa_modularity": q_lpa_modularity,
         "e_sessionize_batch": q_sessionize_batch,
+        "g_triad_counts": q_triad_counts,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -164,3 +164,37 @@ def test_group_centroids_vs_numpy(spark):
         mean = np.mean(vecs, axis=0)
         for pos in range(8):
             assert abs(got[(lab, pos)] - round(float(mean[pos]), 6)) < 2e-6
+
+
+def test_directed_triad_counts_vs_python(spark):
+    from adopt_spark.algos.vertex_metrics import directed_triad_counts
+
+    import itertools
+
+    rng = np.random.default_rng(3)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 14, (80, 2))
+             if a != b}
+    df = spark.createDataFrame(sorted(pairs), "sid long, tid long")
+    row = directed_triad_counts(df).collect()[0]
+
+    cyc = sum(1 for a, b, c in itertools.permutations(range(14), 3)
+              if a < b and a < c
+              and (a, b) in pairs and (b, c) in pairs and (c, a) in pairs)
+    tra = sum(1 for a, b, c in itertools.permutations(range(14), 3)
+              if (a, b) in pairs and (b, c) in pairs and (a, c) in pairs)
+    assert (row.n_cyclic, row.n_transitive) == (cyc, tra)
+
+
+def test_directed_triad_counts_hand_fixture(spark):
+    from adopt_spark.algos.vertex_metrics import directed_triad_counts
+
+    # one 3-cycle (1,2,3), its reverse absent; one feed-forward (4,5,6)
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (4, 6)]
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    row = directed_triad_counts(df).collect()[0]
+    assert (row.n_cyclic, row.n_transitive) == (1, 1)
+    # adding the reverse cycle doubles the cyclic count
+    df2 = spark.createDataFrame(pairs + [(2, 1), (1, 3), (3, 2)],
+                                "sid long, tid long")
+    row2 = directed_triad_counts(df2).collect()[0]
+    assert row2.n_cyclic == 2
