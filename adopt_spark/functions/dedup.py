@@ -339,3 +339,26 @@ def word_ngram_jaccard_all_pairs(docs: DataFrame, text_col: str = "text",
                  / (F.col("na") + F.col("nb")
                     - F.coalesce(F.col("i"), F.lit(0)))).alias("jaccard"))
     )
+
+
+def dedup_report(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus dedup summary over a cluster assignment
+    (``near_dup_clusters`` output or any [id, cluster] frame) ->
+    (n_docs, n_clusters, n_duplicates, max_cluster_size, dup_rate):
+    what a 100-TB pipeline logs after the fuzzy-dedup stage to decide
+    whether thresholds need retuning. n_duplicates = docs that would
+    be dropped keeping one canonical per cluster; dup_rate at 6 dp.
+
+    Scale shape: one cluster-keyed count aggregate + single-row
+    roll-up — nothing driver-side.
+    """
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.sum("sz") - F.count(F.lit(1))).cast("long")
+        .alias("n_duplicates"),
+        F.max("sz").cast("long").alias("max_cluster_size"),
+        F.round((F.sum("sz") - F.count(F.lit(1)))
+                / F.sum("sz").cast("double"), 6).alias("dup_rate"))

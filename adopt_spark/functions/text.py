@@ -287,3 +287,37 @@ def doc_repetition(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 .otherwise(0.0), 6).alias("dup_3gram_frac"),
         F.round(F.when(nw > 0, F.col("max_c") / nw.cast("double"))
                 .otherwise(0.0), 6).alias("top_word_frac"))
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon character entropy per document -> (doc_id, n_chars,
+    entropy) with entropy in bits at 6 dp (0.0 for empty docs).
+
+    The classic garbage detector: natural text sits ~3.5-4.5 bits,
+    base64/compressed blobs push toward log2(alphabet), repeated-char
+    spam drops toward 0. Per-term probabilities are exact rationals
+    (count/len); the single log2 per (doc, char) is quantized at 6 dp
+    so the cross-engine result is identical.
+
+    Scale shape: one character explode (rows x doc length — the same
+    fan-out the shingle pipeline already pays) + two doc-keyed hash
+    aggregates with map-side partial agg; skew caps at max doc length.
+    """
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).where(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ent = (cc.join(tot, "doc_id")
+           .groupBy("doc_id")
+           .agg(F.round(-F.sum((F.col("c") / F.col("n"))
+                               * F.log2(F.col("c") / F.col("n"))), 6)
+                .alias("entropy"),
+                F.first("n").alias("n_chars")))
+    return (docs.select("doc_id").join(ent, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("n_chars"), F.lit(0)).cast("long")
+                     .alias("n_chars"),
+                    F.coalesce(F.col("entropy"), F.lit(0.0))
+                     .alias("entropy")))

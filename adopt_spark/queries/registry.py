@@ -1059,6 +1059,14 @@ def q_triad_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directed_triad_counts(derived_edges(spark, sf_dir))
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document (bits, 6 dp) — the
+    classic garbage/compression detector quality filter."""
+    from adopt_spark.functions.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -1148,6 +1156,16 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents") \
         .where(F.col("text").rlike("^[\\x00-\\x7F]*$"))
     return near_dup_clusters(d, threshold=0.8)
+
+
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup summary over the fuzzy-dedup cluster assignment
+    (same ASCII-block pipeline as t_near_dup_clusters)."""
+    from adopt_spark.functions.dedup import dedup_report, near_dup_clusters
+
+    d = _t(spark, sf_dir, "documents") \
+        .where(F.col("text").rlike("^[\\x00-\\x7F]*$"))
+    return dedup_report(near_dup_clusters(d, threshold=0.8))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2377,6 +2395,44 @@ WITH edge AS MATERIALIZED (
 SELECT cyc.n_cyclic, tra.n_transitive FROM cyc, tra
 """.strip()
 
+ORACLES["t_char_entropy"] = """
+WITH chars AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+    FROM documents
+), cc AS (
+    SELECT doc_id, ch, count(*) AS c
+    FROM chars WHERE ch <> '' GROUP BY 1, 2
+), tot AS (
+    SELECT doc_id, sum(c) AS n FROM cc GROUP BY 1
+), ent AS (
+    SELECT cc.doc_id,
+           round(-sum((cc.c / CAST(t.n AS DOUBLE))
+                      * log2(cc.c / CAST(t.n AS DOUBLE))), 6) AS entropy,
+           CAST(any_value(t.n) AS BIGINT) AS n_chars
+    FROM cc JOIN tot t USING (doc_id)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(e.n_chars, 0) AS n_chars,
+       coalesce(e.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN ent e USING (doc_id)
+""".strip()
+
+ORACLES["t_dedup_report"] = f"""
+WITH sizes AS (
+    SELECT cluster, count(*) AS sz
+    FROM ({_og.NEAR_DUP_CLUSTERS_SQL})
+    GROUP BY 1
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) - count(*) AS BIGINT) AS n_duplicates,
+       CAST(max(sz) AS BIGINT) AS max_cluster_size,
+       round((sum(sz) - count(*)) / CAST(sum(sz) AS DOUBLE), 6)
+           AS dup_rate
+FROM sizes
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2514,6 +2570,8 @@ def all_queries() -> dict[str, QueryFn]:
         "a_lpa_modularity": q_lpa_modularity,
         "e_sessionize_batch": q_sessionize_batch,
         "g_triad_counts": q_triad_counts,
+        "t_char_entropy": q_char_entropy,
+        "t_dedup_report": q_dedup_report,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -137,3 +137,15 @@ def test_near_dup_clusters_transitive_collapse(spark):
     assert out[1][0] == 0 and not out[1][1]
     assert out[2][0] == 0 and not out[2][1]     # chained via doc 1
     assert out[7] == (7, True)                  # singleton
+
+
+def test_dedup_report_vs_hand_counts(spark):
+    from adopt_spark.functions.dedup import dedup_report
+
+    # clusters: {1,2,3} -> 1, {4} -> 4, {5,6} -> 5
+    rows = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster long")
+    r = dedup_report(df).collect()[0]
+    assert (r.n_docs, r.n_clusters, r.n_duplicates,
+            r.max_cluster_size) == (6, 3, 3, 3)
+    assert r.dup_rate == 0.5

@@ -99,3 +99,30 @@ def test_doc_repetition_vs_python(spark):
             round(1 - len(set(grams)) / g, 6) if g else 0.0)
         top = max((ws.count(w) for w in set(ws)), default=0)
         assert r.top_word_frac == (round(top / n, 6) if n else 0.0)
+
+
+def test_char_entropy_vs_python(spark):
+    from adopt_spark.functions.text import char_entropy
+
+    import collections
+    import math
+
+    docs = [(1, "aaaa"),              # zero entropy
+            (2, "abab"),              # exactly 1 bit
+            (3, "the quick brown fox"),
+            (4, ""),                  # empty -> 0.0 / 0 chars
+            (5, "a b\tc\nd")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_chars, r.entropy)
+           for r in char_entropy(df).collect()}
+    for doc_id, text in docs:
+        n = len(text)
+        if n == 0:
+            assert got[doc_id] == (0, 0.0)
+            continue
+        cnt = collections.Counter(text)
+        h = -sum((c / n) * math.log2(c / n) for c in cnt.values())
+        nc, e = got[doc_id]
+        assert nc == n
+        assert abs(e - h) < 2e-6, (doc_id, e, h)
+    assert got[1][1] == 0.0 and got[2][1] == 1.0
