@@ -1067,6 +1067,41 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top half of documents per language by quality score
+    (percent_rank <= 0.5, doc_id tie-break) — the standard per-stratum
+    corpus filter; one key shuffle, exact window twin in SQL."""
+    from pyspark.sql import Window
+
+    from adopt_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        # quantize BEFORE ranking so both engines order the identical
+        # doubles (same trick as tfidf_top_terms)
+        F.round(quality_score("text"), 4).alias("q"))
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (d.withColumn("pr", F.percent_rank().over(w))
+            .where(F.col("pr") <= 0.5)
+            .select("doc_id", "lang", "q",
+                    F.round("pr", 6).alias("pr")))
+
+
+def q_mean_pivot_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/max hop distance per pivot (reached pairs only) — the
+    per-pivot path-length profile over the same composite-key BFS as
+    a_eccentricity."""
+    from adopt_spark.algos.paths import pivot_distances
+
+    d = pivot_distances(spark, derived_edges(spark, sf_dir), 4,
+                        directed=True)
+    return (d.where(F.col("dist") > 0)
+            .groupBy("pivot_id")
+            .agg(F.round(F.avg("dist"), 6).alias("mean_dist"),
+                 F.max("dist").alias("max_dist"),
+                 F.count(F.lit(1)).alias("n_reached")))
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2433,6 +2468,27 @@ SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
 FROM sizes
 """.strip()
 
+ORACLES["t_quality_gate"] = f"""
+WITH scored AS (
+    SELECT doc_id, lang, {_QUALITY_SQL} AS q FROM documents
+), ranked AS (
+    SELECT doc_id, lang, q,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY q DESC, doc_id ASC) AS pr
+    FROM scored
+)
+SELECT doc_id, lang, q, round(pr, 6) AS pr
+FROM ranked WHERE pr <= 0.5
+""".strip()
+
+ORACLES["a_mean_pivot_dist"] = f"""
+SELECT pivot_id, round(avg(dist), 6) AS mean_dist,
+       max(dist) AS max_dist, count(*) AS n_reached
+FROM ({_PIVOT_SQL})
+WHERE dist > 0
+GROUP BY pivot_id
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2572,6 +2628,8 @@ def all_queries() -> dict[str, QueryFn]:
         "g_triad_counts": q_triad_counts,
         "t_char_entropy": q_char_entropy,
         "t_dedup_report": q_dedup_report,
+        "t_quality_gate": q_quality_gate,
+        "a_mean_pivot_dist": q_mean_pivot_dist,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -198,3 +198,31 @@ def test_directed_triad_counts_hand_fixture(spark):
                                 "sid long, tid long")
     row2 = directed_triad_counts(df2).collect()[0]
     assert row2.n_cyclic == 2
+
+
+def test_quality_gate_contract_shape(spark):
+    # registry-level check: per-language keep-rate is ~half, never more
+    # than ceil(n/2)+ties, and the kept set is the TOP by (q, doc_id)
+    from adopt_spark.queries.registry import q_quality_gate
+    from adopt_spark.functions.text import quality_score
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    kept = q_quality_gate(spark, sf).toPandas()
+    alldf = (spark.read.parquet(f"{sf}/documents.parquet")
+             .select("doc_id", "lang",
+                     F.round(quality_score("text"), 4).alias("q"))
+             .toPandas())
+    for lang, grp in alldf.groupby("lang"):
+        order = grp.sort_values(["q", "doc_id"],
+                                ascending=[False, True]).reset_index()
+        n = len(order)
+        k = len(kept[kept.lang == lang])
+        assert 0 < k <= n
+        # kept == the first k rows of the deterministic ordering
+        want = set(order.doc_id[:k])
+        got = set(kept[kept.lang == lang].doc_id)
+        assert got == want, lang
+        # percent_rank(kth row) <= 0.5 < percent_rank(k+1th row)
+        if n > 1 and k < n:
+            assert (k - 1) / (n - 1) <= 0.5 < k / (n - 1)
