@@ -142,3 +142,65 @@ def strongly_connected_components(
     out = settled if settled is not None else \
         verts.select("v", F.col("v").alias("comp"))
     return out.localCheckpoint(eager=True), metrics
+
+
+def _reach_from(seeds: DataFrame, links: DataFrame,
+                max_iter: int = 64) -> DataFrame:
+    """Distributed reachability closure: all vertices reachable from
+    the seed set over ``links(src, dst)`` (seeds included). Level-
+    synchronous frontier BFS — per round one join + one anti-join, the
+    frontier is vertex-sized, nothing driver-resident."""
+    settled = seeds.select("v").distinct().localCheckpoint(eager=True)
+    frontier = settled
+    for _ in range(max_iter):
+        nxt = (frontier.join(links, frontier["v"] == links["src"])
+               .select(F.col("dst").alias("v")).distinct()
+               .join(settled, "v", "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.count() == 0:
+            break
+        settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return settled
+
+
+def bowtie_decomposition(spark: SparkSession, edges: DataFrame,
+                         max_iter: int = 50) -> DataFrame:
+    """Broder-style bow-tie structure of a digraph -> one row
+    (n_vertices, core_size, in_size, out_size, other_size):
+
+      * core  — the giant SCC (largest; ties broken by min label);
+      * IN    — vertices reaching the core but not in it;
+      * OUT   — vertices the core reaches, not in it;
+      * other — tendrils, tubes, and disconnected pieces.
+
+    IN and OUT are disjoint by construction (a vertex in both would be
+    mutually reachable with the core, hence inside it). Composition of
+    the engine's own kernels: SCC (forward-max coloring) + two
+    frontier-BFS reachability closures (forward from the core, and
+    forward over the REVERSED edge list for the IN set).
+    """
+    e = (edges.select(F.col("sid").cast("long").alias("src"),
+                      F.col("tid").cast("long").alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .dropDuplicates(["src", "dst"])
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    labels, _ = strongly_connected_components(spark, edges)
+    giant = (labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+             .orderBy(F.desc("sz"), F.asc("comp")).limit(1))
+    core = labels.join(giant.select("comp"), "comp").select("v") \
+                 .localCheckpoint(eager=True)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = _reach_from(core, e, max_iter)
+    bwd = _reach_from(core, rev, max_iter)
+    n = (e.select(F.col("src").alias("v"))
+         .unionAll(e.select(F.col("dst").alias("v")))
+         .distinct().count())
+    core_n = core.count()
+    out_n = fwd.join(core, "v", "left_anti").count()
+    in_n = bwd.join(core, "v", "left_anti").count()
+    e.unpersist()
+    return spark.createDataFrame(
+        [(n, core_n, in_n, out_n, n - core_n - in_n - out_n)],
+        "n_vertices long, core_size long, in_size long, "
+        "out_size long, other_size long")

@@ -2131,6 +2131,17 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("v", "comp")
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bow-tie decomposition (giant SCC / IN / OUT / other) of the
+    bounded dense subgraph — the canonical web-graph structure
+    analysis, composed from the SCC and frontier-BFS kernels."""
+    from adopt_spark.algos.scc import bowtie_decomposition
+
+    e = derived_edges(spark, sf_dir).where(
+        (F.col("sid") < SCC_ID_LIM) & (F.col("tid") < SCC_ID_LIM))
+    return bowtie_decomposition(spark, e)
+
+
 def q_truss_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge truss numbers of the dense graph (support peeling on
     the engine's WCOJ triangle plan); oracle = bounded-depth unrolled
@@ -2489,6 +2500,49 @@ WHERE dist > 0
 GROUP BY pivot_id
 """.strip()
 
+ORACLES["a_bowtie"] = f"""WITH RECURSIVE edge AS MATERIALIZED (
+    SELECT sid, tid FROM ({DERIVED_EDGE_SQL})
+    WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}
+), verts AS MATERIALIZED (
+    -- explicit DISTINCT: inside a WITH RECURSIVE list DuckDB ran this
+    -- UNION with ALL semantics (observed 2x vertex count)
+    SELECT DISTINCT v FROM (
+        SELECT sid AS v FROM edge UNION ALL SELECT tid FROM edge
+    )
+), reach(s, t) AS (
+    SELECT sid, tid FROM edge
+    UNION
+    SELECT r.s, e.tid FROM reach r JOIN edge e ON e.sid = r.t
+), mutual AS (
+    SELECT r1.s AS v, r1.t AS u
+    FROM reach r1 JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s
+), lab AS MATERIALIZED (
+    SELECT verts.v,
+           least(verts.v, coalesce(min(mutual.u), verts.v)) AS comp
+    FROM verts LEFT JOIN mutual ON mutual.v = verts.v
+    GROUP BY verts.v
+), giant AS (
+    SELECT comp FROM lab GROUP BY comp
+    ORDER BY count(*) DESC, comp ASC LIMIT 1
+), core AS MATERIALIZED (
+    SELECT v FROM lab WHERE comp = (SELECT comp FROM giant)
+), outs AS (
+    SELECT DISTINCT r.t AS v FROM reach r
+    WHERE r.s IN (SELECT v FROM core)
+      AND r.t NOT IN (SELECT v FROM core)
+), ins AS (
+    SELECT DISTINCT r.s AS v FROM reach r
+    WHERE r.t IN (SELECT v FROM core)
+      AND r.s NOT IN (SELECT v FROM core)
+)
+SELECT (SELECT count(*) FROM verts) AS n_vertices,
+       (SELECT count(*) FROM core) AS core_size,
+       (SELECT count(*) FROM ins) AS in_size,
+       (SELECT count(*) FROM outs) AS out_size,
+       (SELECT count(*) FROM verts) - (SELECT count(*) FROM core)
+           - (SELECT count(*) FROM ins) - (SELECT count(*) FROM outs)
+           AS other_size"""
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2630,6 +2684,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_dedup_report": q_dedup_report,
         "t_quality_gate": q_quality_gate,
         "a_mean_pivot_dist": q_mean_pivot_dist,
+        "a_bowtie": q_bowtie,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

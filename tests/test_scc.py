@@ -110,3 +110,33 @@ def test_scc_pure_dag_all_singletons(spark):
     pairs = [(i, j) for i in range(8) for j in range(i + 1, 8)]
     got, _ = _run(spark, pairs)
     assert got == {v: v for v in range(8)}
+
+
+def test_bowtie_decomposition_hand_graph(spark):
+    from adopt_spark.algos.scc import bowtie_decomposition
+
+    # core SCC {10,11,12}; IN: 1 -> 10, 0 -> 1; OUT: 12 -> 20 -> 21;
+    # tendril off IN: 1 -> 30 (reaches OUT? no: 30 is a dead end ->
+    # "other"); disconnected pair 40 -> 41
+    pairs = [(10, 11), (11, 12), (12, 10),
+             (1, 10), (0, 1),
+             (12, 20), (20, 21),
+             (1, 30),
+             (40, 41)]
+    edges = spark.createDataFrame(pairs, "sid long, tid long")
+    r = bowtie_decomposition(spark, edges).collect()[0]
+    assert r.n_vertices == 10
+    assert r.core_size == 3            # {10,11,12}
+    assert r.in_size == 2              # {0,1}
+    assert r.out_size == 2             # {20,21}
+    assert r.other_size == 3           # {30,40,41}
+
+
+def test_bowtie_all_one_scc(spark):
+    from adopt_spark.algos.scc import bowtie_decomposition
+
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    edges = spark.createDataFrame(ring, "sid long, tid long")
+    r = bowtie_decomposition(spark, edges).collect()[0]
+    assert (r.n_vertices, r.core_size, r.in_size, r.out_size,
+            r.other_size) == (5, 5, 0, 0, 0)
