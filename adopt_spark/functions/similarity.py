@@ -287,3 +287,35 @@ def group_centroids(df: DataFrame, group_col: str,
                  .alias("centroid"))
             .select(group_col, F.col("pos").cast("int").alias("pos"),
                     "centroid"))
+
+
+def centroid_similarity(df: DataFrame, group_col: str,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Cosine similarity between every pair of group centroids ->
+    (a, b, cosine) for a < b, 6 dp — the cluster-separation report an
+    embedding pipeline logs after computing per-group centroids.
+
+    Runs on the LONG-form output of ``group_centroids`` (6 dp-quantized
+    means, so both engines dot IDENTICAL doubles): one self-equi-join
+    on the dimension index + a pair-keyed sum aggregate + one norm
+    join. Pair count is n_groups^2/2 — a GROUP-level (tiny) frame, not
+    row-level; the heavy lifting stays in the centroid aggregation.
+    """
+    c = group_centroids(df, group_col, vec_col) \
+        .select(F.col(group_col).alias("g"), "pos", "centroid")
+    dots = (c.alias("x").join(c.alias("y"), "pos")
+            .where(F.col("x.g") < F.col("y.g"))
+            .groupBy(F.col("x.g").alias("a"), F.col("y.g").alias("b"))
+            .agg(F.sum(F.col("x.centroid") * F.col("y.centroid"))
+                 .alias("dot")))
+    norms = (c.groupBy("g")
+             .agg(F.sqrt(F.sum(F.col("centroid") * F.col("centroid")))
+                  .alias("nrm")))
+    return (dots
+            .join(norms.select(F.col("g").alias("a"),
+                               F.col("nrm").alias("na")), "a")
+            .join(norms.select(F.col("g").alias("b"),
+                               F.col("nrm").alias("nb")), "b")
+            .select("a", "b",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                     .alias("cosine")))

@@ -1102,6 +1102,14 @@ def q_mean_pivot_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_reached")))
 
 
+def q_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids (cluster-separation report)."""
+    from adopt_spark.functions.similarity import centroid_similarity
+
+    return centroid_similarity(_t(spark, sf_dir, "embeddings"), "label")
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (whitespace words + standalone
     punctuation runs) — pure Column ops with an exact SQL oracle."""
@@ -2543,6 +2551,22 @@ SELECT (SELECT count(*) FROM verts) AS n_vertices,
            - (SELECT count(*) FROM ins) - (SELECT count(*) FROM outs)
            AS other_size"""
 
+ORACLES["s_centroid_sim"] = f"""
+WITH cent AS (
+    SELECT label AS g, pos, centroid
+    FROM ({ORACLES["s_label_centroids"]})
+), dots AS (
+    SELECT x.g AS a, y.g AS b, sum(x.centroid * y.centroid) AS dot
+    FROM cent x JOIN cent y USING (pos)
+    WHERE x.g < y.g
+    GROUP BY 1, 2
+), norms AS (
+    SELECT g, sqrt(sum(centroid * centroid)) AS nrm FROM cent GROUP BY 1
+)
+SELECT d.a, d.b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d JOIN norms na ON na.g = d.a JOIN norms nb ON nb.g = d.b
+""".strip()
+
 ORACLES["g_reciprocity"] = f"""
 WITH edge AS MATERIALIZED (
 {DERIVED_EDGE_SQL}
@@ -2685,6 +2709,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_quality_gate": q_quality_gate,
         "a_mean_pivot_dist": q_mean_pivot_dist,
         "a_bowtie": q_bowtie,
+        "s_centroid_sim": q_centroid_sim,
         "a_hits_scores": q_hits_scores,
         "e_stream_kmv": q_stream_kmv,
         "a_random_walks": q_random_walks,

@@ -226,3 +226,27 @@ def test_quality_gate_contract_shape(spark):
         # percent_rank(kth row) <= 0.5 < percent_rank(k+1th row)
         if n > 1 and k < n:
             assert (k - 1) / (n - 1) <= 0.5 < k / (n - 1)
+
+
+def test_centroid_similarity_vs_numpy(spark):
+    from adopt_spark.functions.similarity import centroid_similarity
+
+    rng = np.random.default_rng(21)
+    rows = [(int(i % 3), rng.standard_normal(6).astype("float32").tolist())
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "label long, embedding array<float>")
+    got = {(r.a, r.b): r.cosine
+           for r in centroid_similarity(df, "label").collect()}
+
+    cents = {}
+    for lab in range(3):
+        vecs = [np.asarray(v, dtype=np.float64)
+                for l, v in rows if l == lab]
+        cents[lab] = np.round(np.mean(vecs, axis=0), 6)  # 6 dp like engine
+    for a in range(3):
+        for b in range(a + 1, 3):
+            cos = float(cents[a] @ cents[b]
+                        / (np.linalg.norm(cents[a])
+                           * np.linalg.norm(cents[b])))
+            assert abs(got[(a, b)] - round(cos, 6)) < 3e-6, (a, b)
+    assert len(got) == 3
