@@ -15,7 +15,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import StringType
 
 # ---------- pure-Column (codegen) ----------
@@ -321,3 +321,143 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
                      .alias("n_chars"),
                     F.coalesce(F.col("entropy"), F.lit(0.0))
                      .alias("entropy")))
+
+
+def _token_array(text_col: str) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the repo's
+    cross-engine tokenization (DuckDB twin:
+    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), ...))."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != "")
+
+
+def word_ngrams(arr: Column, n: int, step: int = 1) -> Column:
+    """Space-joined word n-grams over a token array, built JVM-side
+    with ``transform(sequence(...))`` — no window, no Python. With
+    ``step=n`` the grams are non-overlapping blocks. Empty array when
+    the doc has fewer than ``n`` tokens."""
+    return F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - n, F.lit(step)),
+            lambda i: F.array_join(F.slice(arr, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(train: DataFrame, bench: DataFrame, n: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with a benchmark/eval set -> (doc_id,
+    n_hit_ngrams, n_bench_docs) for contaminated train docs only.
+
+    The standard pre-training hygiene pass (GPT-3 appendix C /
+    FineWeb use 13-grams at full scale; 4 here so the synthetic
+    fixture has non-trivial overlap). Both sides shingle to DISTINCT
+    (doc_id, gram) rows, the candidate step is a gram equi-join —
+    never a doc x doc comparison.
+
+    Scale shape: the benchmark side is tiny by construction (eval
+    suites, not corpora), so its distinct-gram set is broadcast and
+    the train side never shuffles; per-gram skew is capped because
+    train grams are deduped per doc. At 100 TB swap the gram string
+    for xxhash64(gram) to shrink the broadcast — kept as text here so
+    the DuckDB oracle can rebuild it verbatim. Reference parity:
+    new-engine training-data op (no ADOPT counterpart).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(word_ngrams(_token_array(text_col), n)).alias("g"),
+        ).distinct()
+
+    tg = grams(train)
+    bg = grams(bench).withColumnRenamed("doc_id", "bench_doc")
+    hits = tg.join(F.broadcast(bg), "g")
+    return (hits.groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_hit_ngrams"),
+                 F.countDistinct("bench_doc").alias("n_bench_docs")))
+
+
+def dup_block_stats(docs: DataFrame, block: int = 8,
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide duplicate-text-block fractions -> (doc_id,
+    n_blocks, n_dup_blocks, dup_block_frac 6dp).
+
+    Splits each doc into NON-overlapping ``block``-token chunks and
+    counts, per doc, how many of its chunks occur more than once in
+    the whole corpus (boilerplate / copy-paste mass — the
+    RefinedWeb-style intra-corpus repetition signal, finer-grained
+    than whole-doc exact dedup). Docs shorter than one block report
+    zeros.
+
+    Scale shape: one explode (corpus tokens / block rows), one
+    gram-keyed count with map-side partial agg (skew = most-common
+    boilerplate block, the quantity being measured), one doc-keyed
+    roll-up. No joins wider than the gram count.
+    """
+    blocks = docs.select(
+        "doc_id",
+        F.explode(word_ngrams(_token_array(text_col), block, step=block))
+         .alias("g"))
+    cnt = blocks.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (blocks.join(cnt, "g")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                     .alias("n_dup_blocks")))
+    nb = F.coalesce(F.col("n_blocks"), F.lit(0))
+    nd = F.coalesce(F.col("n_dup_blocks"), F.lit(0))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    nb.cast("long").alias("n_blocks"),
+                    nd.cast("long").alias("n_dup_blocks"),
+                    F.round(F.when(nb > 0, nd.cast("double") / nb)
+                            .otherwise(0.0), 6).alias("dup_block_frac")))
+
+
+def collocations(docs: DataFrame, min_count: int = 10, k: int = 50,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k bigram collocations by association lift -> (w1, w2, c_xy,
+    lift 6dp), lift = P(w1 w2) / (P(w1) P(w2)); PMI = log2(lift).
+
+    The collocation-extraction primitive (phrase mining / tokenizer
+    vocab prep). Unigram probabilities come from the full token
+    stream (N tokens), bigram probabilities from the adjacent-pair
+    stream (M = N - n_docs pairs). The ranking statistic is computed
+    as ONE double division of two exact BIGINT products
+    (c_xy*N*N / (M*c_x*c_y)) so both engines produce the identical
+    IEEE double — no cross-engine log ulps; ties rank by (w1, w2).
+
+    Scale shape: two hash aggregates (bigram counts, unigram counts)
+    with map-side partial agg + two broadcast-sized joins on the
+    word; the bigram count table is vocabulary², not corpus-sized.
+    The BIGINT products stay exact in a double up to N ~ 9e15 /
+    (max c_xy) — far past any real corpus token count.
+    """
+    arr = docs.select(_token_array(text_col).alias("a"))
+    toks = arr.select(F.explode("a").alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    n_tot = toks.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    bi = arr.select(F.explode(word_ngrams(F.col("a"), 2)).alias("g"))
+    pair = bi.select(F.split("g", " ").alias("p")).select(
+        F.element_at("p", 1).alias("w1"), F.element_at("p", 2).alias("w2"))
+    bc = pair.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    m_tot = pair.groupBy().agg(F.count(F.lit(1)).alias("m"))
+
+    scored = (bc.where(F.col("c_xy") >= min_count)
+              .join(uni.withColumnRenamed("w", "w1")
+                       .withColumnRenamed("c1", "cx"), "w1")
+              .join(uni.withColumnRenamed("w", "w2")
+                       .withColumnRenamed("c1", "cy"), "w2")
+              .crossJoin(F.broadcast(n_tot))
+              .crossJoin(F.broadcast(m_tot))
+              .select("w1", "w2", "c_xy",
+                      F.round((F.col("c_xy") * F.col("n") * F.col("n"))
+                              .cast("double")
+                              / (F.col("m") * F.col("cx") * F.col("cy"))
+                              .cast("double"), 6).alias("lift")))
+    w = Window.orderBy(F.desc("lift"), "w1", "w2")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k).drop("rk"))

@@ -1211,6 +1211,36 @@ def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_report(near_dup_clusters(d, threshold=0.8))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs sharing any word 4-gram
+    with the deterministic benchmark slice (doc_id % 19 = 3). Gram
+    equi-join with the bench shingle set broadcast; oracle rebuilds
+    both shingle sets in SQL."""
+    from adopt_spark.functions.text import ngram_decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 19 == 3)
+    train = d.where(F.col("doc_id") % 19 != 3)
+    return ngram_decontaminate(train, bench, n=4)
+
+
+def q_dup_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate 8-token-block fractions per document
+    (boilerplate / copy-paste mass)."""
+    from adopt_spark.functions.text import dup_block_stats
+
+    return dup_block_stats(_t(spark, sf_dir, "documents"), block=8)
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by association lift (PMI = log2 of
+    the reported lift); the ranking statistic is one double division
+    of exact BIGINT products so both engines rank identical values."""
+    from adopt_spark.functions.text import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=10, k=50)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash Hamming-ball pairs in md5 hash mode — DuckDB recomputes
     the identical signatures (md5-derived token hashes + bit votes)
@@ -2657,6 +2687,87 @@ SELECT window_start,
 FROM r GROUP BY window_start
 """.strip()
 
+_ARR_CTE = """arr AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS a
+    FROM documents
+)"""
+
+ORACLES["t_decontaminate"] = f"""
+WITH {_ARR_CTE}, pos AS (
+    SELECT doc_id, a, unnest(generate_series(1, len(a) - 3)) AS i
+    FROM arr WHERE len(a) >= 4
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(a[i : i + 3], ' ') AS g
+    FROM pos
+), bench AS (
+    SELECT doc_id AS bench_doc, g FROM sh WHERE doc_id % 19 = 3
+), train AS (
+    SELECT doc_id, g FROM sh WHERE doc_id % 19 <> 3
+)
+SELECT train.doc_id,
+       count(DISTINCT train.g) AS n_hit_ngrams,
+       count(DISTINCT bench.bench_doc) AS n_bench_docs
+FROM train JOIN bench USING (g)
+GROUP BY 1
+""".strip()
+
+ORACLES["t_dup_blocks"] = f"""
+WITH {_ARR_CTE}, pos AS (
+    SELECT doc_id, a,
+           unnest(generate_series(1, len(a) - 7, 8)) AS i
+    FROM arr WHERE len(a) >= 8
+), blocks AS (
+    SELECT doc_id, array_to_string(a[i : i + 7], ' ') AS g FROM pos
+), cnt AS (
+    SELECT g, count(*) AS c FROM blocks GROUP BY 1
+), per_doc AS (
+    SELECT b.doc_id,
+           count(*) AS n_blocks,
+           sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS n_dup
+    FROM blocks b JOIN cnt USING (g)
+    GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_blocks,
+       round(CASE WHEN coalesce(p.n_blocks, 0) > 0
+                  THEN CAST(p.n_dup AS DOUBLE) / p.n_blocks
+                  ELSE 0.0 END, 6) AS dup_block_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""".strip()
+
+ORACLES["t_collocations"] = f"""
+WITH {_ARR_CTE}, toks AS (
+    SELECT unnest(a) AS w FROM arr
+), uni AS (
+    SELECT w, count(*) AS c1 FROM toks GROUP BY 1
+), ntot AS (
+    SELECT count(*) AS n FROM toks
+), pos AS (
+    SELECT doc_id, a, unnest(generate_series(1, len(a) - 1)) AS i
+    FROM arr WHERE len(a) >= 2
+), pairs AS (
+    SELECT a[i] AS w1, a[i + 1] AS w2 FROM pos
+), bc AS (
+    SELECT w1, w2, count(*) AS c_xy FROM pairs GROUP BY 1, 2
+), mtot AS (
+    SELECT count(*) AS m FROM pairs
+), scored AS (
+    SELECT bc.w1, bc.w2, bc.c_xy,
+           round(CAST(bc.c_xy * ntot.n * ntot.n AS DOUBLE)
+                 / CAST(mtot.m * u1.c1 * u2.c1 AS DOUBLE), 6) AS lift
+    FROM bc
+    JOIN uni u1 ON u1.w = bc.w1
+    JOIN uni u2 ON u2.w = bc.w2
+    CROSS JOIN ntot CROSS JOIN mtot
+    WHERE bc.c_xy >= 10
+)
+SELECT w1, w2, c_xy, lift FROM scored
+QUALIFY row_number() OVER (ORDER BY lift DESC, w1, w2) <= 50
+""".strip()
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -2679,6 +2790,9 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0) brand-new round-3 session-2 operators
+        "t_decontaminate": q_decontaminate,
+        "t_dup_blocks": q_dup_blocks,
+        "t_collocations": q_collocations,
         "a_bfs_hops": q_bfs_hops,
         "a_sssp_weighted": q_sssp_weighted,
         "g_clustering_coeff": q_clustering_coeff,

@@ -6,7 +6,9 @@ schema, and values) but covers the whole registry, because the driver
 appears to cap its per-round check at 50 entries. Output:
 CORRECTNESS_FULL.json at the repo root.
 
-Usage: python scripts/contract_check.py [sf_dir] [out_json]
+Usage: python scripts/contract_check.py [sf_dir] [out_json] [only]
+``only`` is an optional comma-separated entry-name filter for fast
+dev loops (the JSON then covers just those entries — don't commit it).
 """
 
 from __future__ import annotations
@@ -84,6 +86,9 @@ def main() -> None:
                     f"FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     queries, oracles = all_queries(), all_oracles()
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        queries = {k: v for k, v in queries.items() if k in only}
     results: dict[str, dict] = {}
     for name, fn in queries.items():
         t0 = time.time()

@@ -126,3 +126,80 @@ def test_char_entropy_vs_python(spark):
         assert nc == n
         assert abs(e - h) < 2e-6, (doc_id, e, h)
     assert got[1][1] == 0.0 and got[2][1] == 1.0
+
+
+def test_ngram_decontaminate_vs_python(spark):
+    from adopt_spark.functions.text import ngram_decontaminate
+
+    bench = [(100, "alpha beta gamma delta epsilon"),
+             (101, "one two three four five six")]
+    train = [(1, "x alpha beta gamma delta y"),          # 1 shared 4-gram
+             (2, "one two three four two three four five"),  # hits 2 grams
+             (3, "nothing in common at all here"),
+             (4, "alpha beta gamma delta epsilon zeta")]  # 2 shared grams
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    got = {r.doc_id: (r.n_hit_ngrams, r.n_bench_docs)
+           for r in ngram_decontaminate(tdf, bdf, n=4).collect()}
+
+    def grams(t):
+        ws = t.lower().split()
+        return {" ".join(ws[i:i + 4]) for i in range(len(ws) - 3)}
+
+    bg = {}
+    for did, t in bench:
+        for g in grams(t):
+            bg.setdefault(g, set()).add(did)
+    exp = {}
+    for did, t in train:
+        hit = {g for g in grams(t) if g in bg}
+        if hit:
+            exp[did] = (len(hit),
+                        len(set().union(*(bg[g] for g in hit))))
+    assert got == exp
+    assert 3 not in got  # clean docs are absent, not zero-rowed
+
+
+def test_dup_block_stats_vs_python(spark):
+    from adopt_spark.functions.text import dup_block_stats
+
+    docs = [(1, "a b c d e f g h i j"),    # blocks: [a..h]; tail dropped
+            (2, "a b c d e f g h"),        # same block as doc 1 -> dup
+            (3, "z y x w v u t s"),        # unique block
+            (4, "a b c"),                  # shorter than one block -> zeros
+            (5, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_blocks, r.n_dup_blocks, r.dup_block_frac)
+           for r in dup_block_stats(df, block=8).collect()}
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)
+
+
+def test_collocations_vs_python(spark):
+    import collections
+    from adopt_spark.functions.text import collocations
+
+    corpus = [(1, "strong tea strong tea strong tea weak tea"),
+              (2, "strong tea strong coffee weak coffee strong tea"),
+              (3, "weak tea strong tea strong tea weak coffee")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = [(r.w1, r.w2, r.c_xy, r.lift)
+           for r in collocations(df, min_count=2, k=3).collect()]
+
+    uni, bi = collections.Counter(), collections.Counter()
+    n = m = 0
+    for _, t in corpus:
+        ws = t.split()
+        uni.update(ws)
+        n += len(ws)
+        pairs = list(zip(ws, ws[1:]))
+        bi.update(pairs)
+        m += len(pairs)
+    scored = sorted(
+        ((w1, w2, c, round(c * n * n / (m * uni[w1] * uni[w2]), 6))
+         for (w1, w2), c in bi.items() if c >= 2),
+        key=lambda r: (-r[3], r[0], r[1]))[:3]
+    assert got == scored
