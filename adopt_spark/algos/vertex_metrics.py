@@ -216,3 +216,34 @@ def directed_triad_counts(edges: DataFrame) -> DataFrame:
     tra = (ab.join(bc, "b").join(ac, ["a", "c"])
            .agg(F.count(F.lit(1)).alias("n_transitive")))
     return cyc.crossJoin(tra)
+
+
+def edge_jaccard(edges: DataFrame) -> DataFrame:
+    """Per-edge neighborhood Jaccard similarity (the SCAN structural
+    similarity) -> (sid, tid, cn, jaccard 6dp) for every lt-canonical
+    edge: cn = |N(u) ∩ N(v)| (= the edge's triangle support),
+    jaccard = cn / (deg(u) + deg(v) - cn) over the undirected graph.
+
+    The edge-strength primitive for structural graph clustering and
+    weak-tie pruning. Scale shape: support comes from the
+    degree-oriented wedge + closing join (worst-case-optimal fan-out,
+    see ktruss.edge_supports); degrees are one hash agg; two
+    edge-keyed joins attach them. All counts exact; the one division
+    is quantized at 6 dp on both engines.
+    """
+    from adopt_spark.algos.ktruss import edge_supports
+
+    lt = _lt(edges)
+    sup = edge_supports(lt)
+    deg = _sym(lt).groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    out = (lt.join(sup, ["sid", "tid"], "left")
+           .join(deg.select(F.col("v").alias("sid"),
+                            F.col("deg").alias("deg_s")), "sid")
+           .join(deg.select(F.col("v").alias("tid"),
+                            F.col("deg").alias("deg_t")), "tid"))
+    cn = F.coalesce(F.col("support"), F.lit(0))
+    return out.select(
+        "sid", "tid", cn.cast("long").alias("cn"),
+        F.round(cn.cast("double")
+                / (F.col("deg_s") + F.col("deg_t") - cn), 6)
+         .alias("jaccard"))

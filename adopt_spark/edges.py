@@ -217,3 +217,32 @@ def bipartite_project(
              .groupBy("sid", "tid")
              .agg(F.count(F.lit(1)).alias("weight")))
     return pairs.where(F.col("weight") >= min_weight)
+
+
+def butterfly_count(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Count butterflies (2x2 bicliques, the bipartite 4-cycle) in a
+    (group, item) relation -> one row (n_butterflies, n_item_pairs,
+    max_pair_weight).
+
+    Identity: butterflies = sum over item pairs of C(w, 2), where w =
+    number of distinct groups containing both items — so the count
+    rides the same bounded self-join as ``bipartite_project`` (pairs
+    with w >= 2) and never materializes 4-tuples. The standard
+    bipartite clustering primitive (co-purchase / host-page motif
+    analysis). The C(w,2) product is exact BIGINT arithmetic on both
+    engines; ``max_group_size`` is the usual mega-basket control.
+    """
+    pairs = bipartite_project(df, group_col, item_col, min_weight=2,
+                              max_group_size=max_group_size)
+    w = F.col("weight")
+    return pairs.groupBy().agg(
+        F.coalesce(F.sum(F.floor(w * (w - 1) / 2)), F.lit(0))
+         .cast("long").alias("n_butterflies"),
+        F.count(F.lit(1)).cast("long").alias("n_item_pairs"),
+        F.coalesce(F.max(w), F.lit(0)).cast("long").alias("max_pair_weight"),
+    )

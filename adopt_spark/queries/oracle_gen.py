@@ -748,3 +748,37 @@ def pivot_distance_sql(edge_sql: str, rounds: int, n_pivots: int = 4,
     FROM pv
 ), {', '.join(steps)}
 SELECT pivot_id, v, dist FROM d{rounds}"""
+
+
+# --------------------------------------------------------------------- Katz
+
+KATZ_ITERS = 8
+KATZ_ALPHA = 0.01
+
+
+def katz_fixed_sql(edge_sql: str, k_iters: int = KATZ_ITERS,
+                   alpha: float = KATZ_ALPHA, beta: float = 1.0) -> str:
+    """Fixed-iteration Katz centrality, the exact twin of
+    algos/katz.py: x0 = beta; x_{t+1}(v) = beta + alpha * sum of
+    x_t(u) over in-edges (u -> v); output rounded to 6 dp."""
+    steps = []
+    for i in range(1, k_iters + 1):
+        steps.append(f"""x{i} AS MATERIALIZED (
+    SELECT verts.v, {beta} + {alpha} * coalesce(c.s, 0.0) AS x
+    FROM verts
+    LEFT JOIN (
+        SELECT e.tid AS v, sum(p.x) AS s
+        FROM edge e JOIN x{i-1} p ON p.v = e.sid
+        GROUP BY e.tid
+    ) c ON c.v = verts.v
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+    SELECT DISTINCT sid, tid FROM (
+{edge_sql}
+    ) WHERE sid <> tid
+), verts AS MATERIALIZED (
+    SELECT sid AS v FROM edge UNION SELECT tid FROM edge
+), x0 AS MATERIALIZED (
+    SELECT v, CAST({beta} AS DOUBLE) AS x FROM verts
+), {', '.join(steps)}
+SELECT v, CAST(round(x, 6) AS DOUBLE) AS katz FROM x{k_iters}"""

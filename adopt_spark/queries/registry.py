@@ -1241,6 +1241,36 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collocations(_t(spark, sf_dir, "documents"), min_count=10, k=50)
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality at 8 fixed supersteps (alpha=0.01) on the
+    derived graph; oracle = the unrolled recurrence
+    (oracle_gen.katz_fixed_sql)."""
+    from adopt_spark.algos.katz import katz_centrality
+
+    out, _ = katz_centrality(spark, derived_edges(spark, sf_dir),
+                             alpha=0.01, max_iter=8)
+    return out
+
+
+def q_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite butterfly (2x2 biclique) count over the co-purchase
+    relation (l_orderkey, l_partkey), basket cap 16 — counted via the
+    C(w,2) identity on the projected pair weights, never 4-tuples."""
+    from adopt_spark.edges import butterfly_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return butterfly_count(li, "l_orderkey", "l_partkey",
+                           max_group_size=16)
+
+
+def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard (SCAN structural similarity) on
+    the derived graph's lt-canonical edges."""
+    from adopt_spark.algos.vertex_metrics import edge_jaccard
+
+    return edge_jaccard(derived_edges(spark, sf_dir))
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash Hamming-ball pairs in md5 hash mode — DuckDB recomputes
     the identical signatures (md5-derived token hashes + bit votes)
@@ -2768,6 +2798,45 @@ SELECT w1, w2, c_xy, lift FROM scored
 QUALIFY row_number() OVER (ORDER BY lift DESC, w1, w2) <= 50
 """.strip()
 
+ORACLES["a_katz"] = _og.katz_fixed_sql(DERIVED_EDGE_SQL)
+
+ORACLES["g_butterflies"] = f"""
+WITH pairs AS (
+{ORACLES["g_copurchase"]}
+)
+SELECT CAST(coalesce(sum((weight * (weight - 1)) // 2), 0) AS BIGINT)
+           AS n_butterflies,
+       count(*) AS n_item_pairs,
+       CAST(coalesce(max(weight), 0) AS BIGINT) AS max_pair_weight
+FROM pairs
+""".strip()
+
+ORACLES["g_edge_jaccard"] = f"""
+{_EDGE_CTE}, lt AS (
+    SELECT DISTINCT sid, tid FROM edge WHERE sid < tid
+), sym AS (
+    SELECT sid AS v, tid AS nbr FROM lt
+    UNION ALL
+    SELECT tid AS v, sid AS nbr FROM lt
+), deg AS (
+    SELECT v, count(*) AS deg FROM sym GROUP BY 1
+), sup AS (
+    SELECT l.sid, l.tid, count(*) AS cn
+    FROM lt l
+    JOIN sym s1 ON s1.v = l.sid
+    JOIN sym s2 ON s2.v = l.tid AND s2.nbr = s1.nbr
+    GROUP BY 1, 2
+)
+SELECT l.sid, l.tid,
+       CAST(coalesce(sup.cn, 0) AS BIGINT) AS cn,
+       round(CAST(coalesce(sup.cn, 0) AS DOUBLE)
+             / (ds.deg + dt.deg - coalesce(sup.cn, 0)), 6) AS jaccard
+FROM lt l
+LEFT JOIN sup USING (sid, tid)
+JOIN deg ds ON ds.v = l.sid
+JOIN deg dt ON dt.v = l.tid
+""".strip()
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -2793,6 +2862,9 @@ def all_queries() -> dict[str, QueryFn]:
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
+        "a_katz": q_katz,
+        "g_butterflies": q_butterflies,
+        "g_edge_jaccard": q_edge_jaccard,
         "a_bfs_hops": q_bfs_hops,
         "a_sssp_weighted": q_sssp_weighted,
         "g_clustering_coeff": q_clustering_coeff,

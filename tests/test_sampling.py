@@ -250,3 +250,50 @@ def test_centroid_similarity_vs_numpy(spark):
                            * np.linalg.norm(cents[b])))
             assert abs(got[(a, b)] - round(cos, 6)) < 3e-6, (a, b)
     assert len(got) == 3
+
+
+def test_butterfly_count_vs_itertools(spark):
+    import itertools
+
+    import numpy as np
+
+    from adopt_spark.edges import butterfly_count
+
+    rng = np.random.default_rng(5)
+    rows = {(int(g), int(i))
+            for g, i in zip(rng.integers(0, 12, 300),
+                            rng.integers(100, 118, 300))}
+    df = spark.createDataFrame(sorted(rows), "g long, item long")
+    got = butterfly_count(df, "g", "item").collect()[0]
+
+    items = {}
+    for g, i in rows:
+        items.setdefault(g, set()).add(i)
+    n_bf = 0
+    pair_w = {}
+    for g1, g2 in itertools.combinations(sorted(items), 2):
+        shared = items[g1] & items[g2]
+        n_bf += len(shared) * (len(shared) - 1) // 2
+    for g, its in items.items():
+        for a, b in itertools.combinations(sorted(its), 2):
+            pair_w[(a, b)] = pair_w.get((a, b), 0) + 1
+    pairs2 = {p: w for p, w in pair_w.items() if w >= 2}
+    assert got.n_butterflies == sum(w * (w - 1) // 2
+                                    for w in pairs2.values()) == n_bf
+    assert got.n_item_pairs == len(pairs2)
+    assert got.max_pair_weight == max(pairs2.values(), default=0)
+
+
+def test_butterfly_count_empty_and_cap(spark):
+    from adopt_spark.edges import butterfly_count
+
+    empty = spark.createDataFrame([], "g long, item long")
+    r = butterfly_count(empty, "g", "item").collect()[0]
+    assert (r.n_butterflies, r.n_item_pairs, r.max_pair_weight) == (0, 0, 0)
+
+    # one butterfly: groups {1,2} x items {10, 11}; cap 1 kills it
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], "g long, item long")
+    assert butterfly_count(df, "g", "item").collect()[0].n_butterflies == 1
+    assert butterfly_count(df, "g", "item", max_group_size=1) \
+        .collect()[0].n_butterflies == 0

@@ -93,3 +93,39 @@ def test_common_neighbors_excludes_edges_and_respects_cap(spark, powerlaw_small)
         u, v = int(r["u"]), int(r["v"])
         mids = {w for w in adj[u] & adj[v] if len(adj[w]) <= 10}
         assert int(r["cn"]) == len(mids)
+
+
+def test_edge_jaccard_vs_python(spark):
+    import numpy as np
+
+    from adopt_spark.algos.vertex_metrics import edge_jaccard
+
+    rng = np.random.default_rng(13)
+    pairs = {(int(a), int(b)) for a, b in rng.integers(0, 30, (150, 2))
+             if a < b}
+    df = spark.createDataFrame(sorted(pairs), "sid long, tid long")
+    got = {(r.sid, r.tid): (r.cn, r.jaccard)
+           for r in edge_jaccard(df).collect()}
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    assert set(got) == pairs
+    for a, b in pairs:
+        cn = len(nbrs[a] & nbrs[b])
+        j = round(cn / (len(nbrs[a]) + len(nbrs[b]) - cn), 6)
+        assert got[(a, b)] == (cn, j), (a, b)
+
+
+def test_edge_jaccard_triangle_plus_pendant(spark):
+    from adopt_spark.algos.vertex_metrics import edge_jaccard
+
+    # triangle 0-1-2 plus pendant 2-3
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "sid long, tid long")
+    got = {(r.sid, r.tid): (r.cn, r.jaccard)
+           for r in edge_jaccard(df).collect()}
+    assert got[(0, 1)] == (1, round(1 / 3, 6))   # share vertex 2
+    assert got[(0, 2)] == (1, 0.25)              # deg(2)=3
+    assert got[(2, 3)] == (0, 0.0)
