@@ -319,3 +319,83 @@ def centroid_similarity(df: DataFrame, group_col: str,
             .select("a", "b",
                     F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
                      .alias("cosine")))
+
+
+def sq8_quantize_stats(embeddings: DataFrame,
+                       vec_col: str = "embedding") -> list[tuple[float, float]]:
+    """Per-dimension (lo, hi) corpus ranges for scalar quantization —
+    one posexplode + min/max hash aggregate; the result is
+    dimension-sized (tiny) and is the only driver-resident state."""
+    stats = (embeddings
+             .select(F.posexplode(vec_col).alias("i", "x"))
+             .groupBy("i")
+             .agg(F.min(F.col("x").cast("double")).alias("lo"),
+                  F.max(F.col("x").cast("double")).alias("hi"))
+             .orderBy("i")
+             .collect())
+    return [(float(r.lo), float(r.hi)) for r in stats]
+
+
+def _sq8_dequantized(vec_col, lo_arr, hi_arr):
+    """codes = clamp(floor((x-lo)/(hi-lo)*255 + 0.5), 0..255), then
+    dequantize back to lo + code/255*(hi-lo) — one JVM-side transform,
+    exact IEEE-reproducible arithmetic (no Python, no randomness)."""
+    def dq(x, i):
+        lo = F.element_at(lo_arr, i + 1)
+        hi = F.element_at(hi_arr, i + 1)
+        code = F.when(hi > lo, F.greatest(
+            F.lit(0.0), F.least(F.lit(255.0), F.floor(
+                (x.cast("double") - lo) / (hi - lo) * 255.0 + 0.5)
+                .cast("double")))).otherwise(F.lit(0.0))
+        return lo + code / 255.0 * (hi - lo)
+    return F.transform(F.col(vec_col), dq)
+
+
+def sq8_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             stats: list[tuple[float, float]] | None = None) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k -> [q_id, vec_id, cos,
+    rank]: the corpus side is compressed to one byte per dimension
+    (4x smaller scans / cache footprint — the standard first rung of
+    ANN compression), queries stay exact, scores are computed against
+    the DEQUANTIZED corpus vectors (asymmetric distance computation).
+
+    Plan shape = brute_force_topk (broadcast queries, corpus streams,
+    one per-query top-k window); the quantizer adds one per-dimension
+    min/max aggregate up front. Ranking uses the 6 dp-quantized score
+    (ties broken by vec_id) so results are engine- and
+    order-independent. At 100 TB the codes column is what you PERSIST
+    (byte array + the dim-sized stats table); this operator computes
+    it inline to stay self-contained.
+    """
+    if stats is None:
+        stats = sq8_quantize_stats(embeddings, vec_col)
+    lo_arr = F.array(*[F.lit(lo) for lo, _ in stats])
+    hi_arr = F.array(*[F.lit(hi) for _, hi in stats])
+
+    e = embeddings.select(
+        F.col(id_col),
+        _sq8_dequantized(vec_col, lo_arr, hi_arr).alias("_dq"))
+    e = e.select(id_col, "_dq",
+                 F.sqrt(F.aggregate("_dq", F.lit(0.0),
+                                    lambda a, x: a + x * x)).alias("_n1"))
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       _norm_col(q_vec_col).alias("_n2"))
+    pairs = e.crossJoin(F.broadcast(q))
+    cos = (_dot_raw(F.col("_dq"), F.col(q_vec_col))
+           / (F.col("_n1") * F.col("_n2")))
+    scored = (pairs.select(q_id_col, id_col,
+                           F.round(cos, 6).alias("cos"))
+              .where(~F.isnan("cos")))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))
+
+
+def _dot_raw(a, b):
+    """Dot product where ``a`` is already double (dequantized) and
+    ``b`` may be float — cast only b."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)

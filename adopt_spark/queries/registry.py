@@ -1271,6 +1271,17 @@ def q_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_jaccard(derived_edges(spark, sf_dir))
 
 
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k: corpus compressed to one
+    byte/dim, asymmetric distance against exact queries. The oracle
+    replays the identical quantize -> dequantize -> score arithmetic
+    in SQL, so the lossy codes themselves are value-checked."""
+    from adopt_spark.functions.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq8_topk(emb, _queries_from_embeddings(emb), k=5)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash Hamming-ball pairs in md5 hash mode — DuckDB recomputes
     the identical signatures (md5-derived token hashes + bit votes)
@@ -2837,6 +2848,45 @@ JOIN deg ds ON ds.v = l.sid
 JOIN deg dt ON dt.v = l.tid
 """.strip()
 
+ORACLES["s_knn_sq8"] = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), st AS (
+  SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY i
+), dq AS (
+  SELECT ex.vec_id, ex.i,
+         CASE WHEN st.hi > st.lo
+              THEN st.lo + greatest(0.0, least(255.0,
+                       floor((ex.x - st.lo) / (st.hi - st.lo)
+                             * 255.0 + 0.5))) / 255.0 * (st.hi - st.lo)
+              ELSE st.lo END AS v
+  FROM ex JOIN st USING (i)
+), ndq AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM dq GROUP BY vec_id
+), nq AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+), dots AS (
+  SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.x * e.v) AS dot
+  FROM ex q JOIN dq e USING (i)
+  WHERE q.vec_id < 3
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.q_id, d.vec_id,
+         CAST(round(d.dot / (nq.nrm * ne.nrm), 6) AS DOUBLE) AS cos
+  FROM dots d
+  JOIN nq ON nq.vec_id = d.q_id
+  JOIN ndq ne ON ne.vec_id = d.vec_id
+)
+SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 5
+""".strip()
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -2865,6 +2915,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_katz": q_katz,
         "g_butterflies": q_butterflies,
         "g_edge_jaccard": q_edge_jaccard,
+        "s_knn_sq8": q_knn_sq8,
         "a_bfs_hops": q_bfs_hops,
         "a_sssp_weighted": q_sssp_weighted,
         "g_clustering_coeff": q_clustering_coeff,

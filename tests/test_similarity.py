@@ -102,3 +102,67 @@ def test_embedding_near_dup_self_excluded(spark, emb):
     for r in pairs.collect():
         assert r["a"] < r["b"]
         assert r["cos"] >= 0.99
+
+
+def test_sq8_topk_vs_numpy(spark):
+    import numpy as np
+
+    from adopt_spark.functions.similarity import sq8_topk
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[0]]), (1, [float(x) for x in vecs[1]])],
+        "q_id long, q_vec array<float>")
+    got = {(r.q_id, r.rank): (r.vec_id, r.cos)
+           for r in sq8_topk(emb, q, k=3).collect()}
+
+    x = vecs.astype(np.float64)
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    codes = np.clip(np.floor((x - lo) / (hi - lo) * 255.0 + 0.5), 0, 255)
+    dq = lo + codes / 255.0 * (hi - lo)
+    for qi in (0, 1):
+        qv = x[qi]
+        cos = (dq @ qv) / (np.linalg.norm(dq, axis=1) * np.linalg.norm(qv))
+        order = sorted(range(len(vecs)),
+                       key=lambda i: (-round(cos[i], 6), i))[:3]
+        for rank, i in enumerate(order, 1):
+            vid, c = got[(qi, rank)]
+            assert vid == i
+            assert c == pytest.approx(round(cos[i], 6), abs=2e-6)
+
+
+def test_sq8_recall_vs_exact(spark):
+    """int8 quantization of well-spread vectors must keep top-1."""
+    import numpy as np
+
+    from adopt_spark.functions.similarity import brute_force_topk, sq8_topk
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(7, [float(x) for x in vecs[7]])], "q_id long, q_vec array<float>")
+    exact = [r.vec_id for r in brute_force_topk(emb, q, k=5).collect()]
+    approx = [r.vec_id for r in sq8_topk(emb, q, k=5).collect()]
+    assert approx[0] == exact[0] == 7          # self-match survives
+    assert len(set(exact) & set(approx)) >= 3  # recall@5 >= 0.6
+
+
+def test_sq8_constant_dimension(spark):
+    """A dimension with hi == lo must not divide by zero."""
+    from adopt_spark.functions.similarity import sq8_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 3.0]), (2, [1.0, -1.0])],
+        "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [1.0, 2.0])],
+                              "q_id long, q_vec array<float>")
+    rows = sq8_topk(emb, q, k=3).collect()
+    assert [r.vec_id for r in rows][0] == 0
+    assert all(not (r.cos != r.cos) for r in rows)  # no NaN
