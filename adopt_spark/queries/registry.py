@@ -901,6 +901,15 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir, gap_seconds=1800)
 
 
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment join (events stream ×
+    customer dimension) + keyed aggregation; oracle = the equivalent
+    batch join SQL."""
+    from adopt_spark.streaming.enrich import stream_enrich_by_segment
+
+    return stream_enrich_by_segment(spark, sf_dir)
+
+
 # ---------------- documents / text ------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,6 +1655,11 @@ ORACLES: dict[str, str] = {
                event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""",
+    "e_stream_enrich": """
+        SELECT c_mktsegment, event_type, count(*) AS n,
+               CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2""",
     "e_stream_sessionize": """
         WITH x AS (
           SELECT event_type, ts,
@@ -2909,6 +2923,7 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0) brand-new round-3 session-2 operators
+        "e_stream_enrich": q_stream_enrich,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
