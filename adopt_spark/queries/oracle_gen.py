@@ -782,3 +782,51 @@ def katz_fixed_sql(edge_sql: str, k_iters: int = KATZ_ITERS,
     SELECT v, CAST({beta} AS DOUBLE) AS x FROM verts
 ), {', '.join(steps)}
 SELECT v, CAST(round(x, 6) AS DOUBLE) AS katz FROM x{k_iters}"""
+
+
+# --------------------------------------------------------------- Luby MIS
+
+MIS_ROUNDS = 16  # sf0.01 contract graph converges in 7; ~2x margin
+
+
+def mis_fixed_sql(edge_sql: str, rounds: int = MIS_ROUNDS) -> str:
+    """Unrolled deterministic Luby MIS, the exact twin of
+    algos/mis.py: priority p(v) = (v mod 1e9+7) * 2654435761 mod
+    1e9+7; round i moves every undecided vertex whose (p, v) pair is
+    a strict local minimum among undecided neighbors into the MIS and
+    deletes its neighbors. Rounds past convergence are no-ops (the
+    undecided set is empty), so a generous ``rounds`` budget and the
+    engine's early-stopping loop agree exactly."""
+    p = "1000000007"
+    parts = []
+    prev = "u0"
+    mis_names = []
+    for i in range(1, rounds + 1):
+        m, u = f"m{i}", f"u{i}"
+        parts.append(f"""{m} AS MATERIALIZED (
+    SELECT u.v FROM {prev} u WHERE NOT EXISTS (
+        SELECT 1 FROM sym s JOIN {prev} w ON w.v = s.nbr
+        WHERE s.v = u.v
+          AND (w.p < u.p OR (w.p = u.p AND w.v < u.v)))
+)""")
+        parts.append(f"""{u} AS MATERIALIZED (
+    SELECT u.v, u.p FROM {prev} u
+    WHERE u.v NOT IN (SELECT v FROM {m})
+      AND NOT EXISTS (SELECT 1 FROM sym s JOIN {m} m ON m.v = s.nbr
+                      WHERE s.v = u.v)
+)""")
+        mis_names.append(m)
+        prev = u
+    union = "\nUNION ALL\n".join(f"SELECT v FROM {m}" for m in mis_names)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT sid AS v, tid AS nbr FROM edge
+    UNION
+    SELECT tid, sid FROM edge
+), u0 AS MATERIALIZED (
+    SELECT DISTINCT v, (v % {p}) * 2654435761 % {p} AS p FROM sym
+), {', '.join(parts)}
+SELECT v FROM (
+{union}
+)"""

@@ -901,6 +901,15 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir, gap_seconds=1800)
 
 
+def q_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set over the derived
+    graph; oracle = oracle_gen.mis_fixed_sql (unrolled rounds with
+    the identical multiplicative-hash priority)."""
+    from adopt_spark.algos.mis import luby_mis
+
+    return luby_mis(derived_edges(spark, sf_dir))
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment join (events stream ×
     customer dimension) + keyed aggregation; oracle = the equivalent
@@ -2032,6 +2041,7 @@ ORACLES.update({
                             AND l3.l_returnflag = 'R')
         GROUP BY s_name""",
     "a_pagerank_top": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL, top=20),
+    "a_mis_luby": _og.mis_fixed_sql(DERIVED_EDGE_SQL),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
@@ -2924,6 +2934,7 @@ def all_queries() -> dict[str, QueryFn]:
     return {
         # -- (0) brand-new round-3 session-2 operators
         "e_stream_enrich": q_stream_enrich,
+        "a_mis_luby": q_mis_luby,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
