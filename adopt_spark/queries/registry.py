@@ -919,6 +919,15 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enrich_by_segment(spark, sf_dir)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events file streamed TWICE
+    (one copy per micro-batch) through dropDuplicates(event_id);
+    oracle = batch counts over the single copy."""
+    from adopt_spark.streaming.dedup_stream import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)
+
+
 # ---------------- documents / text ------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,6 +1673,8 @@ ORACLES: dict[str, str] = {
                event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""",
+    "e_stream_dedup": """
+        SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
     "e_stream_enrich": """
         SELECT c_mktsegment, event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
@@ -2935,6 +2946,7 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (0) brand-new round-3 session-2 operators
         "e_stream_enrich": q_stream_enrich,
         "a_mis_luby": q_mis_luby,
+        "e_stream_dedup": q_stream_dedup,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
