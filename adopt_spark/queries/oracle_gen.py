@@ -830,3 +830,56 @@ def mis_fixed_sql(edge_sql: str, rounds: int = MIS_ROUNDS) -> str:
 SELECT v FROM (
 {union}
 )"""
+
+
+# ----------------------------------------------------- maximal matching
+
+MATCHING_ROUNDS = 20  # sf0.01 contract graph converges in 9; ~2x margin
+
+
+def matching_fixed_sql(edge_sql: str, rounds: int = MATCHING_ROUNDS) -> str:
+    """Unrolled deterministic greedy maximal matching, the exact twin
+    of algos/matching.py: an active edge wins a round when its
+    (p, a, b) priority is the minimum of the incident-edge priorities
+    at BOTH endpoints (row_number = 1 twice under the per-vertex
+    explode); winners' endpoints knock out their incident edges.
+    Rounds past convergence are no-ops."""
+    p = "1000000007"
+    pri = (f"(((a % {p}) * 2000003 + (b % {p})) % {p}) "
+           f"* 2654435761 % {p}")
+    parts = []
+    prev = "a0"
+    win_names = []
+    for i in range(1, rounds + 1):
+        w, mv, a = f"w{i}", f"mv{i}", f"a{i}"
+        parts.append(f"""{w} AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT v, a, b,
+               row_number() OVER (PARTITION BY v ORDER BY p, a, b) AS rn
+        FROM (SELECT a AS v, a, b, p FROM {prev}
+              UNION ALL
+              SELECT b, a, b, p FROM {prev})
+    ) WHERE rn = 1 GROUP BY a, b HAVING count(*) = 2
+)""")
+        parts.append(f"""{mv} AS MATERIALIZED (
+    SELECT a AS v FROM {w} UNION SELECT b FROM {w}
+)""")
+        parts.append(f"""{a} AS MATERIALIZED (
+    SELECT e.a, e.b, e.p FROM {prev} e
+    WHERE e.a NOT IN (SELECT v FROM {mv})
+      AND e.b NOT IN (SELECT v FROM {mv})
+)""")
+        win_names.append(w)
+        prev = a
+    union = "\nUNION ALL\n".join(f"SELECT a, b FROM {w}" for w in win_names)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), und AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM edge WHERE sid <> tid
+), a0 AS MATERIALIZED (
+    SELECT a, b, {pri} AS p FROM und
+), {', '.join(parts)}
+SELECT a AS sid, b AS tid FROM (
+{union}
+)"""

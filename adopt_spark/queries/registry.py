@@ -910,6 +910,15 @@ def q_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(derived_edges(spark, sf_dir))
 
 
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy maximal matching over the derived graph;
+    oracle = oracle_gen.matching_fixed_sql (unrolled rounds, same
+    hashed edge priority)."""
+    from adopt_spark.algos.matching import greedy_matching
+
+    return greedy_matching(derived_edges(spark, sf_dir))
+
+
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast enrichment join (events stream ×
     customer dimension) + keyed aggregation; oracle = the equivalent
@@ -2053,6 +2062,7 @@ ORACLES.update({
         GROUP BY s_name""",
     "a_pagerank_top": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL, top=20),
     "a_mis_luby": _og.mis_fixed_sql(DERIVED_EDGE_SQL),
+    "a_matching": _og.matching_fixed_sql(DERIVED_EDGE_SQL),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
@@ -2947,6 +2957,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_stream_enrich": q_stream_enrich,
         "a_mis_luby": q_mis_luby,
         "e_stream_dedup": q_stream_dedup,
+        "a_matching": q_matching,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,

@@ -1,0 +1,64 @@
+"""Greedy maximal matching vs a pure-python twin + invariants."""
+
+import numpy as np
+
+from adopt_spark.algos.matching import MATCH_EDGE_MIX, greedy_matching
+from adopt_spark.algos.mis import MIS_MULT, MIS_PRIME
+from tests.conftest import edge_df
+
+
+def python_matching(pairs):
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    inc = {}
+    for e in edges:
+        inc.setdefault(e[0], set()).add(e)
+        inc.setdefault(e[1], set()).add(e)
+
+    def pri(e):
+        a, b = e
+        pkey = ((a % MIS_PRIME) * MATCH_EDGE_MIX + (b % MIS_PRIME)) % MIS_PRIME
+        return (pkey * MIS_MULT % MIS_PRIME, a, b)
+
+    active, matched = set(edges), set()
+    while active:
+        win = {e for e in active
+               if all(c == e or c not in active or pri(c) > pri(e)
+                      for c in inc[e[0]] | inc[e[1]])}
+        matched |= win
+        mv = {v for e in win for v in e}
+        active = {e for e in active if e[0] not in mv and e[1] not in mv}
+    return matched, edges, inc
+
+
+def check(spark, pairs):
+    got = {(r["sid"], r["tid"])
+           for r in greedy_matching(edge_df(spark, pairs)).collect()}
+    exp, edges, inc = python_matching(pairs)
+    assert got == exp
+    mv = [v for e in got for v in e]
+    assert len(mv) == len(set(mv))                      # a matching
+    covered = set(mv)
+    for a, b in edges:                                  # maximal
+        assert a in covered or b in covered
+
+
+def test_matching_small_fixtures(spark):
+    check(spark, [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4),
+                  (1, 5), (4, 5)])
+    check(spark, [(i, i + 1) for i in range(21)])        # path
+    check(spark, [(0, i) for i in range(1, 15)])         # star -> 1 edge
+    star = {(r["sid"], r["tid"]) for r in greedy_matching(
+        edge_df(spark, [(0, i) for i in range(1, 15)])).collect()}
+    assert len(star) == 1
+
+
+def test_matching_random_graph(spark):
+    rng = np.random.default_rng(11)
+    pairs = {tuple(sorted(p)) for p in rng.integers(0, 70, (350, 2))
+             if p[0] != p[1]}
+    check(spark, sorted(pairs))
+
+
+def test_matching_empty(spark):
+    out = greedy_matching(edge_df(spark, []))
+    assert out.count() == 0 and out.columns == ["sid", "tid"]
