@@ -461,3 +461,39 @@ def collocations(docs: DataFrame, min_count: int = 10, k: int = 50,
     w = Window.orderBy(F.desc("lift"), "w1", "w2")
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k).drop("rk"))
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the corpus term-frequency distribution:
+    OLS slope/intercept of ln(freq) on ln(rank), rank = dense
+    frequency order (freq DESC, term ASC). Natural-text corpora land
+    near slope -1; a far-off slope flags synthetic/degenerate text —
+    a standard corpus-level quality signal.
+
+    Cross-engine determinism: both ln() inputs are quantized to 6 dp
+    before the regression and the outputs to 6 dp after it, so libm
+    last-ulp and summation-order differences cannot leak into the
+    contract hash. One row out: [n_terms, slope, intercept].
+
+    Scale shape: one token hash-agg (map-side partial), then a
+    global-order row_number over the AGGREGATED vocabulary — orders
+    of magnitude smaller than the corpus, but still a single-
+    partition sort; at 100-TB corpus scale cap it first (e.g.
+    ``freq.orderBy(desc, asc).limit(1_000_000)`` — Zipf fits are
+    conventionally taken over the head of the distribution anyway).
+    Final step is one regr_slope/regr_intercept aggregate.
+    Tokenization matches tfidf_top_terms / dedup word n-grams.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+         .alias("term"),
+    ).where(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("lr"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("lf"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope("lf", "lr"), 6).alias("slope"),
+        F.round(F.regr_intercept("lf", "lr"), 6).alias("intercept"))

@@ -910,6 +910,38 @@ def q_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(derived_edges(spark, sf_dir))
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
+    lattice subset)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 4) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """)
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value via width_bucket —
+    the profiling primitive for numeric columns."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.width_bucket("value", F.lit(0.0), F.lit(500.0),
+                                F.lit(25)).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf-law OLS fit (ln freq ~ ln rank); oracle = the same
+    regression in DuckDB with identical 6-dp quantization."""
+    from adopt_spark.functions.text import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic greedy maximal matching over the derived graph;
     oracle = oracle_gen.matching_fixed_sql (unrolled rounds, same
@@ -1682,6 +1714,35 @@ ORACLES: dict[str, str] = {
                event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""",
+    "r_grouping_sets": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(round(sum(l_extendedprice), 4) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())""",
+    "r_value_histogram": """
+        SELECT CASE WHEN value < 0.0 THEN 0
+                    WHEN value >= 500.0 THEN 26
+                    ELSE CAST(floor(value / 20.0) AS BIGINT) + 1
+               END AS bucket, count(*) AS n
+        FROM events GROUP BY 1""",
+    "t_zipf_fit": """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+            FROM documents
+        ), freq AS (
+            SELECT term, count(*) AS freq FROM toks
+            WHERE term <> '' GROUP BY term
+        ), ranked AS (
+            SELECT round(ln(CAST(row_number() OVER
+                       (ORDER BY freq DESC, term ASC) AS DOUBLE)), 6) AS lr,
+                   round(ln(CAST(freq AS DOUBLE)), 6) AS lf
+            FROM freq
+        )
+        SELECT count(*) AS n_terms,
+               CAST(round(regr_slope(lf, lr), 6) AS DOUBLE) AS slope,
+               CAST(round(regr_intercept(lf, lr), 6) AS DOUBLE) AS intercept
+        FROM ranked""",
     "e_stream_dedup": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
     "e_stream_enrich": """
@@ -2958,6 +3019,9 @@ def all_queries() -> dict[str, QueryFn]:
         "a_mis_luby": q_mis_luby,
         "e_stream_dedup": q_stream_dedup,
         "a_matching": q_matching,
+        "r_grouping_sets": q_grouping_sets,
+        "r_value_histogram": q_value_histogram,
+        "t_zipf_fit": q_zipf_fit,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
