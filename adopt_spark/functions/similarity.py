@@ -399,3 +399,97 @@ def _dot_raw(a, b):
     ``b`` may be float — cast only b."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y.cast("double")),
                        F.lit(0.0), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------- product quantization
+
+PQ_M, PQ_K, PQ_SEED, PQ_SCALE = 8, 16, 2024, 0.15
+
+
+def pq_codebook(dim: int, m: int = PQ_M, k: int = PQ_K,
+                seed: int = PQ_SEED) -> np.ndarray:
+    """Deterministic (m, k, dim//m) codebook from a seeded Generator,
+    scaled to the corpus' typical coordinate spread. Data-independent
+    on purpose: like the LSH hyperplanes it lets the DuckDB oracle
+    replicate the codes bit-for-bit from embedded float literals
+    (a k-means-trained codebook would tie the static oracle SQL to
+    one dataset). Recall is below trained-PQ but the entire encode /
+    ADC machinery is identical; swap in trained centroids in
+    production."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, k, dim // m)) * PQ_SCALE
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+            m_sub: int = PQ_M, k_cent: int = PQ_K) -> DataFrame:
+    """Product-quantized cosine top-k -> [q_id, vec_id, cos, rank]
+    via asymmetric distance computation (ADC).
+
+    Encode: each corpus vector splits into ``m_sub`` subvectors; each
+    subvector maps to its nearest codebook centroid (argmin of exact
+    L2², ties to the smaller centroid id) — the persisted form is
+    m_sub 4-bit/8-bit codes per vector, a 32-64x compression of a
+    float corpus, the standard billion-scale ANN layout (IVF-PQ's
+    second stage). Score: queries stay exact; dot(q, reconstruction)
+    and |reconstruction|² decompose over subspaces, so the plan never
+    materializes reconstructed vectors — per-subspace partial
+    products aggregate in one (q_id, vec_id) hash agg, the ADC
+    lookup-table trick expressed relationally.
+
+    Plan shape: posexplode to (vec_id, subspace) rows; one broadcast
+    join against the (m·k)-row codebook; one min_by argmin per
+    (vec_id, subspace); one broadcast join against exploded queries;
+    one hash agg per pair; one per-query top-k window. All JVM-side
+    Column arithmetic — the codebook is the only driver-resident
+    state. Ranking uses the 6 dp-quantized score (ties by vec_id).
+    """
+    first = embeddings.select(vec_col).head()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, cos double, rank int")
+    dim = len(first[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+    cb = pq_codebook(dim, m_sub, k_cent)
+    spark = embeddings.sparkSession
+    cb_rows = [(mi, ki, [float(x) for x in cb[mi, ki]])
+               for mi in range(m_sub) for ki in range(k_cent)]
+    cb_df = spark.createDataFrame(
+        cb_rows, "m int, j int, cent array<double>")
+
+    def subspaces(col_name):
+        vd = F.transform(F.col(col_name), lambda x: x.cast("double"))
+        return F.posexplode(F.array(
+            *[F.slice(vd, mi * d_sub + 1, d_sub) for mi in range(m_sub)]))
+
+    # encode: nearest centroid per (vector, subspace)
+    sub = embeddings.select(F.col(id_col),
+                            subspaces(vec_col).alias("m", "sv"))
+    dist2 = (_dot_raw(F.col("sv"), F.col("sv"))
+             - F.lit(2.0) * _dot_raw(F.col("sv"), F.col("cent"))
+             + _dot_raw(F.col("cent"), F.col("cent")))
+    enc = (sub.join(F.broadcast(cb_df), "m")
+           .groupBy(id_col, "m")
+           .agg(F.min_by(F.col("cent"), F.struct(dist2.alias("d"),
+                                                 F.col("j"))).alias("cent"))
+           .withColumn("c2", _dot_raw(F.col("cent"), F.col("cent"))))
+
+    qn = queries.select(F.col(q_id_col), _norm_col(q_vec_col).alias("_n2"))
+    qsub = queries.select(F.col(q_id_col),
+                          subspaces(q_vec_col).alias("m", "qsv"))
+    pairs = (enc.join(F.broadcast(qsub), "m")
+             .groupBy(q_id_col, id_col)
+             .agg(F.sum(_dot_raw(F.col("qsv"), F.col("cent"))).alias("dot"),
+                  F.sqrt(F.sum("c2")).alias("_n1")))
+    scored = (pairs.join(F.broadcast(qn), q_id_col)
+              .select(q_id_col, id_col,
+                      F.round(F.col("dot") / (F.col("_n1") * F.col("_n2")),
+                              6).alias("cos"))
+              .where(~F.isnan("cos")))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))

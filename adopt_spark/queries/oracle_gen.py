@@ -883,3 +883,74 @@ def matching_fixed_sql(edge_sql: str, rounds: int = MATCHING_ROUNDS) -> str:
 SELECT a AS sid, b AS tid FROM (
 {union}
 )"""
+
+
+# --------------------------------------------- product quantization (ADC)
+
+# MUST mirror functions.similarity.{PQ_M, PQ_K, PQ_SEED, PQ_SCALE,
+# pq_codebook} exactly.
+PQ_M, PQ_K, PQ_SEED, PQ_SCALE = 8, 16, 2024, 0.15
+PQ_DIM = 64
+
+
+def _pq_codebook_values() -> str:
+    rng = np.random.default_rng(PQ_SEED)
+    cb = rng.standard_normal((PQ_M, PQ_K, PQ_DIM // PQ_M)) * PQ_SCALE
+    rows = []
+    for mi in range(PQ_M):
+        for ki in range(PQ_K):
+            lit = "[" + ", ".join(repr(float(x)) for x in cb[mi, ki]) + "]"
+            rows.append(f"({mi}, {ki}, {lit})")
+    return ",\n".join(rows)
+
+
+def knn_pq_sql(k: int = 5) -> str:
+    """Exact replica of similarity.pq_topk: subvector slices, argmin
+    codebook assignment (L2² expanded as ss - 2·ip + c2, ties to the
+    smaller centroid id), per-subspace ADC partial products summed
+    per pair, cosine against the exact query, 6 dp rank."""
+    d = PQ_DIM // PQ_M
+    return f"""
+WITH ex AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb(m, j, cent) AS (VALUES
+{_pq_codebook_values()}
+),
+sub AS MATERIALIZED (
+    SELECT ex.vec_id, mm.m,
+           (ex.v)[mm.m * {d} + 1 : mm.m * {d} + {d}] AS sv
+    FROM ex CROSS JOIN (SELECT DISTINCT m FROM cb) mm
+),
+enc AS MATERIALIZED (
+    SELECT vec_id, m, cent, list_inner_product(cent, cent) AS c2
+    FROM (
+        SELECT s.vec_id, s.m, c.cent,
+               row_number() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY list_inner_product(s.sv, s.sv)
+                            - 2.0 * list_inner_product(s.sv, c.cent)
+                            + list_inner_product(c.cent, c.cent),
+                            c.j) AS rn
+        FROM sub s JOIN cb c ON c.m = s.m
+    ) WHERE rn = 1
+),
+qn AS (SELECT vec_id AS q_id, sqrt(list_inner_product(v, v)) AS n2
+       FROM ex WHERE vec_id < 3),
+qsub AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE vec_id < 3),
+pairs AS (
+    SELECT q.q_id, e.vec_id,
+           sum(list_inner_product(q.sv, e.cent)) AS dot,
+           sqrt(sum(e.c2)) AS n1
+    FROM enc e JOIN qsub q USING (m)
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.q_id, p.vec_id,
+           CAST(round(p.dot / (p.n1 * q.n2), 6) AS DOUBLE) AS cos
+    FROM pairs p JOIN qn q USING (q_id)
+)
+SELECT q_id, vec_id, cos, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT q_id, vec_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= {k}"""

@@ -910,6 +910,16 @@ def q_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(derived_edges(spark, sf_dir))
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized (ADC) cosine top-k — the 32-64x-compression
+    rung of the ANN ladder; the oracle replays encode + per-subspace
+    ADC scoring in SQL from the identical codebook literals."""
+    from adopt_spark.functions.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, _queries_from_embeddings(emb), k=5)
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
     lattice subset)."""
@@ -2124,6 +2134,7 @@ ORACLES.update({
     "a_pagerank_top": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL, top=20),
     "a_mis_luby": _og.mis_fixed_sql(DERIVED_EDGE_SQL),
     "a_matching": _og.matching_fixed_sql(DERIVED_EDGE_SQL),
+    "s_knn_pq": _og.knn_pq_sql(),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
@@ -3022,6 +3033,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_grouping_sets": q_grouping_sets,
         "r_value_histogram": q_value_histogram,
         "t_zipf_fit": q_zipf_fit,
+        "s_knn_pq": q_knn_pq,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
