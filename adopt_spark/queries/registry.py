@@ -970,6 +970,16 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_enrich_by_segment(spark, sf_dir)
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows, 2h size / 1h slide;
+    oracle = batch SQL that replicates each event once per slide
+    offset."""
+    from adopt_spark.streaming.windowed import sliding_event_counts_stream
+
+    out = sliding_event_counts_stream(spark, sf_dir)
+    return out.select("window_start", "event_type", "n", "total_value")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the events file streamed TWICE
     (one copy per micro-batch) through dropDuplicates(event_id);
@@ -1755,6 +1765,13 @@ ORACLES: dict[str, str] = {
         FROM ranked""",
     "e_stream_dedup": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+    "e_stream_sliding": """
+        SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n,
+               CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+        FROM events CROSS JOIN (VALUES (0), (1)) offs(o)
+        GROUP BY 1, 2""",
     "e_stream_enrich": """
         SELECT c_mktsegment, event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
@@ -3034,6 +3051,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_value_histogram": q_value_histogram,
         "t_zipf_fit": q_zipf_fit,
         "s_knn_pq": q_knn_pq,
+        "e_stream_sliding": q_stream_sliding,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,

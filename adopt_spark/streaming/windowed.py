@@ -99,3 +99,43 @@ def windowed_counts_append_stream(spark: SparkSession, source_dir: str,
         .alias("window_start"),
         "event_type", "n",
     )
+
+
+def sliding_event_counts_stream(spark: SparkSession, sf_dir: str,
+                                window: str = "2 hours",
+                                slide: str = "1 hour",
+                                watermark: str = "1 hour") -> DataFrame:
+    """OVERLAPPING (sliding) windows — each event lands in
+    window/slide windows; state is per (window, key) exactly like the
+    tumbling case, ×(window/slide) entries. Complete mode over the
+    file source for batch-oracle parity (the oracle unions one copy
+    of each event per slide offset).
+
+    Returns the completed result as a batch DataFrame
+    [window_start: string, event_type, n, total_value].
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="events_slide_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    name = f"evs_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.date_format(F.col("w.start"),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n", "total_value",
+    )
