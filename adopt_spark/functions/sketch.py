@@ -123,3 +123,76 @@ SELECT {group_col},
        CAST(count(*) AS BIGINT) AS exact_distinct
 FROM r GROUP BY {group_col}
 """.strip()
+
+
+# ------------------------------------------------------ count-min sketch
+
+CMS_WIDTH = 64
+# one (multiplier, offset) pair per depth row; same int64-safety
+# argument as KMV_A/KMV_B above
+CMS_ROWS = [(2_654_435_761, 104_729),
+            (2_246_822_519, 12_582_917),
+            (3_266_489_917, 402_653_189)]
+
+
+def count_min_estimates(df: DataFrame, col: str,
+                        width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch of the ``col`` frequency distribution +
+    point estimates for every distinct key -> [key, est, n_true].
+
+    Build: each row hashes into one bucket per depth row
+    (h_d(x) = (A_d·x + B_d) mod M mod width) — one groupBy(d, bucket)
+    whose state is depth×width counters regardless of input size:
+    the mergeable-sketch shape (partial aggregation IS the sketch
+    merge). Estimate: min over depth rows of the key's bucket count —
+    always ≥ the true count; equality iff the key shares no bucket
+    with colliders on every row. Returning n_true alongside makes the
+    overestimate property auditable (and oracle-checkable) per key.
+
+    The hash is exact BIGINT arithmetic replicated by the DuckDB
+    oracle (shared-hash replication, like KMV above). Keys must be
+    nonnegative integers.
+    """
+    x = F.col(col).cast("long")
+    sk = None
+    for d, (a, b) in enumerate(CMS_ROWS):
+        bucket = ((x % KMV_M) * F.lit(a) + F.lit(b)) % KMV_M % width
+        part = df.select(F.lit(d).alias("d"), bucket.alias("bucket"))
+        sk = part if sk is None else sk.unionAll(part)
+    counters = sk.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("c"))
+
+    keys = df.groupBy(x.alias("key")).agg(F.count(F.lit(1)).alias("n_true"))
+    probes = None
+    for d, (a, b) in enumerate(CMS_ROWS):
+        kb = ((F.col("key") % KMV_M) * F.lit(a) + F.lit(b)) % KMV_M % width
+        p = keys.select("key", "n_true", F.lit(d).alias("d"),
+                        kb.alias("bucket"))
+        probes = p if probes is None else probes.unionAll(p)
+    return (probes.join(counters, ["d", "bucket"])
+            .groupBy("key", "n_true").agg(F.min("c").alias("est"))
+            .select("key", "est", "n_true"))
+
+
+def count_min_estimates_sql(table: str, col: str,
+                            width: int = CMS_WIDTH) -> str:
+    """DuckDB twin of count_min_estimates (same constants)."""
+    builds, probes = [], []
+    for d, (a, b) in enumerate(CMS_ROWS):
+        h = (f"(((CAST({col} AS BIGINT) % {KMV_M}) * {a} + {b}) "
+             f"% {KMV_M}) % {width}")
+        builds.append(f"SELECT {d} AS d, {h} AS bucket FROM {table}")
+        probes.append(f"SELECT key, n_true, {d} AS d, "
+                      f"(((key % {KMV_M}) * {a} + {b}) % {KMV_M}) % {width} "
+                      f"AS bucket FROM keys")
+    return f"""
+WITH counters AS (
+    SELECT d, bucket, count(*) AS c
+    FROM ({' UNION ALL '.join(builds)}) GROUP BY d, bucket
+), keys AS (
+    SELECT CAST({col} AS BIGINT) AS key, count(*) AS n_true
+    FROM {table} GROUP BY 1
+), pr AS ({' UNION ALL '.join(probes)})
+SELECT pr.key, min(c.c) AS est, pr.n_true
+FROM pr JOIN counters c USING (d, bucket)
+GROUP BY pr.key, pr.n_true"""

@@ -2365,6 +2365,15 @@ def q_truss_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("sid", "tid", F.col("truss").cast("int").alias("truss"))
 
 
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point estimates over events.user_id — the
+    approximate counts (including any collision overestimates) are
+    oracle-checked bit-for-bit via shared-hash replication."""
+    from adopt_spark.functions.sketch import count_min_estimates
+
+    return count_min_estimates(_t(spark, sf_dir, "events"), "user_id")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic bottom-k distinct sketch over orders.o_custkey —
     the approximate ESTIMATE itself is oracle-checked bit-for-bit."""
@@ -2434,6 +2443,12 @@ GROUP BY verts.v""",
 from adopt_spark.functions.sketch import kmv_distinct_sql as _kmv_sql  # noqa: E402
 
 ORACLES["r_kmv_distinct"] = _kmv_sql("orders", "o_custkey", k=256)
+
+from adopt_spark.functions.sketch import (  # noqa: E402
+    count_min_estimates_sql as _cms_sql,
+)
+
+ORACLES["r_countmin"] = _cms_sql("events", "user_id")
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.functions.sketch import (  # noqa: E402
@@ -3052,6 +3067,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_zipf_fit": q_zipf_fit,
         "s_knn_pq": q_knn_pq,
         "e_stream_sliding": q_stream_sliding,
+        "r_countmin": q_countmin,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,

@@ -128,3 +128,26 @@ def test_streaming_kmv_single_and_multi_batch_match_batch(spark, tmp_path):
         assert got == expect, f"trigger={trigger}"
 
 
+
+
+def test_count_min_overestimates_and_matches_duckdb(spark):
+    """CMS point estimates: always >= true count; exact when no
+    collision; Spark == DuckDB bit-for-bit (shared-hash)."""
+    import duckdb
+
+    from adopt_spark.functions.sketch import (
+        count_min_estimates, count_min_estimates_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    got = {(r.key, r.est, r.n_true)
+           for r in count_min_estimates(ev, "user_id").collect()}
+    assert all(est >= n for _, est, n in got)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * "
+                f"FROM '{sf}/events.parquet'")
+    exp = {tuple(r) for r in
+           con.execute(count_min_estimates_sql("events", "user_id"))
+              .fetchall()}
+    assert got == exp
