@@ -980,6 +980,15 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n", "total_value")
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window gap-merged sessions (the built-in twin
+    of the custom stateful sessionizer); oracle = batch lag+cumsum
+    sessionization with end = max(ts) + gap."""
+    from adopt_spark.streaming.windowed import session_window_stream
+
+    return session_window_stream(spark, sf_dir, gap="30 minutes")
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the events file streamed TWICE
     (one copy per micro-batch) through dropDuplicates(event_id);
@@ -1765,6 +1774,29 @@ ORACLES: dict[str, str] = {
         FROM ranked""",
     "e_stream_dedup": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+    "e_stream_session_window": """
+        WITH x AS (
+          SELECT event_type, ts,
+                 lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+          FROM events
+        ), y AS (
+          SELECT event_type, ts,
+                 CASE WHEN prev IS NULL
+                           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM x
+        ), z AS (
+          SELECT event_type, ts,
+                 sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM y
+        )
+        SELECT event_type,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n
+        FROM z GROUP BY event_type, sid""",
     "e_stream_sliding": """
         SELECT strftime(date_trunc('hour', ts) - o * INTERVAL 1 HOUR,
                         '%Y-%m-%d %H:%M:%S') AS window_start,
@@ -3068,6 +3100,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_knn_pq": q_knn_pq,
         "e_stream_sliding": q_stream_sliding,
         "r_countmin": q_countmin,
+        "e_stream_session_window": q_stream_session_window,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,

@@ -139,3 +139,44 @@ def sliding_event_counts_stream(spark: SparkSession, sf_dir: str,
                       "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type", "n", "total_value",
     )
+
+
+def session_window_stream(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Spark's NATIVE session windows (F.session_window) — the
+    built-in counterpart of stateful.py's custom
+    applyInPandasWithState sessionizer: per-key gap-merged windows
+    where window end = last event + gap. Complete mode over the file
+    source for batch-oracle parity (the oracle is lag+cumsum gap
+    sessionization with the same gap, end = max(ts) + gap).
+
+    Returns [event_type, session_start: string, session_end: string,
+    n].
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="events_sesswin_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "event_type",
+        F.date_format(F.col("w.start"),
+                      "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.col("w.end"),
+                      "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n",
+    )
