@@ -2376,6 +2376,25 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("v", "comp")
 
 
+def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG: contract every SCC to one node, emit the
+    distinct inter-component edges — the quotient graph web-scale
+    link analysis runs on after the SCC pass (cycle-free by
+    construction). Composition of the SCC kernel + one distinct
+    projection; oracle = the recursive-CTE SCC labels joined back to
+    the edge table."""
+    from adopt_spark.algos.scc import strongly_connected_components
+
+    e = derived_edges(spark, sf_dir).where(
+        (F.col("sid") < SCC_ID_LIM) & (F.col("tid") < SCC_ID_LIM))
+    labels, _ = strongly_connected_components(spark, e)
+    ls = labels.select(F.col("v").alias("sid"), F.col("comp").alias("ca"))
+    lt = labels.select(F.col("v").alias("tid"), F.col("comp").alias("cb"))
+    return (e.join(ls, "sid").join(lt, "tid")
+            .where(F.col("ca") != F.col("cb"))
+            .select("ca", "cb").distinct())
+
+
 def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bow-tie decomposition (giant SCC / IN / OUT / other) of the
     bounded dense subgraph — the canonical web-graph structure
@@ -2470,6 +2489,29 @@ SELECT verts.v,
        least(verts.v, coalesce(min(mutual.u), verts.v)) AS comp
 FROM verts LEFT JOIN mutual ON mutual.v = verts.v
 GROUP BY verts.v""",
+    "a_condensation": f"""WITH RECURSIVE edge AS MATERIALIZED (
+    SELECT sid, tid FROM ({DERIVED_EDGE_SQL})
+    WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}
+), verts AS MATERIALIZED (
+    SELECT sid AS v FROM edge UNION SELECT tid FROM edge
+), reach(s, t) AS (
+    SELECT sid, tid FROM edge
+    UNION
+    SELECT r.s, e.tid FROM reach r JOIN edge e ON e.sid = r.t
+), mutual AS (
+    SELECT r1.s AS v, r1.t AS u
+    FROM reach r1 JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s
+), labels AS (
+    SELECT verts.v,
+           least(verts.v, coalesce(min(mutual.u), verts.v)) AS comp
+    FROM verts LEFT JOIN mutual ON mutual.v = verts.v
+    GROUP BY verts.v
+)
+SELECT DISTINCT ls.comp AS ca, lt.comp AS cb
+FROM edge e
+JOIN labels ls ON ls.v = e.sid
+JOIN labels lt ON lt.v = e.tid
+WHERE ls.comp <> lt.comp""",
 })
 
 from adopt_spark.functions.sketch import kmv_distinct_sql as _kmv_sql  # noqa: E402
@@ -3101,6 +3143,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_stream_sliding": q_stream_sliding,
         "r_countmin": q_countmin,
         "e_stream_session_window": q_stream_session_window,
+        "a_condensation": q_condensation,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
