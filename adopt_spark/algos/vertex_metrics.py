@@ -247,3 +247,74 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
         F.round(cn.cast("double")
                 / (F.col("deg_s") + F.col("deg_t") - cn), 6)
          .alias("jaccard"))
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Per-vertex average neighbor degree over the symmetrized graph
+    -> [v, deg, avg_nbr_deg (6 dp)] — the knn(v) statistic behind
+    degree-correlation analysis (Pastor-Satorras et al.): plotted
+    against deg it shows whether hubs attach to hubs or to leaves.
+
+    Scale shape: one symmetrize + dedup, one degree hash-agg, one
+    equi-join of the degree table back onto the adjacency (bounded
+    key join), one per-vertex average — map-side partial agg on
+    every shuffle.
+    """
+    e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
+             .where(F.col("sid") != F.col("tid"))
+    sym = (e.select(F.col("sid").alias("v"), F.col("tid").alias("nbr"))
+           .unionAll(e.select(F.col("tid").alias("v"),
+                              F.col("sid").alias("nbr")))
+           .dropDuplicates(["v", "nbr"]))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    nbr_deg = sym.join(deg.select(F.col("v").alias("nbr"),
+                                  F.col("deg").alias("nd")), "nbr")
+    return (nbr_deg.groupBy("v")
+            .agg(F.round(F.avg(F.col("nd").cast("double")), 6)
+                 .alias("avg_nbr_deg"))
+            .join(deg, "v")
+            .select("v", "deg", "avg_nbr_deg"))
+
+
+def rich_club(edges: DataFrame,
+              thresholds: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+              ) -> DataFrame:
+    """Rich-club coefficient phi(k) at fixed degree thresholds ->
+    [k, n_rich, e_rich, phi (6 dp)]: among vertices of (symmetrized)
+    degree > k, the realized fraction of possible undirected edges
+    (Zhou & Mondragon). phi(k) -> 1 at high k means the hubs form a
+    near-clique — the classic web/citation-graph signature.
+
+    Scale shape: degree agg, then PER THRESHOLD one semi-join-filtered
+    edge count — the thresholds list is a tiny literal cross join, so
+    the plan is |thresholds| filtered aggregates over one shared
+    degree-joined edge list, never an all-pairs product.
+    """
+    e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
+             .where(F.col("sid") != F.col("tid"))
+    und = (e.select(F.least("sid", "tid").alias("a"),
+                    F.greatest("sid", "tid").alias("b"))
+           .distinct())
+    sym = (und.select(F.col("a").alias("v"))
+           .unionAll(und.select(F.col("b").alias("v"))))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    ks = edges.sparkSession.createDataFrame(
+        [(int(k),) for k in thresholds], "k long")
+    rich = ks.join(deg, F.col("deg") > F.col("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rich"))
+    ed = (und.join(deg.select(F.col("v").alias("a"),
+                              F.col("deg").alias("da")), "a")
+          .join(deg.select(F.col("v").alias("b"),
+                           F.col("deg").alias("db")), "b"))
+    erich = ks.join(ed, (F.col("da") > F.col("k"))
+                    & (F.col("db") > F.col("k"))) \
+              .groupBy("k").agg(F.count(F.lit(1)).alias("e_rich"))
+    return (ks.join(rich, "k", "left").join(erich, "k", "left")
+            .select("k",
+                    F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+                    F.coalesce("e_rich", F.lit(0)).alias("e_rich"),
+                    F.when(F.coalesce("n_rich", F.lit(0)) >= 2,
+                           F.round(F.coalesce("e_rich", F.lit(0))
+                                   * 2.0 / (F.col("n_rich")
+                                            * (F.col("n_rich") - 1)), 6))
+                     .alias("phi")))

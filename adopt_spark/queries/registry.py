@@ -1774,6 +1774,64 @@ ORACLES: dict[str, str] = {
         FROM ranked""",
     "e_stream_dedup": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+    "g_avg_nbr_degree": f"""{_EDGE_CTE},
+        sym AS (
+            SELECT sid AS v, tid AS nbr FROM edge
+            UNION
+            SELECT tid, sid FROM edge
+        ), deg AS (
+            SELECT v, count(*) AS deg FROM sym GROUP BY v
+        )
+        SELECT s.v, any_value(d.deg) AS deg,
+               CAST(round(avg(CAST(nd.deg AS DOUBLE)), 6) AS DOUBLE)
+                   AS avg_nbr_deg
+        FROM sym s
+        JOIN deg d ON d.v = s.v
+        JOIN deg nd ON nd.v = s.nbr
+        GROUP BY s.v""",
+    "g_rich_club": f"""{_EDGE_CTE},
+        und AS (
+            SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+            FROM edge WHERE sid <> tid
+        ), deg AS (
+            SELECT v, count(*) AS deg FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY v
+        ), ks(k) AS (VALUES (1), (2), (4), (8), (16), (32), (64)),
+        rich AS (
+            SELECT ks.k, count(*) AS n_rich
+            FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k
+        ), ed AS (
+            SELECT u.a, u.b, da.deg AS da, db.deg AS db
+            FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b
+        ), erich AS (
+            SELECT ks.k, count(*) AS e_rich
+            FROM ks JOIN ed ON ed.da > ks.k AND ed.db > ks.k GROUP BY ks.k
+        )
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               coalesce(rich.n_rich, 0) AS n_rich,
+               coalesce(erich.e_rich, 0) AS e_rich,
+               CASE WHEN coalesce(rich.n_rich, 0) >= 2
+                    THEN CAST(round(coalesce(erich.e_rich, 0) * 2.0
+                              / (rich.n_rich * (rich.n_rich - 1)), 6)
+                              AS DOUBLE)
+               END AS phi
+        FROM ks LEFT JOIN rich ON rich.k = ks.k
+        LEFT JOIN erich ON erich.k = ks.k""",
+    "r_pivot_segment": """
+        SELECT c_mktsegment,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment""",
     "e_stream_session_window": """
         WITH x AS (
           SELECT event_type, ts,
@@ -2374,6 +2432,35 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sid") < SCC_ID_LIM) & (F.col("tid") < SCC_ID_LIM))
     labels, _ = strongly_connected_components(spark, e)
     return labels.select("v", "comp")
+
+
+def q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex average neighbor degree (degree-correlation knn)."""
+    from adopt_spark.algos.vertex_metrics import avg_neighbor_degree
+
+    return avg_neighbor_degree(derived_edges(spark, sf_dir))
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient at fixed degree thresholds."""
+    from adopt_spark.algos.vertex_metrics import rich_club
+
+    return rich_club(derived_edges(spark, sf_dir))
+
+
+def q_pivot_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.pivot: event counts per market segment (rows) × event type
+    (columns, fixed value list so the schema is deterministic)."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    types = ["click", "error", "purchase", "signup", "view"]
+    joined = e.join(c, e.user_id == c.c_custkey)
+    out = (joined.groupBy("c_mktsegment")
+           .pivot("event_type", types)
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types])
 
 
 def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3144,6 +3231,9 @@ def all_queries() -> dict[str, QueryFn]:
         "r_countmin": q_countmin,
         "e_stream_session_window": q_stream_session_window,
         "a_condensation": q_condensation,
+        "g_avg_nbr_degree": q_avg_nbr_degree,
+        "g_rich_club": q_rich_club,
+        "r_pivot_segment": q_pivot_segment,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
