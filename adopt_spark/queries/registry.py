@@ -2434,6 +2434,15 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("v", "comp")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sample (Efraimidis-Spirakis
+    hash-priority) of documents by length."""
+    from adopt_spark.functions.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "n_chars", k=20)
+
+
 def q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex average neighbor degree (degree-correlation knn)."""
     from adopt_spark.algos.vertex_metrics import avg_neighbor_degree
@@ -2610,6 +2619,12 @@ from adopt_spark.functions.sketch import (  # noqa: E402
 )
 
 ORACLES["r_countmin"] = _cms_sql("events", "user_id")
+
+from adopt_spark.functions.sampling import (  # noqa: E402
+    weighted_sample_topk_sql as _ws_sql,
+)
+
+ORACLES["t_weighted_sample"] = _ws_sql("documents", "doc_id", "n_chars", k=20)
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.functions.sketch import (  # noqa: E402
@@ -3234,6 +3249,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_avg_nbr_degree": q_avg_nbr_degree,
         "g_rich_club": q_rich_club,
         "r_pivot_segment": q_pivot_segment,
+        "t_weighted_sample": q_weighted_sample,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,

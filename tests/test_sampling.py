@@ -297,3 +297,25 @@ def test_butterfly_count_empty_and_cap(spark):
     assert butterfly_count(df, "g", "item").collect()[0].n_butterflies == 1
     assert butterfly_count(df, "g", "item", max_group_size=1) \
         .collect()[0].n_butterflies == 0
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """E-S priority sampling: (a) deterministic run-to-run; (b) the
+    sampled set is weight-biased — the mean weight of the top-k
+    beats the population mean on a wide-weight fixture; (c) zero/
+    negative weights never drawn."""
+    from pyspark.sql import functions as F
+
+    from adopt_spark.functions.sampling import weighted_sample_topk
+
+    rows = [(i, (i % 97) + 1) for i in range(2000)]
+    rows += [(9000, 0), (9001, -5)]          # undrawable
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample_topk(df, "doc_id", "w", k=50).collect()
+    got2 = weighted_sample_topk(df, "doc_id", "w", k=50).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in got2]
+    assert len(got) == 50
+    assert all(r["doc_id"] not in (9000, 9001) for r in got)
+    mean_sample = sum(r["w"] for r in got) / 50
+    mean_pop = sum(w for _, w in rows[:2000]) / 2000
+    assert mean_sample > mean_pop * 1.2
