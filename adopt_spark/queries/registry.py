@@ -989,6 +989,15 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_stream(spark, sf_dir, gap="30 minutes")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click->purchase attribution
+    within 60 min, watermark-bounded state); oracle = the batch
+    interval join."""
+    from adopt_spark.streaming.enrich import stream_stream_click_purchase
+
+    return stream_stream_click_purchase(spark, sf_dir)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: the events file streamed TWICE
     (one copy per micro-batch) through dropDuplicates(event_id);
@@ -1774,6 +1783,20 @@ ORACLES: dict[str, str] = {
         FROM ranked""",
     "e_stream_dedup": """
         SELECT event_type, count(*) AS n FROM events GROUP BY 1""",
+    "e_stream_stream_join": """
+        WITH pairs AS (
+            SELECT c.user_id,
+                   epoch_us(p.ts) // 1000000
+                   - epoch_us(c.ts) // 1000000 AS lag_s
+            FROM events c JOIN events p
+              ON p.user_id = c.user_id
+             AND c.event_type = 'click' AND p.event_type = 'purchase'
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 60 MINUTE
+        )
+        SELECT user_id, count(*) AS n_pairs,
+               min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s
+        FROM pairs GROUP BY user_id""",
     "g_avg_nbr_degree": f"""{_EDGE_CTE},
         sym AS (
             SELECT sid AS v, tid AS nbr FROM edge
@@ -3250,6 +3273,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_rich_club": q_rich_club,
         "r_pivot_segment": q_pivot_segment,
         "t_weighted_sample": q_weighted_sample,
+        "e_stream_stream_join": q_stream_stream_join,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,

@@ -71,3 +71,64 @@ def stream_enrich_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str,
+                                 max_lag_minutes: int = 60) -> DataFrame:
+    """STREAM-STREAM interval join — the fourth Structured Streaming
+    join shape next to stream-static enrich: clicks and purchases
+    arrive on two unbounded streams; emit (user, click-ts, purchase-
+    ts) pairs where the purchase follows the click within
+    ``max_lag_minutes`` (the classic attribution join).
+
+    Both sides carry watermarks and the join predicate bounds
+    purchase_ts to [click_ts, click_ts + lag], so Spark can size the
+    state store: each side buffers only rows younger than watermark +
+    lag — bounded state, the production contract. Append mode (the
+    only mode stream-stream joins support); driven to completion the
+    emitted set must equal the batch interval join, which is the
+    DuckDB oracle.
+
+    Returns the aggregated completion result [user_id, n_pairs,
+    min_lag_s, max_lag_s] (one row per user with ≥1 attributed pair)
+    — the aggregation keeps the contract output stable and small
+    while the join itself is row-level.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="events_ss_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+
+    def side(evt: str, pfx: str):
+        return (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .where(F.col("event_type") == evt)
+            .select(F.col("user_id").alias(f"{pfx}_user"),
+                    F.col("ts").cast("timestamp").alias(f"{pfx}_ts"),
+                    F.col("event_id").alias(f"{pfx}_id"))
+            .withWatermark(f"{pfx}_ts", "1 hour")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    lag = F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts")
+           + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")),
+        "inner",
+    ).select(F.col("c_user").alias("user_id"), lag.alias("lag_s"))
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("lag_s").alias("min_lag_s"),
+                 F.max("lag_s").alias("max_lag_s")))
