@@ -954,3 +954,49 @@ FROM (SELECT q_id, vec_id, cos,
                                 ORDER BY cos DESC, vec_id) AS rnk
       FROM scored)
 WHERE rnk <= {k}"""
+
+
+# ----------------------------------------------------------------- SimRank
+
+SIMRANK_C = 0.8
+SIMRANK_ITERS = 5
+
+
+def simrank_sql(edge_sql: str, iters: int = SIMRANK_ITERS,
+                c: float = SIMRANK_C, top: int = 50) -> str:
+    """Unrolled truncated SimRank, the exact twin of algos/simrank.py:
+    s0 = diagonal; each step extends both pair ends along in-edges,
+    aggregates per (a, b), scales by C/(indeg·indeg), re-unions the
+    diagonal. Output: top-``top`` a<b pairs by 6 dp score."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+    SELECT v AS a, v AS b, 1.0 AS s FROM verts
+    UNION ALL
+    SELECT g.a, g.b, ({c} * g.ssum) / (ia.d * ib.d) AS s
+    FROM (
+        SELECT e1.tid AS a, e2.tid AS b, sum(p.s) AS ssum
+        FROM s{i-1} p
+        JOIN edge e1 ON e1.sid = p.a
+        JOIN edge e2 ON e2.sid = p.b
+        GROUP BY e1.tid, e2.tid
+    ) g
+    JOIN indeg ia ON ia.v = g.a
+    JOIN indeg ib ON ib.v = g.b
+    WHERE g.a <> g.b
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+    SELECT DISTINCT sid, tid FROM ({edge_sql}) WHERE sid <> tid
+), verts AS MATERIALIZED (
+    SELECT sid AS v FROM edge UNION SELECT tid FROM edge
+), indeg AS MATERIALIZED (
+    SELECT tid AS v, count(*) AS d FROM edge GROUP BY tid
+), s0 AS MATERIALIZED (
+    SELECT v AS a, v AS b, 1.0 AS s FROM verts
+), {', '.join(steps)}
+SELECT a, b, score, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT a, b, CAST(round(s, 6) AS DOUBLE) AS score,
+           row_number() OVER (ORDER BY round(s, 6) DESC, a, b) AS rk
+    FROM s{iters} WHERE a < b
+) WHERE rk <= {top}"""

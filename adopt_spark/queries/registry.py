@@ -2514,6 +2514,21 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("ca", "cb").distinct())
 
 
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated SimRank top-50 pairs on the bounded dense subgraph;
+    oracle = oracle_gen.simrank_sql (unrolled join-aggregate DP)."""
+    from adopt_spark.algos.simrank import simrank
+
+    e = derived_edges(spark, sf_dir).where(
+        (F.col("sid") < SCC_ID_LIM) & (F.col("tid") < SCC_ID_LIM))
+    s = simrank(spark, e)
+    scored = (s.where(F.col("a") < F.col("b"))
+              .select("a", "b", F.round("s", 6).alias("score")))
+    w = Window.orderBy(F.desc("score"), "a", "b")
+    return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= 50))
+
+
 def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bow-tie decomposition (giant SCC / IN / OUT / other) of the
     bounded dense subgraph — the canonical web-graph structure
@@ -2648,6 +2663,9 @@ from adopt_spark.functions.sampling import (  # noqa: E402
 )
 
 ORACLES["t_weighted_sample"] = _ws_sql("documents", "doc_id", "n_chars", k=20)
+ORACLES["a_simrank"] = _og.simrank_sql(
+    f"SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) "
+    f"WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}")
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.functions.sketch import (  # noqa: E402
@@ -3274,6 +3292,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_pivot_segment": q_pivot_segment,
         "t_weighted_sample": q_weighted_sample,
         "e_stream_stream_join": q_stream_stream_join,
+        "a_simrank": q_simrank,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
