@@ -1752,6 +1752,28 @@ ORACLES: dict[str, str] = {
                event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""",
+    "r_lateral_top_order": """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t ON true
+        WHERE c.c_custkey < 200""",
+    "r_unpivot_lineitem": """
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(round(sum(l_quantity), 4) AS DOUBLE) AS sum_qty,
+                   CAST(round(sum(l_extendedprice), 4) AS DOUBLE) AS sum_price,
+                   CAST(round(avg(l_discount), 6) AS DOUBLE) AS avg_disc
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'avg_disc', avg_disc FROM wide""",
     "r_grouping_sets": """
         SELECT l_returnflag, l_linestatus, count(*) AS n,
                CAST(round(sum(l_extendedprice), 4) AS DOUBLE) AS sum_price
@@ -2455,6 +2477,37 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sid") < SCC_ID_LIM) & (F.col("tid") < SCC_ID_LIM))
     labels, _ = strongly_connected_components(spark, e)
     return labels.select("v", "comp")
+
+
+def q_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each customer's single most
+    expensive order (per-row dependent top-1 — the classic lateral
+    shape Catalyst rewrites into a ranked join)."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lt")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lt")
+    return spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lt c
+        JOIN LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lt o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+        ) t
+        WHERE c.c_custkey < 200
+    """)
+
+
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-returnflag aggregates widened then melted
+    to (l_returnflag, measure, val) long format."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"))
+    return wide.unpivot(
+        "l_returnflag", ["sum_qty", "sum_price", "avg_disc"],
+        "measure", "val")
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3293,6 +3346,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_weighted_sample": q_weighted_sample,
         "e_stream_stream_join": q_stream_stream_join,
         "a_simrank": q_simrank,
+        "r_lateral_top_order": q_lateral_top_order,
+        "r_unpivot_lineitem": q_unpivot_lineitem,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
