@@ -1752,6 +1752,28 @@ ORACLES: dict[str, str] = {
                event_type, count(*) AS n,
                CAST(round(sum(value), 4) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2""",
+    "t_pii_scrub": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id < 20
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com see https://site'
+                             || CAST(doc_id AS VARCHAR)
+                             || '.example.org/page now'
+                        ELSE text END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, 'https?://[^\s]+'))
+                    AS BIGINT) AS n_urls,
+               CAST(length(regexp_replace(regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'), 'https?://[^\s]+', '<URL>', 'g'))
+                    AS BIGINT) AS len_redacted
+        FROM aug""",
     "r_lateral_top_order": """
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         FROM customer c
@@ -2477,6 +2499,39 @@ def q_scc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sid") < SCC_ID_LIM) & (F.col("tid") < SCC_ID_LIM))
     labels, _ = strongly_connected_components(spark, e)
     return labels.select("v", "comp")
+
+
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_PAT = r"https?://[^\s]+"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact emails/URLs per document. The
+    corpus is synthetic, so deterministic PII is INJECTED for
+    doc_id < 20 (same concat in the oracle) — the regex machinery is
+    what's under test. Patterns are kept inside the Java-regex ∩ RE2
+    common dialect so both engines match identically."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.withColumn(
+        "t",
+        F.when(F.col("doc_id") < 20,
+               F.concat(F.col("text"),
+                        F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com see https://site"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(".example.org/page now")))
+         .otherwise(F.col("text")))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_PAT, "<EMAIL>"),
+        _URL_PAT, "<URL>")
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_PAT), F.lit(0)))
+         .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_URL_PAT), F.lit(0)))
+         .cast("long").alias("n_urls"),
+        F.length(redacted).cast("long").alias("len_redacted"))
 
 
 def q_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3348,6 +3403,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_simrank": q_simrank,
         "r_lateral_top_order": q_lateral_top_order,
         "r_unpivot_lineitem": q_unpivot_lineitem,
+        "t_pii_scrub": q_pii_scrub,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
