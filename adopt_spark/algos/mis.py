@@ -96,3 +96,86 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
                .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"luby_mis did not converge in {max_rounds} rounds")
+
+
+def greedy_coloring(edges: DataFrame, max_colors: int = 64,
+                    max_rounds: int = 64) -> DataFrame:
+    """Proper vertex coloring by MIS peeling -> [v, color].
+
+    Color c = the deterministic Luby MIS of the still-uncolored
+    induced subgraph; its members take c and leave. Every peel is a
+    proper color class by MIS independence; peeling terminates
+    because each MIS is maximal (nonempty while vertices remain).
+    Color count is bounded by degeneracy+1-ish in practice (7 on the
+    sf0.01 bounded contract subgraph); this is the standard
+    distributed coloring construction (Luby 1986 §5).
+
+    Unlike ``luby_mis`` the inner loop tracks the VERTEX set, so a
+    vertex isolated inside the uncolored subgraph (all neighbors
+    already colored) joins the current MIS in round 1 via the
+    no-smaller-undecided-neighbor test going vacuous. The DuckDB
+    oracle (oracle_gen.coloring_fixed_sql) unrolls the same fixed
+    (color, round) schedule; over-budget steps are no-ops, so the
+    engine's early stopping and the unrolled SQL agree exactly.
+    """
+    e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
+             .where(F.col("sid") != F.col("tid"))
+    sym = (
+        e.select(F.col("sid").alias("v"), F.col("tid").alias("nbr"))
+        .unionAll(e.select(F.col("tid").alias("v"), F.col("sid").alias("nbr")))
+        .dropDuplicates(["v", "nbr"])
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    unc = sym.select("v").distinct() \
+             .withColumn("pk", F.struct(_pri("v").alias("p"), F.col("v"))) \
+             .localCheckpoint(eager=True)
+    colored_parts: list[DataFrame] = []
+
+    for c in range(max_colors):
+        if unc.isEmpty():
+            if not colored_parts:
+                return spark.createDataFrame([], "v long, color int")
+            out = colored_parts[0]
+            for part in colored_parts[1:]:
+                out = out.unionAll(part)
+            return out
+        und = unc
+        mis_parts: list[DataFrame] = []
+        for _ in range(max_rounds):
+            if und.isEmpty():
+                break
+            uu = (
+                sym.join(und.select("v"), "v")
+                   .join(und.select(F.col("v").alias("nbr"),
+                                    F.col("pk").alias("npk")), "nbr")
+            )
+            nbr_min = uu.groupBy("v").agg(F.min("npk").alias("min_npk"))
+            winners = (
+                und.join(nbr_min, "v", "left")
+                   .where(F.col("min_npk").isNull()
+                          | (F.col("pk") < F.col("min_npk")))
+                   .select("v")
+                   .localCheckpoint(eager=True)
+            )
+            mis_parts.append(winners)
+            knocked = (
+                sym.join(winners.withColumnRenamed("v", "nbr"), "nbr")
+                   .select("v").distinct()
+            )
+            und = (
+                und.join(winners.unionAll(knocked).distinct(), "v",
+                         "left_anti")
+                   .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"greedy_coloring: inner MIS not done in {max_rounds} rounds")
+        mis = mis_parts[0]
+        for part in mis_parts[1:]:
+            mis = mis.unionAll(part)
+        mis = mis.localCheckpoint(eager=True)
+        colored_parts.append(
+            mis.select("v", F.lit(c).cast("int").alias("color")))
+        unc = unc.join(mis, "v", "left_anti").localCheckpoint(eager=True)
+    raise RuntimeError(f"greedy_coloring exceeded {max_colors} colors")

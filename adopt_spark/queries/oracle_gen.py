@@ -1000,3 +1000,70 @@ FROM (
            row_number() OVER (ORDER BY round(s, 6) DESC, a, b) AS rk
     FROM s{iters} WHERE a < b
 ) WHERE rk <= {top}"""
+
+
+# -------------------------------------------------- MIS-peeling coloring
+
+COLORING_COLORS = 10   # sf0.01 bounded contract subgraph uses 7
+COLORING_ROUNDS = 8    # max inner MIS depth measured there: 4
+
+
+def coloring_fixed_sql(edge_sql: str, colors: int = COLORING_COLORS,
+                       rounds: int = COLORING_ROUNDS) -> str:
+    """Unrolled MIS-peeling coloring, the exact twin of
+    algos/mis.greedy_coloring: for each color the inner Luby MIS
+    (same priority as mis_fixed_sql) runs over the VERTEX set of
+    still-uncolored vertices, restricted to uncolored-uncolored
+    adjacency; the class is removed and the next color starts.
+    Over-budget colors/rounds are no-ops on empty sets."""
+    p = "1000000007"
+    parts = []
+    color_final = []
+    prev_unc = "unc0"
+    for ci in range(colors):
+        prev = prev_unc
+        mis_names = []
+        for r in range(1, rounds + 1):
+            m, u = f"m{ci}_{r}", f"u{ci}_{r}"
+            parts.append(f"""{m} AS MATERIALIZED (
+    SELECT u.v FROM {prev} u WHERE NOT EXISTS (
+        SELECT 1 FROM sym s JOIN {prev} w ON w.v = s.nbr
+        WHERE s.v = u.v
+          AND (w.p < u.p OR (w.p = u.p AND w.v < u.v)))
+)""")
+            parts.append(f"""{u} AS MATERIALIZED (
+    SELECT u.v, u.p FROM {prev} u
+    WHERE u.v NOT IN (SELECT v FROM {m})
+      AND NOT EXISTS (SELECT 1 FROM sym s JOIN {m} m ON m.v = s.nbr
+                      WHERE s.v = u.v)
+)""")
+            mis_names.append(m)
+            prev = u
+        cls = f"cls{ci}"
+        union = "\nUNION ALL\n".join(f"SELECT v FROM {m}" for m in mis_names)
+        parts.append(f"""{cls} AS MATERIALIZED (
+    SELECT v FROM (
+{union}
+    )
+)""")
+        nxt = f"unc{ci + 1}"
+        parts.append(f"""{nxt} AS MATERIALIZED (
+    SELECT u.v, u.p FROM unc{ci} u
+    WHERE u.v NOT IN (SELECT v FROM {cls})
+)""")
+        color_final.append((ci, cls))
+        prev_unc = nxt
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT v, {ci} AS color FROM {nm}" for ci, nm in color_final)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT sid AS v, tid AS nbr FROM edge
+    UNION
+    SELECT tid, sid FROM edge
+), unc0 AS MATERIALIZED (
+    SELECT DISTINCT v, (v % {p}) * 2654435761 % {p} AS p FROM sym
+), {', '.join(parts)}
+SELECT v, CAST(color AS INTEGER) AS color FROM (
+{tagged}
+)"""

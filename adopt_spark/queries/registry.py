@@ -2622,6 +2622,17 @@ def q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("ca", "cb").distinct())
 
 
+def q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MIS-peeling vertex coloring of the bounded dense
+    subgraph (7 colors); oracle = oracle_gen.coloring_fixed_sql
+    (unrolled color×round schedule)."""
+    from adopt_spark.algos.mis import greedy_coloring
+
+    e = derived_edges(spark, sf_dir).where(
+        (F.col("sid") < SCC_ID_LIM) & (F.col("tid") < SCC_ID_LIM))
+    return greedy_coloring(e)
+
+
 def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Truncated SimRank top-50 pairs on the bounded dense subgraph;
     oracle = oracle_gen.simrank_sql (unrolled join-aggregate DP)."""
@@ -2771,6 +2782,9 @@ from adopt_spark.functions.sampling import (  # noqa: E402
 )
 
 ORACLES["t_weighted_sample"] = _ws_sql("documents", "doc_id", "n_chars", k=20)
+ORACLES["a_coloring"] = _og.coloring_fixed_sql(
+    f"SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) "
+    f"WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}")
 ORACLES["a_simrank"] = _og.simrank_sql(
     f"SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) "
     f"WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}")
@@ -3404,6 +3418,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_lateral_top_order": q_lateral_top_order,
         "r_unpivot_lineitem": q_unpivot_lineitem,
         "t_pii_scrub": q_pii_scrub,
+        "a_coloring": q_coloring,
         "t_decontaminate": q_decontaminate,
         "t_dup_blocks": q_dup_blocks,
         "t_collocations": q_collocations,
