@@ -885,6 +885,85 @@ SELECT a AS sid, b AS tid FROM (
 )"""
 
 
+# ------------------------------------------------ Borůvka spanning forest
+
+# sf0.01 contract graph: 5 rounds, max pointer-chain depth 6 (measured
+# by exact-schedule simulation) -> 2x margins; 2^6 = 64 covers depth.
+BORUVKA_ROUNDS = 10
+BORUVKA_JUMPS = 6
+
+
+def boruvka_sql(edge_sql: str, rounds: int = BORUVKA_ROUNDS,
+                jumps: int = BORUVKA_JUMPS) -> str:
+    """Unrolled Borůvka minimum spanning forest, the exact twin of
+    algos/mst.boruvka_forest: per round every component takes the
+    argmin (w, a, b, other) cross edge, parent pointers break
+    mutual-min 2-cycles to the smaller id, and contraction is
+    ``jumps`` unrolled pointer-doubling self-joins (depth <= 2^jumps;
+    extra jumps are identity once converged). Edge weights are the
+    matching-style hash — distinct on the contract fixture, so the
+    forest is THE unique MSF and any correct algorithm agrees.
+    Rounds past convergence are no-ops (no cross edges -> identity
+    relabel)."""
+    p = "1000000007"
+    w_expr = (f"CAST((((a % {p}) * 2000003 + (b % {p})) % {p}) "
+              f"* 2654435761 % {p} AS BIGINT)")
+    parts = []
+    best_names = []
+    for i in range(1, rounds + 1):
+        prev = f"c{i - 1}"
+        x, bst, q = f"x{i}", f"b{i}", f"q{i}"
+        parts.append(f"""{x} AS MATERIALIZED (
+    SELECT la.c AS ca, lb.c AS cb, e.w, e.a, e.b
+    FROM ew e JOIN {prev} la ON la.v = e.a JOIN {prev} lb ON lb.v = e.b
+    WHERE la.c <> lb.c
+)""")
+        parts.append(f"""{bst} AS MATERIALIZED (
+    SELECT c, w, a, b, other FROM (
+        SELECT c, w, a, b, other,
+               row_number() OVER (PARTITION BY c
+                                  ORDER BY w, a, b, other) AS rn
+        FROM (SELECT ca AS c, w, a, b, cb AS other FROM {x}
+              UNION ALL
+              SELECT cb, w, a, b, ca FROM {x})
+    ) WHERE rn = 1
+)""")
+        parts.append(f"""{q} AS MATERIALIZED (
+    SELECT cm.c, coalesce(bb.other, cm.c) AS par
+    FROM (SELECT DISTINCT c FROM {prev}) cm
+    LEFT JOIN {bst} bb ON bb.c = cm.c
+)""")
+        parts.append(f"""p{i}_0 AS MATERIALIZED (
+    SELECT x.c, CASE WHEN y.par = x.c THEN least(x.c, x.par)
+                     ELSE x.par END AS par
+    FROM {q} x JOIN {q} y ON x.par = y.c
+)""")
+        for j in range(1, jumps + 1):
+            parts.append(f"""p{i}_{j} AS MATERIALIZED (
+    SELECT x.c, y.par FROM p{i}_{j - 1} x
+    JOIN p{i}_{j - 1} y ON x.par = y.c
+)""")
+        parts.append(f"""c{i} AS MATERIALIZED (
+    SELECT cv.v, pj.par AS c FROM {prev} cv
+    JOIN p{i}_{jumps} pj ON pj.c = cv.c
+)""")
+        best_names.append(bst)
+    union = "\nUNION ALL\n".join(
+        f"SELECT a, b, w FROM {bst}" for bst in best_names)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), ew AS MATERIALIZED (
+    SELECT a, b, {w_expr} AS w FROM (
+        SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+        FROM edge WHERE sid <> tid)
+), c0 AS MATERIALIZED (
+    SELECT v, v AS c FROM (SELECT a AS v FROM ew UNION SELECT b FROM ew)
+), {', '.join(parts)}
+SELECT DISTINCT a, b, w FROM (
+{union}
+)"""
+
+
 # --------------------------------------------- product quantization (ADC)
 
 # MUST mirror functions.similarity.{PQ_M, PQ_K, PQ_SEED, PQ_SCALE,

@@ -952,6 +952,16 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (hash-weighted) over the
+    derived graph; oracle = oracle_gen.boruvka_sql (identical unrolled
+    round schedule + pointer-doubling contraction; distinct weights
+    make the forest unique)."""
+    from adopt_spark.algos.mst import boruvka_forest
+
+    return boruvka_forest(derived_edges(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic greedy maximal matching over the derived graph;
     oracle = oracle_gen.matching_fixed_sql (unrolled rounds, same
@@ -2308,6 +2318,7 @@ ORACLES.update({
     "a_pagerank_top": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL, top=20),
     "a_mis_luby": _og.mis_fixed_sql(DERIVED_EDGE_SQL),
     "a_matching": _og.matching_fixed_sql(DERIVED_EDGE_SQL),
+    "a_mst_forest": _og.boruvka_sql(DERIVED_EDGE_SQL),
     "s_knn_pq": _og.knn_pq_sql(),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
@@ -3397,6 +3408,7 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0) brand-new round-3 session-2 operators
+        "a_mst_forest": q_mst_forest,
         "e_stream_enrich": q_stream_enrich,
         "a_mis_luby": q_mis_luby,
         "e_stream_dedup": q_stream_dedup,
