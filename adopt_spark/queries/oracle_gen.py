@@ -964,6 +964,53 @@ SELECT DISTINCT a, b, w FROM (
 )"""
 
 
+# ------------------------------------- ANF (Flajolet-Martin sketches)
+
+
+def anf_sql(edge_sql: str, rounds: int | None = None,
+            k: int | None = None) -> str:
+    """Unrolled ANF, the exact twin of algos/anf.anf_neighborhood:
+    the SAME engine-portable init/estimate SQL strings (imported from
+    the module, so the two sides cannot drift), one bit_or
+    join-aggregate CTE per round over the symmetrized+self-loop
+    neighbor table, FM estimate per round, pct against the final
+    round. Deterministic: both engines compute identical sketches."""
+    from adopt_spark.algos.anf import (
+        ANF_K, ANF_ROUNDS, _init_mask_sql, anf_estimate_sql)
+
+    rounds = rounds or ANF_ROUNDS
+    k = k or ANF_K
+    init = ",\n           ".join(
+        f"{_init_mask_sql(j)} AS m{j}" for j in range(k))
+    steps = []
+    for i in range(1, rounds + 1):
+        ors = ", ".join(f"bit_or(p.m{j}) AS m{j}" for j in range(k))
+        steps.append(f"""m{i} AS MATERIALIZED (
+    SELECT s.v, {ors}
+    FROM sym s JOIN m{i - 1} p ON p.v = s.nbr
+    GROUP BY s.v
+)""")
+    est = anf_estimate_sql(k)
+    curve = "\nUNION ALL\n".join(
+        f"SELECT {i} AS h, {est} AS anf FROM m{i}"
+        for i in range(1, rounds + 1))
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT DISTINCT v, nbr FROM (
+        SELECT sid AS v, tid AS nbr FROM edge WHERE sid <> tid
+        UNION ALL SELECT tid, sid FROM edge WHERE sid <> tid
+        UNION ALL SELECT sid, sid FROM edge WHERE sid <> tid
+        UNION ALL SELECT tid, tid FROM edge WHERE sid <> tid)
+), m0 AS MATERIALIZED (
+    SELECT v, {init}
+    FROM (SELECT DISTINCT v FROM sym)
+), {', '.join(steps)}
+SELECT h, anf, anf / max(anf) OVER () AS pct FROM (
+{curve}
+)"""
+
+
 # --------------------------------------------- product quantization (ADC)
 
 # MUST mirror functions.similarity.{PQ_M, PQ_K, PQ_SEED, PQ_SCALE,

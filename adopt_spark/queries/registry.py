@@ -962,6 +962,17 @@ def q_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boruvka_forest(derived_edges(spark, sf_dir))
 
 
+def q_anf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF effective-diameter curve (Flajolet-Martin sketch rounds)
+    over the derived graph; oracle = oracle_gen.anf_sql (identical
+    unrolled bit_or rounds — both engines compute the same
+    deterministic sketches, so even the 'approximate' estimate is
+    value-checked exactly)."""
+    from adopt_spark.algos.anf import anf_neighborhood
+
+    return anf_neighborhood(derived_edges(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic greedy maximal matching over the derived graph;
     oracle = oracle_gen.matching_fixed_sql (unrolled rounds, same
@@ -2319,6 +2330,7 @@ ORACLES.update({
     "a_mis_luby": _og.mis_fixed_sql(DERIVED_EDGE_SQL),
     "a_matching": _og.matching_fixed_sql(DERIVED_EDGE_SQL),
     "a_mst_forest": _og.boruvka_sql(DERIVED_EDGE_SQL),
+    "a_anf_diameter": _og.anf_sql(DERIVED_EDGE_SQL),
     "s_knn_pq": _og.knn_pq_sql(),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
@@ -3409,6 +3421,7 @@ def all_queries() -> dict[str, QueryFn]:
     return {
         # -- (0) brand-new round-3 session-2 operators
         "a_mst_forest": q_mst_forest,
+        "a_anf_diameter": q_anf_diameter,
         "e_stream_enrich": q_stream_enrich,
         "a_mis_luby": q_mis_luby,
         "e_stream_dedup": q_stream_dedup,
