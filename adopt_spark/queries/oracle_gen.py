@@ -1193,3 +1193,91 @@ def coloring_fixed_sql(edge_sql: str, colors: int = COLORING_COLORS,
 SELECT v, CAST(color AS INTEGER) AS color FROM (
 {tagged}
 )"""
+
+
+# --------------------------------------- 4-node motif census (enumeration)
+
+
+def census_sql(edge_sql: str) -> str:
+    """Brute-force enumeration twin of algos/census.motif_census_4.
+
+    Deliberately the OPPOSITE formulation: where the Spark side counts
+    via degree/codegree/per-edge-triangle identities (one wedge
+    shuffle, no 4-tuple ever enumerated), this oracle enumerates every
+    motif occurrence with canonicalized multi-joins — the reference's
+    own graph_query/*.sql idiom. Only the induced-count linear map
+    (fixed public inclusion-exclusion matrix) is shared math; its
+    inputs are computed independently on each side.
+    """
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), und AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS u, greatest(sid, tid) AS v
+    FROM edge WHERE sid <> tid
+), adj AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und
+), tri AS MATERIALIZED (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM und e1
+    JOIN und e2 ON e2.u = e1.v
+    JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), n_p4 AS (   -- path w-x-y-z, canonical w < z
+    SELECT count(*) AS n
+    FROM adj e1 JOIN adj e2 ON e2.a = e1.b JOIN adj e3 ON e3.a = e2.b
+    WHERE e1.a < e3.b AND e1.a <> e2.b AND e1.b <> e3.b
+), n_claw AS ( -- center + three leaves b1 < b2 < b3
+    SELECT count(*) AS n
+    FROM adj c1
+    JOIN adj c2 ON c2.a = c1.a AND c2.b > c1.b
+    JOIN adj c3 ON c3.a = c1.a AND c3.b > c2.b
+), n_paw AS (  -- canonical triangle + outward pendant edge
+    SELECT count(*) AS n
+    FROM tri t JOIN adj p ON p.a IN (t.a, t.b, t.c)
+    WHERE p.b NOT IN (t.a, t.b, t.c)
+), n_c4 AS (   -- cycle a-b-c-d, a = min, direction b < d
+    SELECT count(*) AS n
+    FROM adj e1
+    JOIN adj e2 ON e2.a = e1.b
+    JOIN adj e3 ON e3.a = e2.b
+    JOIN adj e4 ON e4.a = e3.b AND e4.b = e1.a
+    WHERE e1.a < e1.b AND e1.a < e2.b AND e1.a < e3.b AND e1.b < e3.b
+), n_dia AS (  -- shared edge (u,v) + common neighbors x < y
+    SELECT count(*) AS n
+    FROM und e
+    JOIN adj x1 ON x1.a = e.u
+    JOIN adj x2 ON x2.a = e.v AND x2.b = x1.b
+    JOIN adj y1 ON y1.a = e.u
+    JOIN adj y2 ON y2.a = e.v AND y2.b = y1.b
+    WHERE x1.b < y1.b
+), n_k4 AS (   -- a < b < c < d, all six edges
+    SELECT count(*) AS n
+    FROM und e1
+    JOIN und e2 ON e2.u = e1.u
+    JOIN und e3 ON e3.u = e1.u
+    JOIN und e4 ON e4.u = e1.v AND e4.v = e2.v
+    JOIN und e5 ON e5.u = e1.v AND e5.v = e3.v
+    JOIN und e6 ON e6.u = e2.v AND e6.v = e3.v
+    WHERE e1.v < e2.v AND e2.v < e3.v
+), wide AS (
+    SELECT (SELECT n FROM n_p4) AS p4, (SELECT n FROM n_claw) AS claw,
+           (SELECT n FROM n_paw) AS paw, (SELECT n FROM n_c4) AS c4,
+           (SELECT n FROM n_dia) AS diamond, (SELECT n FROM n_k4) AS k4
+)
+SELECT motif, CAST(n AS BIGINT) AS n,
+       CAST(n_induced AS BIGINT) AS n_induced
+FROM (
+    SELECT 'c4_cycle' AS motif, c4 AS n,
+           c4 - diamond + 3 * k4 AS n_induced FROM wide
+    UNION ALL
+    SELECT 'claw_star', claw, claw - paw + 2 * diamond - 4 * k4 FROM wide
+    UNION ALL
+    SELECT 'diamond', diamond, diamond - 6 * k4 FROM wide
+    UNION ALL
+    SELECT 'k4_clique', k4, k4 FROM wide
+    UNION ALL
+    SELECT 'p4_path', p4,
+           p4 - 2 * paw - 4 * c4 + 6 * diamond - 12 * k4 FROM wide
+    UNION ALL
+    SELECT 'paw_tailed_tri', paw, paw - 4 * diamond + 12 * k4 FROM wide
+)
+ORDER BY motif"""

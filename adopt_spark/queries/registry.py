@@ -973,6 +973,18 @@ def q_anf_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anf_neighborhood(derived_edges(spark, sf_dir))
 
 
+def q_motif_census4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-node motif census (P4/claw/paw/C4/diamond/K4, non-induced +
+    induced) over the sparse planted-K25 graph; Spark counts via
+    ESCAPE-style degree/codegree identities, the oracle
+    (oracle_gen.census_sql) brute-force-enumerates every motif with
+    canonicalized multi-joins — independent formulations, same six
+    pairs of numbers."""
+    from adopt_spark.algos.census import motif_census_4
+
+    return motif_census_4(derived_edges_sparse(spark, sf_dir))
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic greedy maximal matching over the derived graph;
     oracle = oracle_gen.matching_fixed_sql (unrolled rounds, same
@@ -2331,6 +2343,7 @@ ORACLES.update({
     "a_matching": _og.matching_fixed_sql(DERIVED_EDGE_SQL),
     "a_mst_forest": _og.boruvka_sql(DERIVED_EDGE_SQL),
     "a_anf_diameter": _og.anf_sql(DERIVED_EDGE_SQL),
+    "g_motif_census4": _og.census_sql(SPARSE_EDGE_SQL),
     "s_knn_pq": _og.knn_pq_sql(),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
@@ -3422,6 +3435,7 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (0) brand-new round-3 session-2 operators
         "a_mst_forest": q_mst_forest,
         "a_anf_diameter": q_anf_diameter,
+        "g_motif_census4": q_motif_census4,
         "e_stream_enrich": q_stream_enrich,
         "a_mis_luby": q_mis_luby,
         "e_stream_dedup": q_stream_dedup,
