@@ -196,3 +196,101 @@ WITH counters AS (
 SELECT pr.key, min(c.c) AS est, pr.n_true
 FROM pr JOIN counters c USING (d, bucket)
 GROUP BY pr.key, pr.n_true"""
+
+
+# ------------------------------------------------------ HyperLogLog
+
+HLL_B = 6                      # 2^6 = 64 registers
+HLL_M = 1 << HLL_B
+HLL_ALPHA = 0.709              # bias constant for m = 64
+# second prime modulus for the 3-round mix (M1 = KMV_M = 2^31 - 1).
+# A single LCG round mod one prime leaves consecutive keys as an
+# arithmetic progression whose trailing-zero stats are badly skewed
+# (measured ~2x overestimate); alternating the modulus between rounds
+# breaks the linearity, restoring the ~13% error m=64 should give.
+HLL_M2 = 2_147_483_629
+
+
+def _hll_mix_sql(col: str) -> str:
+    """3-round engine-portable integer mix -> [0, KMV_M)."""
+    h1 = f"(({KMV_A} * CAST({col} AS BIGINT) + {KMV_B}) % {KMV_M})"
+    h2 = f"(({h1} * 2246822519 + 12582917) % {HLL_M2})"
+    return f"(({h2} * 3266489917 + {KMV_B}) % {KMV_M})"
+
+
+def _hll_rho_sql(col: str) -> str:
+    """rho(w) for w = hash >> HLL_B: 1 + trailing zeros, engine-portable
+    (same bit trick as algos/anf.py); w == 0 degenerates to the cap."""
+    # floor-div spelled portably: Spark lacks //, DuckDB lacks DIV
+    w = f"(cast(floor(({col}) / {HLL_M}.0) as bigint))"
+    return f"(least(bit_count(({w} & -{w}) - 1), 25) + 1)"
+
+
+def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate ->
+    [group_col, estimate: double, exact_distinct: bigint].
+
+    Spark's own approx_count_distinct IS HLL++ but its registers are
+    JVM-private; this one uses the shared integer hash (KMV constants)
+    so DuckDB replays the identical registers and the estimate —
+    including the small-range linear-counting branch — is
+    value-checked, not just bounded. Build shape: one groupBy on
+    (group, bucket) with max(rho) — fixed 64-register state per group,
+    partial agg IS the sketch merge, the mergeable-sketch scale story.
+    ``exact_distinct`` rides along to expose the sketch error.
+    """
+    g = F.col(group_col)
+    # the SAME mix/rho SQL strings the DuckDB twin embeds — the two
+    # sides cannot drift (CAST/% parse identically on both engines for
+    # nonnegative operands)
+    mix = _hll_mix_sql(col)
+    rows = df.select(g, F.expr(f"{mix} % {HLL_M}").alias("bucket"),
+                     F.expr(_hll_rho_sql(mix)).alias("rho"))
+    regs = rows.groupBy(group_col, "bucket").agg(F.max("rho").alias("r"))
+    exact = (df.select(g, F.col(col)).distinct()
+             .groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("exact_distinct")))
+    agg = (regs.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("nb"),
+                F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("zsum")))
+    m = float(HLL_M)
+    z = (m - F.col("nb")) + F.col("zsum")      # empty registers add 2^0
+    raw = F.lit(HLL_ALPHA * m * m) / z
+    v = m - F.col("nb")                        # zero-valued registers
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(m) * F.log(F.lit(m) / v)).otherwise(raw)
+    return (agg.join(exact, group_col)
+            .select(group_col, F.round(est, 4).alias("estimate"),
+                    "exact_distinct"))
+
+
+def hll_distinct_by_sql(table: str, group_col: str, col: str) -> str:
+    """DuckDB twin of hll_distinct_by (same hash, same registers)."""
+    h = _hll_mix_sql(col)
+    m = float(HLL_M)
+    return f"""
+WITH rows_ AS (
+    SELECT {group_col}, {h} % {HLL_M} AS bucket,
+           {_hll_rho_sql(h)} AS rho
+    FROM {table}
+), regs AS (
+    SELECT {group_col}, bucket, max(rho) AS r
+    FROM rows_ GROUP BY 1, 2
+), agg AS (
+    SELECT {group_col}, count(*) AS nb,
+           sum(power(2.0, -r)) AS zsum
+    FROM regs GROUP BY 1
+), ex AS (
+    SELECT {group_col}, CAST(count(DISTINCT {col}) AS BIGINT)
+           AS exact_distinct
+    FROM {table} GROUP BY 1
+)
+SELECT agg.{group_col},
+       round(CASE WHEN {HLL_ALPHA} * {m} * {m}
+                       / (({m} - nb) + zsum) <= {2.5 * m}
+                   AND ({m} - nb) > 0
+                  THEN {m} * ln({m} / ({m} - nb))
+                  ELSE {HLL_ALPHA} * {m} * {m} / (({m} - nb) + zsum)
+             END, 4) AS estimate,
+       ex.exact_distinct
+FROM agg JOIN ex USING ({group_col})""".strip()

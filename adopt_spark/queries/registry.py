@@ -2509,6 +2509,17 @@ def q_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "o_orderpriority", "o_custkey", k=256)
 
 
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog distinct sketch (customers per order
+    priority) with shared-hash registers; the estimate — including
+    the linear-counting small-range branch — is value-checked against
+    the DuckDB twin, alongside the exact count."""
+    from adopt_spark.functions.sketch import hll_distinct_by
+
+    return hll_distinct_by(_t(spark, sf_dir, "orders"),
+                           "o_orderpriority", "o_custkey")
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient of every deg>=2 vertex of the
     dense graph (per-vertex triangle participation / wedge count)."""
@@ -2832,6 +2843,11 @@ from adopt_spark.functions.sketch import (  # noqa: E402
 
 ORACLES["r_kmv_by_group"] = _kmv_by_sql(
     "orders", "o_orderpriority", "o_custkey", k=256)
+from adopt_spark.functions.sketch import (  # noqa: E402
+    hll_distinct_by_sql as _hll_by_sql,
+)
+ORACLES["r_hll_by_group"] = _hll_by_sql(
+    "orders", "o_orderpriority", "o_custkey")
 ORACLES["a_msbfs_seeds"] = _og.shortest_path_sql(
     SPARSE_EDGE_SQL, _og.BFS_ROUNDS, weighted=False, directed=False,
     sources_sql="SELECT DISTINCT sid FROM edge ORDER BY sid LIMIT 5")
@@ -3436,6 +3452,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_mst_forest": q_mst_forest,
         "a_anf_diameter": q_anf_diameter,
         "g_motif_census4": q_motif_census4,
+        "r_hll_by_group": q_hll_by_group,
         "e_stream_enrich": q_stream_enrich,
         "a_mis_luby": q_mis_luby,
         "e_stream_dedup": q_stream_dedup,

@@ -151,3 +151,42 @@ def test_count_min_overestimates_and_matches_duckdb(spark):
            con.execute(count_min_estimates_sql("events", "user_id"))
               .fetchall()}
     assert got == exp
+
+
+# ------------------------------------------------------------- HLL
+
+
+def test_hll_error_bound_and_exact(spark):
+    from adopt_spark.functions.sketch import hll_distinct_by
+
+    # two groups: one big (HLL branch), one tiny (linear counting)
+    rows = [("big", i % 5000) for i in range(20000)] + \
+           [("small", i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {r.g: r for r in hll_distinct_by(df, "g", "x").collect()}
+    assert got["big"].exact_distinct == 5000
+    assert got["small"].exact_distinct == 7
+    # m=64 registers -> standard error 1.04/8 = 13%; allow 3 sigma
+    assert abs(got["big"].estimate - 5000) / 5000 < 0.4
+    # small group goes through linear counting: near-exact
+    assert abs(got["small"].estimate - 7) < 3
+
+
+def test_hll_duckdb_twin_bit_equal(spark, tmp_path):
+    import duckdb
+
+    from adopt_spark.functions.sketch import (hll_distinct_by,
+                                              hll_distinct_by_sql)
+
+    rows = [(f"g{i % 3}", (i * 17) % 1000) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    p = f"{tmp_path}/t.parquet"
+    df.write.parquet(p)
+    got = sorted(map(tuple, hll_distinct_by(
+        spark.read.parquet(p), "g", "x").collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = sorted(map(tuple,
+                      con.execute(hll_distinct_by_sql("t", "g", "x"))
+                      .fetchall()))
+    assert got == want
