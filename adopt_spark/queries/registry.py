@@ -792,6 +792,32 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth beyond ranking (SURVEY §2.5): lag/lead
+    deltas, running sums over a frame, ntile and cume_dist — the full
+    analytic surface the reference parses but rejects
+    (ExpressionCompiler.java:1814-1819). Per-customer order history,
+    deterministic total order inside each partition."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Running sum in integer cents: window sums of doubles are
+    # engine-order-dependent (DuckDB segment-trees them), cents are exact.
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.where(F.col("o_custkey") % 100 == 0)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.sum(cents).over(frame).alias("running_cents"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+        )
+    )
+
+
 def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -1740,6 +1766,24 @@ ORACLES: dict[str, str] = {
                  row_number() OVER (PARTITION BY o_custkey
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders) WHERE rn <= 2""",
+    "r_window_analytics": """
+        SELECT o_custkey, o_orderkey, prev_price, next_price,
+               CAST(running_cents AS BIGINT) AS running_cents,
+               CAST(quartile AS INTEGER) AS quartile, cume
+        FROM (
+          SELECT o_custkey, o_orderkey,
+                 lag(o_totalprice, 1) OVER w AS prev_price,
+                 lead(o_totalprice, 1) OVER w AS next_price,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS running_cents,
+                 ntile(4) OVER w AS quartile,
+                 CAST(round(cume_dist() OVER w, 9) AS DOUBLE) AS cume
+          FROM orders WHERE o_custkey % 100 = 0
+          WINDOW w AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey))""",
     "r_union": """
         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         UNION
@@ -3449,6 +3493,7 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0) brand-new round-3 session-2 operators
+        "r_window_analytics": q_window_analytics,
         "a_mst_forest": q_mst_forest,
         "a_anf_diameter": q_anf_diameter,
         "g_motif_census4": q_motif_census4,
