@@ -187,6 +187,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard join >= 0.95 via prefix filtering
+    (AllPairs/PPJoin) over the FULL documents table — same answers as
+    the all-pairs oracle, but the Spark plan only joins docs sharing a
+    rare token (the scalable exact-dedup path)."""
+    from adopt_spark.functions.dedup import prefix_jaccard_join
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_join(d, threshold=0.95).orderBy("a", "b")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) join: each click joined to the user's
     latest view at-or-before it; oracle = DuckDB's native ASOF JOIN."""
@@ -2143,6 +2154,27 @@ ORACLES.update({
         FROM (SELECT sa.d AS a, sb.d AS b, sa.n AS na, sb.n AS nb
               FROM sizes sa JOIN sizes sb ON sa.d < sb.d) p
         LEFT JOIN inter i ON i.a = p.a AND i.b = p.b""",
+    "t_prefix_jaccard": """
+        WITH tok AS (
+            SELECT DISTINCT doc_id AS d, w
+            FROM documents,
+                 unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+            WHERE w <> ''
+        ), sizes AS (
+            SELECT d, count(*) AS n FROM tok GROUP BY d
+        ), inter AS (
+            SELECT x.d AS a, y.d AS b, count(*) AS i
+            FROM tok x JOIN tok y ON x.w = y.w AND x.d < y.d
+            GROUP BY 1, 2
+        )
+        SELECT i.a, i.b,
+               CAST(round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6)
+                    AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.d = i.a
+        JOIN sizes sb ON sb.d = i.b
+        WHERE round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) >= 0.95
+        ORDER BY i.a, i.b""",
     "e_asof_join": """
         WITH clicks AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -3494,6 +3526,7 @@ def all_queries() -> dict[str, QueryFn]:
     return {
         # -- (0) brand-new round-3 session-2 operators
         "r_window_analytics": q_window_analytics,
+        "t_prefix_jaccard": q_prefix_jaccard,
         "a_mst_forest": q_mst_forest,
         "a_anf_diameter": q_anf_diameter,
         "g_motif_census4": q_motif_census4,

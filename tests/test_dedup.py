@@ -149,3 +149,43 @@ def test_dedup_report_vs_hand_counts(spark):
     assert (r.n_docs, r.n_clusters, r.n_duplicates,
             r.max_cluster_size) == (6, 3, 3, 3)
     assert r.dup_rate == 0.5
+
+
+def test_prefix_jaccard_exact_vs_all_pairs(spark, docs_with_dups):
+    """Prefix-filtered join == brute-force all-pairs word Jaccard."""
+    from adopt_spark.functions.dedup import (
+        prefix_jaccard_join, word_ngram_jaccard_all_pairs,
+    )
+
+    for t in (0.5, 0.8, 0.95):
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in prefix_jaccard_join(docs_with_dups,
+                                         threshold=t).collect()
+        }
+        exp = {
+            (r["a"], r["b"]): round(r["jaccard"], 6)
+            for r in word_ngram_jaccard_all_pairs(
+                docs_with_dups, n_words=1).collect()
+            if round(r["jaccard"], 6) >= t
+        }
+        assert got == exp, f"threshold {t}: {len(got)} vs {len(exp)}"
+        # planted exact dups must always surface at jaccard 1.0
+        for i in range(5):
+            assert got[(i, 10_000 + i)] == 1.0
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark, docs_with_dups):
+    from adopt_spark.functions.dedup import prefix_jaccard_join
+
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_jaccard_join(docs_with_dups, threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        prefix_jaccard_join(docs_with_dups, threshold=1.5)
+
+
+def test_prefix_jaccard_empty_input(spark):
+    from adopt_spark.functions.dedup import prefix_jaccard_join
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert prefix_jaccard_join(empty).count() == 0
