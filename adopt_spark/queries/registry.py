@@ -1929,6 +1929,28 @@ ORACLES: dict[str, str] = {
         SELECT user_id, count(*) AS n_pairs,
                min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s
         FROM pairs GROUP BY user_id""",
+    "g_assortativity": f"""{_EDGE_CTE},
+        sym AS (
+            SELECT sid AS v, tid AS nbr FROM edge
+            UNION
+            SELECT tid, sid FROM edge
+        ), deg AS (
+            SELECT v, count(*) AS deg FROM sym GROUP BY v
+        ), mom AS (
+            SELECT count(*) AS m,
+                   CAST(sum(du.deg) AS BIGINT) AS sx,
+                   CAST(sum(du.deg * du.deg) AS BIGINT) AS sxx,
+                   CAST(sum(du.deg * dv.deg) AS BIGINT) AS sxy
+            FROM sym s
+            JOIN deg du ON du.v = s.v
+            JOIN deg dv ON dv.v = s.nbr
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_vertices,
+               CAST(m / 2 AS BIGINT) AS n_edges,
+               CAST(round((m * sxy - sx * sx)
+                          / CAST(m * sxx - sx * sx AS DOUBLE), 6)
+                    AS DOUBLE) AS assortativity
+        FROM mom""",
     "g_avg_nbr_degree": f"""{_EDGE_CTE},
         sym AS (
             SELECT sid AS v, tid AS nbr FROM edge
@@ -2702,6 +2724,13 @@ def q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adopt_spark.algos.vertex_metrics import avg_neighbor_degree
 
     return avg_neighbor_degree(derived_edges(spark, sf_dir))
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient from integer moment sums."""
+    from adopt_spark.algos.vertex_metrics import assortativity
+
+    return assortativity(derived_edges(spark, sf_dir))
 
 
 def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3527,6 +3556,7 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (0) brand-new round-3 session-2 operators
         "r_window_analytics": q_window_analytics,
         "t_prefix_jaccard": q_prefix_jaccard,
+        "g_assortativity": q_assortativity,
         "a_mst_forest": q_mst_forest,
         "a_anf_diameter": q_anf_diameter,
         "g_motif_census4": q_motif_census4,

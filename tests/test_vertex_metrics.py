@@ -129,3 +129,44 @@ def test_edge_jaccard_triangle_plus_pendant(spark):
     assert got[(0, 1)] == (1, round(1 / 3, 6))   # share vertex 2
     assert got[(0, 2)] == (1, 0.25)              # deg(2)=3
     assert got[(2, 3)] == (0, 0.0)
+
+
+def test_assortativity_vs_numpy(spark, powerlaw_small):
+    import numpy as np
+
+    from adopt_spark.algos.vertex_metrics import assortativity
+
+    edges, pairs = powerlaw_small
+    es = {(a, b) for a, b in pairs if a != b}
+    es = {(min(a, b), max(a, b)) for a, b in es}
+    deg: dict[int, int] = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in es:          # both orientations, like the kernel
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    exp = float(np.corrcoef(np.array(xs, float), np.array(ys, float))[0, 1])
+
+    row = assortativity(edges).collect()[0]
+    assert row["n_vertices"] == len(deg)
+    assert row["n_edges"] == len(es)
+    assert math.isclose(row["assortativity"], exp, abs_tol=2e-6)
+
+
+def test_assortativity_star_is_degenerate_or_negative(spark):
+    """A star graph: every edge links the hub to a leaf -> r = -1 when
+    leaves differ in count... actually all leaves have deg 1 and hub n,
+    so x is constant given y; Pearson r is exactly -1 for a star with
+    >= 2 leaves plus one extra edge breaking symmetry — use a double
+    star (two hubs joined) where assortativity is strongly negative."""
+    pairs = [(0, i) for i in range(1, 6)] + [(10, i) for i in range(11, 16)]
+    pairs.append((0, 10))
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    from adopt_spark.algos.vertex_metrics import assortativity
+
+    r = assortativity(df).collect()[0]["assortativity"]
+    assert r < -0.8
