@@ -1929,6 +1929,16 @@ ORACLES: dict[str, str] = {
         SELECT user_id, count(*) AS n_pairs,
                min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s
         FROM pairs GROUP BY user_id""",
+    "r_skyline": """
+        SELECT p_partkey, p_size, p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size))
+        ORDER BY p_partkey""",
     "g_assortativity": f"""{_EDGE_CTE},
         sym AS (
             SELECT sid AS v, tid AS nbr FROM edge
@@ -2724,6 +2734,18 @@ def q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adopt_spark.algos.vertex_metrics import avg_neighbor_degree
 
     return avg_neighbor_degree(derived_edges(spark, sf_dir))
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: minimize retail price, maximize size
+    (two-phase partition-local + global skyline kernel; oracle =
+    NOT EXISTS dominance SQL)."""
+    from adopt_spark.functions.skyline import skyline
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice")
+    out = skyline(p, minimize=["p_retailprice"], maximize=["p_size"])
+    return out.orderBy("p_partkey")
 
 
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3557,6 +3579,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_window_analytics": q_window_analytics,
         "t_prefix_jaccard": q_prefix_jaccard,
         "g_assortativity": q_assortativity,
+        "r_skyline": q_skyline,
         "a_mst_forest": q_mst_forest,
         "a_anf_diameter": q_anf_diameter,
         "g_motif_census4": q_motif_census4,
