@@ -1281,3 +1281,38 @@ FROM (
     SELECT 'paw_tailed_tri', paw, paw - 4 * diamond + 12 * k4 FROM wide
 )
 ORDER BY motif"""
+
+
+# ------------------------------------------------- Weisfeiler-Leman (1-WL)
+
+def wl_fixed_sql(edge_sql: str, rounds: int = 3) -> str:
+    """Unrolled 1-WL refinement twin of algos/wl.py:wl_colors.
+
+    Same integer Horner fold (DuckDB ``list_reduce`` vs Spark
+    ``aggregate``), same sorted neighbor-color lists, same constants
+    (wl.WL_A/WL_B/WL_M/WL_P) — colors are bit-identical per vertex.
+    """
+    from adopt_spark.algos.wl import WL_A, WL_B, WL_M, WL_P
+
+    ctes = [f"edge AS (\n{edge_sql}\n)", """nbr AS (
+    SELECT sid AS v, tid AS u FROM edge WHERE sid <> tid
+    UNION
+    SELECT tid AS v, sid AS u FROM edge WHERE sid <> tid
+)""", """c0 AS (
+    SELECT v, CAST(count(*) AS BIGINT) AS color FROM nbr GROUP BY v
+)"""]
+    for r in range(1, rounds + 1):
+        prev = f"c{r - 1}"
+        ctes.append(f"""c{r} AS (
+    SELECT n.v,
+           list_reduce(
+               list_prepend((own.color * {WL_A} + {WL_B}) % {WL_P},
+                            list_sort(list(c.color))),
+               (a, b) -> (a * {WL_M} + b) % {WL_P}) AS color
+    FROM nbr n
+    JOIN {prev} c   ON c.v = n.u
+    JOIN {prev} own ON own.v = n.v
+    GROUP BY n.v, own.color
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT v, color AS wl_color FROM c{rounds}")

@@ -2748,6 +2748,34 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("p_partkey")
 
 
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round Weisfeiler-Leman refinement: per-vertex structural
+    fingerprint colors; oracle = oracle_gen.wl_fixed_sql (same
+    integer Horner fold via DuckDB list_reduce — bit-identical)."""
+    from adopt_spark.algos.wl import wl_colors
+
+    return wl_colors(derived_edges(spark, sf_dir))
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel anchored at each user's first
+    view, all steps within 7 days; oracle = the identical CTE chain
+    (functions/funnel.py:funnel_oracle_sql)."""
+    from adopt_spark.functions.funnel import funnel
+
+    return funnel(_t(spark, sf_dir, "events"),
+                  ["view", "click", "purchase"], within="7 DAYS")
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ=1/30 heavy-hitter words via per-partition Misra-Gries
+    candidates + exact broadcast-verify; output is exact, so the
+    oracle is a plain GROUP BY / HAVING count filter."""
+    from adopt_spark.functions.heavy import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), p=1, q=30)
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity coefficient from integer moment sums."""
     from adopt_spark.algos.vertex_metrics import assortativity
@@ -2963,6 +2991,26 @@ ORACLES["a_simrank"] = _og.simrank_sql(
     f"SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) "
     f"WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}")
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
+ORACLES["g_wl_colors"] = _og.wl_fixed_sql(DERIVED_EDGE_SQL)
+
+from adopt_spark.functions.funnel import (  # noqa: E402
+    funnel_oracle_sql as _funnel_sql,
+)
+
+ORACLES["e_funnel"] = _funnel_sql(
+    ["view", "click", "purchase"], within="7 DAYS")
+ORACLES["t_heavy_hitters"] = """
+WITH arr AS (
+    SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS a
+    FROM documents
+), toks AS (
+    SELECT unnest(a) AS w FROM arr
+), tot AS (
+    SELECT count(*) AS n FROM toks
+)
+SELECT w, count(*) AS cnt FROM toks, tot GROUP BY w, tot.n
+HAVING count(*) * 30 >= tot.n * 1"""
 
 from adopt_spark.functions.sketch import (  # noqa: E402
     kmv_distinct_by_sql as _kmv_by_sql,
@@ -3576,6 +3624,9 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0) brand-new round-3 session-2 operators
+        "g_wl_colors": q_wl_colors,
+        "e_funnel": q_funnel,
+        "t_heavy_hitters": q_heavy_hitters,
         "r_window_analytics": q_window_analytics,
         "t_prefix_jaccard": q_prefix_jaccard,
         "g_assortativity": q_assortativity,
