@@ -2776,6 +2776,32 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_t(spark, sf_dir, "documents"), p=1, q=30)
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round deterministic Lloyd's k-means (k=8) cluster assignment
+    over the embeddings table; oracle = the unrolled iteration chain
+    (functions/kmeans.py:kmeans_assign_sql)."""
+    from adopt_spark.functions.kmeans import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the ISO week of
+    their first event; active-user counts per (cohort, week offset).
+    Pure date-trunc + integer arithmetic — identical in DuckDB."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (ev.join(first, "user_id")
+            .select("user_id",
+                    F.date_format("cohort", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    (F.datediff(F.to_date("wk"), F.to_date("cohort")) / 7)
+                    .cast("int").alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.count_distinct("user_id").alias("active_users")))
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity coefficient from integer moment sums."""
     from adopt_spark.algos.vertex_metrics import assortativity
@@ -2992,6 +3018,24 @@ ORACLES["a_simrank"] = _og.simrank_sql(
     f"WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}")
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
 ORACLES["g_wl_colors"] = _og.wl_fixed_sql(DERIVED_EDGE_SQL)
+
+from adopt_spark.functions.kmeans import (  # noqa: E402
+    kmeans_assign_sql as _kmeans_sql,
+)
+
+ORACLES["s_kmeans"] = _kmeans_sql()
+ORACLES["e_retention"] = """
+WITH ev AS (
+    SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), first_wk AS (
+    SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id
+)
+SELECT strftime(CAST(f.cohort AS DATE), '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', CAST(f.cohort AS DATE),
+                      CAST(e.wk AS DATE)) / 7 AS INTEGER) AS week_offset,
+       count(DISTINCT e.user_id) AS active_users
+FROM ev e JOIN first_wk f USING (user_id)
+GROUP BY 1, 2"""
 
 from adopt_spark.functions.funnel import (  # noqa: E402
     funnel_oracle_sql as _funnel_sql,
@@ -3627,6 +3671,8 @@ def all_queries() -> dict[str, QueryFn]:
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
+        "s_kmeans": q_kmeans,
+        "e_retention": q_retention,
         "r_window_analytics": q_window_analytics,
         "t_prefix_jaccard": q_prefix_jaccard,
         "g_assortativity": q_assortativity,
