@@ -1316,3 +1316,65 @@ def wl_fixed_sql(edge_sql: str, rounds: int = 3) -> str:
 )""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT v, color AS wl_color FROM c{rounds}")
+
+
+# ------------------------------------------------- densest subgraph (BKV)
+
+DENSEST_ROUNDS = 12  # sf0.01 sparse contract graph empties in 4; 3x margin
+
+
+def densest_fixed_sql(edge_sql: str, rounds: int = DENSEST_ROUNDS) -> str:
+    """Unrolled BKV eps=1/2 greedy peel, the exact twin of
+    algos/densest.py:densest_subgraph: round i drops every vertex with
+    deg * nv <= 3 * ne (exact integers, HUGEINT cross-multiplication),
+    the best round maximizes ne/nv with ties to the EARLIEST round,
+    and the output is that round's vertex set tagged (round, nv, ne).
+    Rounds past an empty edge set are no-ops (stats rows with ne = 0
+    are excluded), so a generous budget and the engine's early-stop
+    loop agree exactly."""
+    ctes = [f"""edge AS MATERIALIZED (
+{edge_sql}
+)""", """e0 AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM edge WHERE sid <> tid
+)"""]
+    stats_rows = []
+    vert_rows = []
+    for i in range(rounds):
+        d, s, nxt = f"d{i}", f"s{i}", f"e{i + 1}"
+        ctes.append(f"""{d} AS MATERIALIZED (
+    SELECT v, count(*) AS deg
+    FROM (SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i})
+    GROUP BY v
+)""")
+        ctes.append(f"""{s} AS MATERIALIZED (
+    SELECT count(*) AS nv, COALESCE(sum(deg), 0) // 2 AS ne FROM {d}
+)""")
+        if i < rounds - 1:
+            ctes.append(f"""{nxt} AS MATERIALIZED (
+    SELECT e.a, e.b
+    FROM e{i} e
+    JOIN {d} da ON da.v = e.a
+    JOIN {d} db ON db.v = e.b, {s} s
+    WHERE CAST(da.deg AS HUGEINT) * s.nv > 3 * s.ne
+      AND CAST(db.deg AS HUGEINT) * s.nv > 3 * s.ne
+)""")
+        stats_rows.append(f"SELECT {i} AS round, nv, ne FROM {s}")
+        vert_rows.append(f"SELECT {i} AS round, v FROM {d}")
+    ctes.append("stats AS MATERIALIZED (\n"
+                + "\nUNION ALL\n".join(stats_rows) + "\n)")
+    ctes.append("verts AS (\n" + "\nUNION ALL\n".join(vert_rows) + "\n)")
+    ctes.append("""best AS (
+    SELECT round, nv, ne FROM stats s
+    WHERE ne > 0 AND NOT EXISTS (
+        SELECT 1 FROM stats o WHERE o.ne > 0 AND (
+            CAST(o.ne AS HUGEINT) * s.nv > CAST(s.ne AS HUGEINT) * o.nv
+            OR (CAST(o.ne AS HUGEINT) * s.nv = CAST(s.ne AS HUGEINT) * o.nv
+                AND o.round < s.round)))
+)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT CAST(verts.v AS BIGINT) AS v,
+       CAST(best.round AS INTEGER) AS round,
+       CAST(best.nv AS BIGINT) AS nv,
+       CAST(best.ne AS BIGINT) AS ne
+FROM verts JOIN best ON verts.round = best.round""")

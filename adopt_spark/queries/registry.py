@@ -989,6 +989,16 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph via BKV eps=1/2 greedy peel over the sparse
+    contract graph (planted K25 is the unique optimum); oracle =
+    oracle_gen.densest_fixed_sql (identical unrolled peel schedule,
+    exact integer threshold and tie-break)."""
+    from adopt_spark.algos.densest import densest_subgraph
+
+    return densest_subgraph(spark, derived_edges_sparse(spark, sf_dir))
+
+
 def q_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning forest (hash-weighted) over the
     derived graph; oracle = oracle_gen.boruvka_sql (identical unrolled
@@ -2450,6 +2460,7 @@ ORACLES.update({
     "a_mis_luby": _og.mis_fixed_sql(DERIVED_EDGE_SQL),
     "a_matching": _og.matching_fixed_sql(DERIVED_EDGE_SQL),
     "a_mst_forest": _og.boruvka_sql(DERIVED_EDGE_SQL),
+    "a_densest": _og.densest_fixed_sql(SPARSE_EDGE_SQL),
     "a_anf_diameter": _og.anf_sql(DERIVED_EDGE_SQL),
     "g_motif_census4": _og.census_sql(SPARSE_EDGE_SQL),
     "s_knn_pq": _og.knn_pq_sql(),
@@ -3668,6 +3679,7 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0) brand-new round-3 session-2 operators
+        "a_densest": q_densest,
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
