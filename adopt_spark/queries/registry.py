@@ -989,6 +989,25 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein<=2 self-join over distinct part names via
+    PassJoin segment blocking + JVM levenshtein verify; oracle =
+    brute-force levenshtein over the same dictionary (editdist.py)."""
+    from adopt_spark.functions.editdist import edit_distance_join
+
+    return edit_distance_join(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=2)
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over events, deterministic
+    (ts, event_id) ordering; oracle = the identical window+aggregate
+    chain in DuckDB (transitions.py)."""
+    from adopt_spark.functions.transitions import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densest subgraph via BKV eps=1/2 greedy peel over the sparse
     contract graph (planted K25 is the unique optimum); oracle =
@@ -2255,6 +2274,8 @@ ORACLES.update({
 # unrolling, bounded-depth peeling, shared-hash replication,
 # closed-form codec payloads).
 from adopt_spark.queries import oracle_gen as _og
+from adopt_spark.functions import editdist as _edj
+from adopt_spark.functions import transitions as _trn
 
 ORACLES.update({
     "t_near_dup_clusters": _og.NEAR_DUP_CLUSTERS_SQL,
@@ -2461,6 +2482,8 @@ ORACLES.update({
     "a_matching": _og.matching_fixed_sql(DERIVED_EDGE_SQL),
     "a_mst_forest": _og.boruvka_sql(DERIVED_EDGE_SQL),
     "a_densest": _og.densest_fixed_sql(SPARSE_EDGE_SQL),
+    "t_edit_join": _edj.edit_join_oracle_sql("SELECT * FROM part", "p_name", 2),
+    "e_transitions": _trn.transitions_oracle_sql(),
     "a_anf_diameter": _og.anf_sql(DERIVED_EDGE_SQL),
     "g_motif_census4": _og.census_sql(SPARSE_EDGE_SQL),
     "s_knn_pq": _og.knn_pq_sql(),
@@ -3680,6 +3703,8 @@ def all_queries() -> dict[str, QueryFn]:
     return {
         # -- (0) brand-new round-3 session-2 operators
         "a_densest": q_densest,
+        "t_edit_join": q_edit_join,
+        "e_transitions": q_transitions,
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
