@@ -497,3 +497,54 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.regr_slope("lf", "lr"), 6).alias("slope"),
         F.round(F.regr_intercept("lf", "lr"), 6).alias("intercept"))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surprisal under the corpus unigram LM — a standard
+    training-data quality score: p(w) = corpus_count(w) / N_tokens,
+    score = mean over the doc's tokens of -ln p(w). Low scores flag
+    boilerplate/duplicated text, high scores flag rare-token noise.
+    No smoothing is needed: every scored token is, by construction, in
+    the model's own vocabulary.
+
+    Cross-engine determinism: counts are exact integers; the single
+    -ln division is rounded to 6 dp AFTER the per-doc mean, the same
+    libm-tolerance discipline as zipf_fit/char_entropy.
+
+    Scale shape: one token hash-agg for the vocabulary counts
+    (map-side partial), the 1-row corpus total broadcast, then the
+    token stream re-joined to the vocabulary (vocabulary-sized build
+    side — broadcastable far beyond 100 TB of text) and ONE doc-keyed
+    aggregate. Tokenization matches tfidf_top_terms / zipf_fit.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+         .alias("term"),
+    ).where(F.col("term") != "")
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    total = cf.agg(F.sum("cf").alias("n_total"))
+    return (toks.join(F.broadcast(cf), "term")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(-F.log(F.col("cf") / F.col("n_total"))), 6)
+                  .alias("surprisal")))
+
+
+UNIGRAM_LOGPROB_SQL = """WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), toks_f AS (
+    SELECT doc_id, term FROM toks WHERE term <> ''
+), cf AS (
+    SELECT term, count(*) AS cf FROM toks_f GROUP BY term
+), total AS (
+    SELECT sum(cf) AS n_total FROM cf
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(c.cf / CAST(tt.n_total AS DOUBLE))), 6) AS surprisal
+FROM toks_f t JOIN cf c USING (term), total tt
+GROUP BY t.doc_id"""

@@ -989,6 +989,28 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc surprisal under the corpus unigram LM (quality score);
+    oracle = text.UNIGRAM_LOGPROB_SQL (identical tokenization, exact
+    counts, one 6 dp-rounded -ln mean)."""
+    from adopt_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes over bucketed (p_partkey, p_size) — the
+    clustering key of functions/zorder.zorder_layout; oracle = the
+    bit-identical shift/mask arithmetic in DuckDB (morton_sql)."""
+    from adopt_spark.functions.zorder import morton_code
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        morton_code(F.col("p_partkey") % 1024, F.col("p_size") % 1024,
+                    bits=10).alias("z"))
+
+
 def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Levenshtein<=2 self-join over distinct part names via
     PassJoin segment blocking + JVM levenshtein verify; oracle =
@@ -2276,6 +2298,8 @@ ORACLES.update({
 from adopt_spark.queries import oracle_gen as _og
 from adopt_spark.functions import editdist as _edj
 from adopt_spark.functions import transitions as _trn
+from adopt_spark.functions import text as _txt
+from adopt_spark.functions import zorder as _zo
 
 ORACLES.update({
     "t_near_dup_clusters": _og.NEAR_DUP_CLUSTERS_SQL,
@@ -2484,6 +2508,10 @@ ORACLES.update({
     "a_densest": _og.densest_fixed_sql(SPARSE_EDGE_SQL),
     "t_edit_join": _edj.edit_join_oracle_sql("SELECT * FROM part", "p_name", 2),
     "e_transitions": _trn.transitions_oracle_sql(),
+    "t_unigram_logprob": _txt.UNIGRAM_LOGPROB_SQL,
+    "r_zorder_code": f"""SELECT p_partkey,
+       {_zo.morton_sql('(p_partkey % 1024)', '(p_size % 1024)', bits=10)} AS z
+FROM part""",
     "a_anf_diameter": _og.anf_sql(DERIVED_EDGE_SQL),
     "g_motif_census4": _og.census_sql(SPARSE_EDGE_SQL),
     "s_knn_pq": _og.knn_pq_sql(),
@@ -3705,6 +3733,8 @@ def all_queries() -> dict[str, QueryFn]:
         "a_densest": q_densest,
         "t_edit_join": q_edit_join,
         "e_transitions": q_transitions,
+        "t_unigram_logprob": q_unigram_logprob,
+        "r_zorder_code": q_zorder_code,
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
