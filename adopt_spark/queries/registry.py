@@ -989,6 +989,55 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 evaluation of the banded-LSH ANN against brute-force
+    ground truth — the standard ANN quality metric, computed
+    end-to-end in the engine (both the approximate and the exact
+    top-k are this repo's own operators, each independently
+    oracle-checked); oracle = the same join over the two SQL twins."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(emb)
+    approx = lsh_topk(emb, q, k=5, bits=12, bands=4) \
+        .select("q_id", "vec_id")
+    exact = brute_force_topk(emb, q, k=5).select("q_id", "vec_id")
+    n_q = 3  # _queries_from_embeddings takes vec_id < 3
+    return (approx.join(exact, ["q_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(n_q).cast("int").alias("n_queries"),
+                    F.lit(5).cast("int").alias("k"), "hits",
+                    F.round(F.col("hits") / (n_q * 5.0), 6).alias("recall")))
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers over event values: |z| > 3 after
+    6 dp rounding (round-then-compare keeps the boundary identical
+    across engines); single-event users (NULL stddev) excluded."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("s"))
+    z = F.round((F.col("value") - F.col("m")) / F.col("s"), 6)
+    return (ev.join(stats, "user_id")
+            .where(F.col("s").isNotNull() & (F.col("s") > 0))
+            .withColumn("z", z)
+            .where(F.abs(F.col("z")) > 3)
+            .select("event_id", "user_id", "value", "z"))
+
+
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + MAD (median absolute deviation) per event type — the
+    robust-statistics pair; the inner median is rounded to 6 dp BEFORE
+    the abs-diff so both engines compute the identical deviation."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+        F.count(F.lit(1)).alias("n"))
+    return (ev.join(med, "event_type")
+            .groupBy("event_type")
+            .agg(F.first("n").alias("n"), F.first("med").alias("med"),
+                 F.round(F.percentile(F.abs(F.col("value") - F.col("med")),
+                                      F.lit(0.5)), 6).alias("mad")))
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc surprisal under the corpus unigram LM (quality score);
     oracle = text.UNIGRAM_LOGPROB_SQL (identical tokenization, exact
@@ -2509,6 +2558,26 @@ ORACLES.update({
     "t_edit_join": _edj.edit_join_oracle_sql("SELECT * FROM part", "p_name", 2),
     "e_transitions": _trn.transitions_oracle_sql(),
     "t_unigram_logprob": _txt.UNIGRAM_LOGPROB_SQL,
+    "e_anomaly_zscore": """WITH stats AS (
+    SELECT user_id, avg(value) AS m, stddev_samp(value) AS s
+    FROM events GROUP BY user_id
+), z AS (
+    SELECT e.event_id, e.user_id, e.value,
+           round((e.value - st.m) / st.s, 6) AS z
+    FROM events e JOIN stats st USING (user_id)
+    WHERE st.s IS NOT NULL AND st.s > 0
+)
+SELECT event_id, user_id, value, z FROM z WHERE abs(z) > 3""",
+    "r_robust_stats": """WITH med AS (
+    SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
+           count(*) AS n
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, CAST(any_value(m.n) AS BIGINT) AS n,
+       any_value(m.med) AS med,
+       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type""",
     "r_zorder_code": f"""SELECT p_partkey,
        {_zo.morton_sql('(p_partkey % 1024)', '(p_size % 1024)', bits=10)} AS z
 FROM part""",
@@ -3079,6 +3148,14 @@ ORACLES["a_simrank"] = _og.simrank_sql(
     f"SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) "
     f"WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}")
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
+# Recall@5 of the LSH ANN vs brute-force truth: the join of the two
+# existing SQL twins (each independently hash-checked on its own row).
+ORACLES["s_ann_recall"] = f"""SELECT CAST(3 AS INTEGER) AS n_queries,
+       CAST(5 AS INTEGER) AS k,
+       count(*) AS hits,
+       round(count(*) / 15.0, 6) AS recall
+FROM ({_og.knn_lsh_sql(k=5, bands=4)}) a
+JOIN ({ORACLES["s_knn_bruteforce"]}) e USING (q_id, vec_id)"""
 ORACLES["g_wl_colors"] = _og.wl_fixed_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.functions.kmeans import (  # noqa: E402
@@ -3735,6 +3812,9 @@ def all_queries() -> dict[str, QueryFn]:
         "e_transitions": q_transitions,
         "t_unigram_logprob": q_unigram_logprob,
         "r_zorder_code": q_zorder_code,
+        "s_ann_recall": q_ann_recall,
+        "e_anomaly_zscore": q_anomaly_zscore,
+        "r_robust_stats": q_robust_stats,
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
