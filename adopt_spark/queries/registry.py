@@ -989,6 +989,43 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension merge (Iceberg/Delta MERGE semantics as a
+    full-outer join + union, functions/scd.py): customer market
+    segment as the tracked attribute, an update batch derived from
+    orders exercising all three paths — unchanged (n_orders % 3 = 0
+    copies the current segment), changed (latest order's max priority
+    becomes the new value), and brand-new keys (custkey + 10^7 for
+    custkey < 10). Dates leave as ISO strings for cross-engine
+    hashing; oracle = scd.scd2_merge_sql over the same derivations."""
+    from adopt_spark.functions.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"))
+    cur = cust.select(
+        "c_custkey", "seg",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"))
+    agg = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("eff_date"),
+        F.max("o_orderpriority").alias("pri"),
+        F.count(F.lit(1)).alias("n"))
+    upd0 = agg.join(cust, "c_custkey").select(
+        "c_custkey",
+        F.when(F.col("n") % 3 == 0, F.col("seg"))
+         .otherwise(F.col("pri")).alias("seg"),
+        "eff_date")
+    newk = upd0.where(F.col("c_custkey") < 10).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("seg"), "eff_date")
+    out = scd2_merge(cur, upd0.unionByName(newk), "c_custkey", "seg")
+    return out.select(
+        "c_custkey", "seg",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"))
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 evaluation of the banded-LSH ANN against brute-force
     ground truth — the standard ANN quality metric, computed
@@ -2349,6 +2386,7 @@ from adopt_spark.functions import editdist as _edj
 from adopt_spark.functions import transitions as _trn
 from adopt_spark.functions import text as _txt
 from adopt_spark.functions import zorder as _zo
+from adopt_spark.functions import scd as _scd
 
 ORACLES.update({
     "t_near_dup_clusters": _og.NEAR_DUP_CLUSTERS_SQL,
@@ -2557,6 +2595,32 @@ ORACLES.update({
     "a_densest": _og.densest_fixed_sql(SPARSE_EDGE_SQL),
     "t_edit_join": _edj.edit_join_oracle_sql("SELECT * FROM part", "p_name", 2),
     "e_transitions": _trn.transitions_oracle_sql(),
+    "r_scd2_merge": f"""SELECT c_custkey, seg,
+       strftime(valid_from, '%Y-%m-%d') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d') AS valid_to
+FROM ({_scd.scd2_merge_sql(
+    '''SELECT c_custkey, c_mktsegment AS seg,
+              DATE '1992-01-01' AS valid_from,
+              CAST(NULL AS DATE) AS valid_to
+       FROM customer''',
+    '''WITH agg AS (
+           SELECT o_custkey AS c_custkey,
+                  max(o_orderdate) AS eff_date,
+                  max(o_orderpriority) AS pri,
+                  count(*) AS n
+           FROM orders GROUP BY o_custkey
+       ), upd0 AS (
+           SELECT a.c_custkey,
+                  CASE WHEN a.n % 3 = 0 THEN c.c_mktsegment
+                       ELSE a.pri END AS seg,
+                  a.eff_date
+           FROM agg a JOIN customer c USING (c_custkey)
+       )
+       SELECT * FROM upd0
+       UNION ALL
+       SELECT c_custkey + 10000000, 'NEWSEG', eff_date
+       FROM upd0 WHERE c_custkey < 10''',
+    'c_custkey', 'seg')})""",
     "t_unigram_logprob": _txt.UNIGRAM_LOGPROB_SQL,
     "e_anomaly_zscore": """WITH stats AS (
     SELECT user_id, avg(value) AS m, stddev_samp(value) AS s
@@ -3817,6 +3881,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_ann_recall": q_ann_recall,
         "e_anomaly_zscore": q_anomaly_zscore,
         "r_robust_stats": q_robust_stats,
+        "r_scd2_merge": q_scd2,
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
