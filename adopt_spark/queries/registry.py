@@ -989,6 +989,68 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximate minimum vertex cover = both endpoints of a
+    maximal matching (the classic Gavril/Yannakakis bound) — composed
+    from the engine's own deterministic greedy matching; oracle = the
+    endpoint union over the unrolled matching SQL."""
+    from adopt_spark.algos.matching import greedy_matching
+
+    m = greedy_matching(derived_edges(spark, sf_dir))
+    return (m.select(F.col("sid").alias("v"))
+            .unionAll(m.select(F.col("tid").alias("v")))
+            .distinct())
+
+
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per FK relation, child row count,
+    distinct child keys, and orphan rows (anti-join) — the standard
+    pre-ingest data-quality gate; at 100 TB each line is one
+    broadcast/shuffle anti-join, nothing driver-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    pa = _t(spark, sf_dir, "part")
+
+    def audit(rel, child, ckey, parent, pkey):
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti")
+        return child.agg(
+            F.lit(rel).alias("rel"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(ckey).alias("n_keys"),
+        ).crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+
+    return (audit("lineitem->orders", li, "l_orderkey", od, "o_orderkey")
+            .unionByName(audit("lineitem->part", li, "l_partkey",
+                               pa, "p_partkey"))
+            .unionByName(audit("orders->customer", od, "o_custkey",
+                               cu, "c_custkey")))
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph snapshot diff: the derived edge set built from lineitem
+    shipped before vs after 1995-07-01 — kept/added/removed edge
+    counts (the incremental-maintenance primitive: what changed
+    between two runs); each leg is a distinct + anti-/semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def snap(pred):
+        return (li.where(pred)
+                .select((F.col("l_orderkey") % 2000).alias("sid"),
+                        (F.col("l_partkey") % 2000).alias("tid"))
+                .where(F.col("sid") != F.col("tid")).distinct())
+
+    cut = F.col("l_shipdate") < F.lit("1995-07-01").cast("date")
+    a, b = snap(cut), snap(~cut)
+    kept = b.join(a, ["sid", "tid"], "left_semi")
+    added = b.join(a, ["sid", "tid"], "left_anti")
+    removed = a.join(b, ["sid", "tid"], "left_anti")
+    return (kept.agg(F.count(F.lit(1)).alias("kept"))
+            .crossJoin(added.agg(F.count(F.lit(1)).alias("added")))
+            .crossJoin(removed.agg(F.count(F.lit(1)).alias("removed"))))
+
+
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension merge (Iceberg/Delta MERGE semantics as a
     full-outer join + union, functions/scd.py): customer market
@@ -3212,6 +3274,48 @@ ORACLES["a_simrank"] = _og.simrank_sql(
     f"SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) "
     f"WHERE sid < {SCC_ID_LIM} AND tid < {SCC_ID_LIM}")
 ORACLES["g_truss_numbers"] = _og.truss_numbers_sql(DERIVED_EDGE_SQL)
+# 2-approx vertex cover = endpoints of the (unrolled) greedy matching.
+ORACLES["a_vertex_cover"] = f"""WITH m AS MATERIALIZED (
+{_og.matching_fixed_sql(DERIVED_EDGE_SQL)}
+)
+SELECT DISTINCT v FROM (
+    SELECT sid AS v FROM m
+    UNION
+    SELECT tid FROM m
+)"""
+ORACLES["r_fk_audit"] = """
+SELECT 'lineitem->orders' AS rel, count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_keys,
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+       AS n_orphans
+FROM lineitem
+UNION ALL
+SELECT 'lineitem->part', count(*), count(DISTINCT l_partkey),
+       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+FROM lineitem
+UNION ALL
+SELECT 'orders->customer', count(*), count(DISTINCT o_custkey),
+       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+FROM orders"""
+ORACLES["g_snapshot_diff"] = """WITH a AS (
+    SELECT DISTINCT l_orderkey % 2000 AS sid, l_partkey % 2000 AS tid
+    FROM lineitem WHERE l_shipdate < DATE '1995-07-01'
+      AND l_orderkey % 2000 <> l_partkey % 2000
+), b AS (
+    SELECT DISTINCT l_orderkey % 2000 AS sid, l_partkey % 2000 AS tid
+    FROM lineitem WHERE l_shipdate >= DATE '1995-07-01'
+      AND l_orderkey % 2000 <> l_partkey % 2000
+)
+SELECT
+  (SELECT count(*) FROM b WHERE EXISTS
+     (SELECT 1 FROM a WHERE a.sid = b.sid AND a.tid = b.tid)) AS kept,
+  (SELECT count(*) FROM b WHERE NOT EXISTS
+     (SELECT 1 FROM a WHERE a.sid = b.sid AND a.tid = b.tid)) AS added,
+  (SELECT count(*) FROM a WHERE NOT EXISTS
+     (SELECT 1 FROM b WHERE b.sid = a.sid AND b.tid = a.tid)) AS removed"""
 # Recall@5 of the LSH ANN vs brute-force truth: the join of the two
 # existing SQL twins (each independently hash-checked on its own row).
 ORACLES["s_ann_recall"] = f"""SELECT CAST(3 AS INTEGER) AS n_queries,
@@ -3882,6 +3986,9 @@ def all_queries() -> dict[str, QueryFn]:
         "e_anomaly_zscore": q_anomaly_zscore,
         "r_robust_stats": q_robust_stats,
         "r_scd2_merge": q_scd2,
+        "a_vertex_cover": q_vertex_cover,
+        "r_fk_audit": q_fk_audit,
+        "g_snapshot_diff": q_snapshot_diff,
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
