@@ -989,6 +989,78 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets with A-priori pruning:
+    only items meeting the item-support floor join into triples, so
+    the 3-way self-join runs over the pruned lattice, never the raw
+    basket cross product (the distributed market-basket standard).
+    Item floor 4, triple floor 2 at sf0.01 (12 triples)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")) \
+        .distinct()
+    # frequent single items prune the lattice before any self-join
+    freq1 = (li.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+             .where(F.col("n") >= 4).select("i"))
+    lif = li.join(freq1, "i", "left_semi")
+    a, b, c = lif.alias("a"), lif.alias("b"), lif.alias("c")
+    triples = (
+        a.join(b, (F.col("a.b") == F.col("b.b"))
+               & (F.col("a.i") < F.col("b.i")))
+        .join(c, (F.col("a.b") == F.col("c.b"))
+              & (F.col("b.i") < F.col("c.i")))
+        .groupBy(F.col("a.i").alias("i1"), F.col("b.i").alias("i2"),
+                 F.col("c.i").alias("i3"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 2))
+    return triples
+
+
+def q_compact_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins compaction: events duplicated onto a coarse key
+    (event_id % 997) keep only the latest (ts, event_id) version — the
+    upsert-log compaction primitive (one window per key, exact
+    deterministic tie-break)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.col("event_id") % 997)
+    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("k", "event_id", "event_type", "value"))
+
+
+def q_daily_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95/p99 value bands per event type — the SLO
+    dashboard aggregate; exact interpolated percentiles, 6 dp."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type"), F.to_date("ts").alias("d"), F.col("value"))
+    out = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"))
+    return out.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n", "p50", "p95", "p99")
+
+
+def q_order_lines_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type surface: per order, the sorted line-number list
+    (collect_list + sort_array) serialized for cross-engine hashing,
+    plus per-order revenue. Orders capped to key < 500 to keep the
+    contract row count bounded."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    # exact decimal money math: a float sum can land on a half-way
+    # x.xx5 and round differently per engine (seen once at sf0.01)
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(3,2)")
+                   - F.col("l_discount").cast("decimal(3,2)")))
+    return (li.groupBy("l_orderkey")
+            .agg(F.array_join(
+                     F.sort_array(F.collect_list("l_linenumber")), ",")
+                 .alias("lines"),
+                 F.round(rev, 2).cast("double").alias("revenue")))
+
+
 def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-approximate minimum vertex cover = both endpoints of a
     maximal matching (the classic Gavril/Yannakakis bound) — composed
@@ -3283,6 +3355,43 @@ SELECT DISTINCT v FROM (
     UNION
     SELECT tid FROM m
 )"""
+# MATERIALIZED is load-bearing: inlined, DuckDB re-plans lif per join
+# leg and picks a catastrophic order (minutes instead of ~1 s).
+ORACLES["r_frequent_triples"] = """WITH li AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), f1 AS MATERIALIZED (
+    SELECT i FROM li GROUP BY i HAVING count(*) >= 4
+), lif AS MATERIALIZED (
+    SELECT li.b, li.i FROM li JOIN f1 USING (i)
+)
+SELECT a.i AS i1, b.i AS i2, c.i AS i3, count(*) AS support
+FROM lif a
+JOIN lif b ON a.b = b.b AND a.i < b.i
+JOIN lif c ON a.b = c.b AND b.i < c.i
+GROUP BY a.i, b.i, c.i
+HAVING count(*) >= 2"""
+ORACLES["e_compact_lww"] = """SELECT k, event_id, event_type, value
+FROM (
+    SELECT event_id % 997 AS k, event_id, event_type, value,
+           row_number() OVER (PARTITION BY event_id % 997
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1"""
+ORACLES["e_daily_p95"] = """SELECT event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type, CAST(ts AS DATE)"""
+ORACLES["r_order_lines_agg"] = """SELECT l_orderkey,
+       list_aggregate(list_sort(list(l_linenumber)), 'string_agg', ',')
+           AS lines,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem WHERE l_orderkey < 500
+GROUP BY l_orderkey"""
 ORACLES["r_fk_audit"] = """
 SELECT 'lineitem->orders' AS rel, count(*) AS n_rows,
        count(DISTINCT l_orderkey) AS n_keys,
@@ -3989,6 +4098,10 @@ def all_queries() -> dict[str, QueryFn]:
         "a_vertex_cover": q_vertex_cover,
         "r_fk_audit": q_fk_audit,
         "g_snapshot_diff": q_snapshot_diff,
+        "r_frequent_triples": q_frequent_triples,
+        "e_compact_lww": q_compact_lww,
+        "e_daily_p95": q_daily_p95,
+        "r_order_lines_agg": q_order_lines_agg,
         "g_wl_colors": q_wl_colors,
         "e_funnel": q_funnel,
         "t_heavy_hitters": q_heavy_hitters,
