@@ -1378,3 +1378,34 @@ SELECT CAST(verts.v AS BIGINT) AS v,
        CAST(best.nv AS BIGINT) AS nv,
        CAST(best.ne AS BIGINT) AS ne
 FROM verts JOIN best ON verts.round = best.round""")
+
+
+# ----------------------------------------------------- DAG depth
+
+DAG_ROUNDS = 40  # sf0.01 sparse contract graph: max depth 27; 1.5x margin
+
+
+def dag_depth_sql(edge_sql: str, rounds: int = DAG_ROUNDS) -> str:
+    """Unrolled max-relaxation twin of algos/dag.py:dag_depth —
+    d_r(v) = min(true_depth(v), r), so any budget >= the true max
+    depth yields the fixpoint; rounds past convergence are no-ops."""
+    ctes = [f"""edge AS MATERIALIZED (
+{edge_sql}
+)""", """dag AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM edge WHERE sid <> tid
+)""", """nodes AS MATERIALIZED (
+    SELECT a AS v FROM dag UNION SELECT b FROM dag
+)""", """d0 AS MATERIALIZED (
+    SELECT v, CAST(0 AS BIGINT) AS d FROM nodes
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""d{r} AS MATERIALIZED (
+    SELECT n.v, COALESCE(max(p.d + 1), 0) AS d
+    FROM nodes n
+    LEFT JOIN dag e ON e.b = n.v
+    LEFT JOIN d{r - 1} p ON p.v = e.a
+    GROUP BY n.v
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT v, CAST(d AS INTEGER) AS depth FROM d{rounds}")

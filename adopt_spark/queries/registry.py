@@ -989,6 +989,58 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_dag_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG depth (longest path from any source) per vertex over the
+    oriented sparse graph — dependency-graph critical-path analytics;
+    oracle = oracle_gen.dag_depth_sql (unrolled max-relaxation,
+    fixpoint after the true max depth = 27 at sf0.01)."""
+    from adopt_spark.algos.dag import dag_depth
+
+    return dag_depth(spark, derived_edges_sparse(spark, sf_dir))
+
+
+def q_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user event-id sequences: island =
+    run of consecutive ids (id - row_number() is constant within a
+    run); per user emit island count, longest island, and the widest
+    id gap — the completeness audit for sequenced ingestion."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    grp = (ev.withColumn("g", F.col("event_id") - F.row_number().over(w))
+           .withColumn("gap", F.col("event_id") - F.lag("event_id").over(w) - 1))
+    islands = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    per_user = islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("len").alias("max_island"))
+    gaps = grp.groupBy("user_id").agg(
+        F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap"))
+    return per_user.join(gaps, "user_id")
+
+
+def q_twa_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the value series (trapezoid
+    rule over exact microsecond spans) — the standard telemetry TWA;
+    single-event / zero-span users excluded, 6 dp."""
+    # parquet ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the cast to TIMESTAMP is value-preserving and
+    # unix_micros matches DuckDB's epoch_us on the naive timestamp
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), "value")
+    w = Window.partitionBy("user_id").orderBy("t", "value")
+    seg = (ev.withColumn("t2", F.lead("t").over(w))
+           .withColumn("v2", F.lead("value").over(w))
+           .where(F.col("t2").isNotNull())
+           .withColumn("area", (F.col("t2") - F.col("t"))
+                       * (F.col("value") + F.col("v2")) / 2))
+    return (seg.groupBy("user_id")
+            .agg((F.max("t2") - F.min("t")).alias("span"),
+                 F.sum("area").alias("num"))
+            .where(F.col("span") > 0)
+            .select("user_id",
+                    F.round(F.col("num") / F.col("span"), 6).alias("twa")))
+
+
 def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent 3-itemsets over order baskets with A-priori pruning:
     only items meeting the item-support floor join into triples, so
@@ -3355,6 +3407,38 @@ SELECT DISTINCT v FROM (
     UNION
     SELECT tid FROM m
 )"""
+ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
+ORACLES["e_id_islands"] = """WITH grp AS (
+    SELECT user_id, event_id,
+           event_id - row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS g,
+           event_id - lag(event_id) OVER (PARTITION BY user_id
+                                          ORDER BY event_id) - 1 AS gap
+    FROM events
+), islands AS (
+    SELECT user_id, g, count(*) AS len FROM grp GROUP BY user_id, g
+), per_user AS (
+    SELECT user_id, count(*) AS n_islands, max(len) AS max_island
+    FROM islands GROUP BY user_id
+), gaps AS (
+    SELECT user_id, COALESCE(max(gap), 0) AS max_gap
+    FROM grp GROUP BY user_id
+)
+SELECT user_id, n_islands, max_island, max_gap
+FROM per_user JOIN gaps USING (user_id)"""
+ORACLES["e_twa_value"] = """WITH seg AS (
+    SELECT user_id, epoch_us(ts) AS t, value,
+           lead(epoch_us(ts)) OVER w AS t2,
+           lead(value) OVER w AS v2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), value)
+)
+SELECT user_id,
+       round(sum((t2 - t) * (value + v2) / 2)
+             / (max(t2) - min(t)), 6) AS twa
+FROM seg WHERE t2 IS NOT NULL
+GROUP BY user_id
+HAVING max(t2) - min(t) > 0"""
 # MATERIALIZED is load-bearing: inlined, DuckDB re-plans lif per join
 # leg and picks a catastrophic order (minutes instead of ~1 s).
 ORACLES["r_frequent_triples"] = """WITH li AS MATERIALIZED (
@@ -4098,6 +4182,9 @@ def all_queries() -> dict[str, QueryFn]:
         "a_vertex_cover": q_vertex_cover,
         "r_fk_audit": q_fk_audit,
         "g_snapshot_diff": q_snapshot_diff,
+        "a_dag_depth": q_dag_depth,
+        "e_id_islands": q_id_islands,
+        "e_twa_value": q_twa_value,
         "r_frequent_triples": q_frequent_triples,
         "e_compact_lww": q_compact_lww,
         "e_daily_p95": q_daily_p95,
