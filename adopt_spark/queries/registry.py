@@ -989,6 +989,40 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names: PassJoin
+    edit-distance matching -> connected components -> lexicographic
+    canonicalization (functions/entity.py); oracle = recursive
+    closure over the brute-force match pairs."""
+    from adopt_spark.functions.entity import resolve_entities
+
+    return resolve_entities(_t(spark, sf_dir, "part"), "p_name", 2)
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: per event-type pair, users doing both
+    and the Jaccard overlap — one distinct + one self-join on user,
+    6 dp."""
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type") \
+        .distinct()
+    per = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    both = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.event_type") < F.col("b.event_type")))
+            .groupBy(F.col("a.event_type").alias("t1"),
+                     F.col("b.event_type").alias("t2"))
+            .agg(F.count(F.lit(1)).alias("n_both")))
+    return (both
+            .join(per.select(F.col("event_type").alias("t1"),
+                             F.col("n").alias("n1")), "t1")
+            .join(per.select(F.col("event_type").alias("t2"),
+                             F.col("n").alias("n2")), "t2")
+            .select("t1", "t2", "n_both",
+                    F.round(F.col("n_both")
+                            / (F.col("n1") + F.col("n2") - F.col("n_both")),
+                            6).alias("jaccard")))
+
+
 def q_dag_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAG depth (longest path from any source) per vertex over the
     oriented sparse graph — dependency-graph critical-path analytics;
@@ -2573,6 +2607,7 @@ from adopt_spark.functions import transitions as _trn
 from adopt_spark.functions import text as _txt
 from adopt_spark.functions import zorder as _zo
 from adopt_spark.functions import scd as _scd
+from adopt_spark.functions import entity as _ent
 
 ORACLES.update({
     "t_near_dup_clusters": _og.NEAR_DUP_CLUSTERS_SQL,
@@ -3408,6 +3443,23 @@ SELECT DISTINCT v FROM (
     SELECT tid FROM m
 )"""
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
+ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
+    "SELECT * FROM part", "p_name", 2)
+ORACLES["e_audience_overlap"] = """WITH ut AS MATERIALIZED (
+    SELECT DISTINCT user_id, event_type FROM events
+), per AS (
+    SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+), ov AS (
+    SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT t1, t2, n_both,
+       round(n_both / CAST(p1.n + p2.n - n_both AS DOUBLE), 6) AS jaccard
+FROM ov
+JOIN per p1 ON p1.event_type = t1
+JOIN per p2 ON p2.event_type = t2"""
 ORACLES["e_id_islands"] = """WITH grp AS (
     SELECT user_id, event_id,
            event_id - row_number() OVER (PARTITION BY user_id
@@ -4185,6 +4237,8 @@ def all_queries() -> dict[str, QueryFn]:
         "a_dag_depth": q_dag_depth,
         "e_id_islands": q_id_islands,
         "e_twa_value": q_twa_value,
+        "t_entity_resolution": q_entity_resolution,
+        "e_audience_overlap": q_audience_overlap,
         "r_frequent_triples": q_frequent_triples,
         "e_compact_lww": q_compact_lww,
         "e_daily_p95": q_daily_p95,
