@@ -989,6 +989,74 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attack-robustness probe: largest connected component before vs
+    after deleting the top-10 degree hubs (deterministic (deg DESC,
+    v ASC) selection) — the standard scale-free resilience metric,
+    composed from the engine's own degree + CC kernels. Bounded to
+    ids < 600 (the SCC-suite trick) so the oracle's TWO recursive
+    closures stay cheap; the Spark side has no such limit at scale."""
+    from adopt_spark.algos.cc import connected_components
+
+    e = derived_edges(spark, sf_dir).where(
+        (F.col("sid") < 600) & (F.col("tid") < 600))
+    sym = (e.select(F.col("sid").alias("u"), F.col("tid").alias("v"))
+           .unionAll(e.select(F.col("tid").alias("u"),
+                              F.col("sid").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct())
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    w = Window.orderBy(F.desc("deg"), F.asc("u"))
+    hubs = (deg.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10).select("u"))
+    filt = (sym.join(hubs, "u", "left_anti")
+            .join(hubs.withColumnRenamed("u", "v"), "v", "left_anti")
+            .select(F.col("u").alias("sid"), F.col("v").alias("tid")))
+
+    def lcc(edges):
+        labels, _ = connected_components(spark, edges)
+        return (labels.groupBy("component").agg(F.count(F.lit(1)).alias("s"))
+                .agg(F.max("s").alias("m")))
+
+    return (lcc(e).select(F.col("m").alias("lcc_before"))
+            .crossJoin(lcc(filt).select(F.col("m").alias("lcc_after"))))
+
+
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (days since
+    2024-01-01, a CONSTANT offset so the slope arithmetic avoids
+    catastrophic cancellation identically on both engines), 6 dp."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.unix_micros(F.col("ts").cast("timestamp"))
+          - F.lit(1704067200000000)) / 86400e6).alias("x"),
+        F.col("value").alias("y"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"))
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew report for the lineitem order key — the shuffle-skew
+    observability primitive (decides salting, see skew.py): row/key
+    counts, the heaviest key's share, and Shannon entropy of the key
+    distribution, 6 dp."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"))
+    ent = (per.crossJoin(F.broadcast(tot.select("n_rows")))
+           .agg(F.round(-F.sum((F.col("c") / F.col("n_rows"))
+                               * F.log(F.col("c") / F.col("n_rows"))), 6)
+                .alias("entropy")))
+    return (tot.crossJoin(ent)
+            .select("n_rows", "n_keys", "max_key_rows",
+                    F.round(F.col("max_key_rows") / F.col("n_rows"), 6)
+                    .alias("top_share"), "entropy"))
+
+
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over part names: PassJoin
     edit-distance matching -> connected components -> lexicographic
@@ -3445,6 +3513,60 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+ORACLES["a_hub_robustness"] = f"""WITH RECURSIVE edge AS (
+SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) WHERE sid < 600 AND tid < 600
+), sym AS MATERIALIZED (
+    SELECT sid AS u, tid AS v FROM edge WHERE sid <> tid
+    UNION SELECT tid, sid FROM edge WHERE sid <> tid
+), deg AS (
+    SELECT u, count(*) AS deg FROM sym GROUP BY u
+), hubs AS MATERIALIZED (
+    SELECT u FROM (
+        SELECT u, row_number() OVER (ORDER BY deg DESC, u) AS rn FROM deg
+    ) WHERE rn <= 10
+), fsym AS MATERIALIZED (
+    SELECT u, v FROM sym
+    WHERE u NOT IN (SELECT u FROM hubs) AND v NOT IN (SELECT u FROM hubs)
+), reach_b(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v, w.r FROM reach_b w JOIN sym s ON s.u = w.v
+), reach_a(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM fsym)
+    UNION
+    SELECT s.v, w.r FROM reach_a w JOIN fsym s ON s.u = w.v
+), lcc_b AS (
+    SELECT max(n) AS m FROM (
+        SELECT comp, count(*) AS n FROM (
+            SELECT v, min(r) AS comp FROM reach_b GROUP BY v
+        ) GROUP BY comp)
+), lcc_a AS (
+    SELECT max(n) AS m FROM (
+        SELECT comp, count(*) AS n FROM (
+            SELECT v, min(r) AS comp FROM reach_a GROUP BY v
+        ) GROUP BY comp)
+)
+SELECT lcc_b.m AS lcc_before, lcc_a.m AS lcc_after FROM lcc_b, lcc_a"""
+ORACLES["e_group_ols"] = """SELECT event_type, count(*) AS n,
+       round(regr_slope(value, x), 6) AS slope,
+       round(regr_intercept(value, x), 6) AS intercept
+FROM (SELECT event_type, value,
+             (epoch_us(ts) - 1704067200000000) / 86400e6 AS x
+      FROM events)
+GROUP BY event_type"""
+ORACLES["r_key_skew"] = """WITH per AS (
+    SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey
+), tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           max(c) AS max_key_rows
+    FROM per
+)
+SELECT t.n_rows, t.n_keys, t.max_key_rows,
+       round(t.max_key_rows / CAST(t.n_rows AS DOUBLE), 6) AS top_share,
+       (SELECT round(-sum((c / CAST(t.n_rows AS DOUBLE))
+                          * ln(c / CAST(t.n_rows AS DOUBLE))), 6)
+        FROM per) AS entropy
+FROM tot t"""
 ORACLES["e_audience_overlap"] = """WITH ut AS MATERIALIZED (
     SELECT DISTINCT user_id, event_type FROM events
 ), per AS (
@@ -4239,6 +4361,9 @@ def all_queries() -> dict[str, QueryFn]:
         "e_twa_value": q_twa_value,
         "t_entity_resolution": q_entity_resolution,
         "e_audience_overlap": q_audience_overlap,
+        "a_hub_robustness": q_hub_robustness,
+        "e_group_ols": q_group_ols,
+        "r_key_skew": q_key_skew,
         "r_frequent_triples": q_frequent_triples,
         "e_compact_lww": q_compact_lww,
         "e_daily_p95": q_daily_p95,
