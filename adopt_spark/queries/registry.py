@@ -989,6 +989,31 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-analytics probe: per-vertex PageRank shift after
+    applying an edge batch (lineitem part->supplier links, every 7th
+    supplier) to the derived graph — rank-before, rank-after, and the
+    6 dp delta; oracle = two unrolled PR recurrences joined. The
+    vertex universe is unchanged by construction, so the deltas are
+    directly comparable."""
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    g1 = derived_edges(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    delta = (li.where(F.col("l_suppkey") % 7 == 0)
+             .select((F.col("l_partkey") % 2000).cast("long").alias("sid"),
+                     (F.col("l_suppkey") % 2000).cast("long").alias("tid"))
+             .where(F.col("sid") != F.col("tid")).distinct())
+    g2 = g1.unionByName(delta).distinct()
+    r1, _ = pagerank(spark, g1, tol=0.0, max_iter=PR_ITERS)
+    r2, _ = pagerank(spark, g2, tol=0.0, max_iter=PR_ITERS)
+    a = r1.select("v", F.round("rank", 6).alias("rank_before"))
+    b = r2.select("v", F.round("rank", 6).alias("rank_after"))
+    return (a.join(b, "v")
+            .withColumn("delta", F.round(
+                F.col("rank_after") - F.col("rank_before"), 6)))
+
+
 def q_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attack-robustness probe: largest connected component before vs
     after deleting the top-10 degree hubs (deterministic (deg DESC,
@@ -3513,6 +3538,19 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+_DELTA_EDGE_SQL = f"""SELECT DISTINCT sid, tid FROM (
+    SELECT sid, tid FROM ({DERIVED_EDGE_SQL})
+    UNION ALL
+    SELECT CAST(l_partkey % 2000 AS BIGINT) AS sid,
+           CAST(l_suppkey % 2000 AS BIGINT) AS tid
+    FROM lineitem
+    WHERE l_suppkey % 7 = 0 AND l_partkey % 2000 <> l_suppkey % 2000
+)"""
+ORACLES["a_pagerank_delta"] = f"""SELECT a.v,
+       a.rank AS rank_before, b.rank AS rank_after,
+       round(b.rank - a.rank, 6) AS delta
+FROM ({_og.pagerank_fixed_sql(DERIVED_EDGE_SQL)}) a
+JOIN ({_og.pagerank_fixed_sql(_DELTA_EDGE_SQL)}) b USING (v)"""
 ORACLES["a_hub_robustness"] = f"""WITH RECURSIVE edge AS (
 SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) WHERE sid < 600 AND tid < 600
 ), sym AS MATERIALIZED (
@@ -4361,6 +4399,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_twa_value": q_twa_value,
         "t_entity_resolution": q_entity_resolution,
         "e_audience_overlap": q_audience_overlap,
+        "a_pagerank_delta": q_pagerank_delta,
         "a_hub_robustness": q_hub_robustness,
         "e_group_ols": q_group_ols,
         "r_key_skew": q_key_skew,
