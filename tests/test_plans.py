@@ -148,3 +148,26 @@ def test_stratified_sample_is_narrow_filter(spark):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert "Filter" in plan
+
+
+def test_round3_session_ops_plan_quality(spark):
+    """The newest operators must keep the kernel discipline: no
+    cartesian product, no per-row Python, map-side partial agg where
+    an aggregate exists."""
+    from adopt_spark.functions.editdist import edit_distance_join
+    from adopt_spark.functions.text import unigram_logprob
+    from adopt_spark.functions.transitions import event_transitions
+
+    parts = spark.read.parquet(f"{SF}/part.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for q in (edit_distance_join(parts, "p_name", 2),
+              unigram_logprob(docs),
+              event_transitions(ev)):
+        plan = physical_plan(q)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    # the vocabulary join in unigram scoring must broadcast, not shuffle
+    plan = physical_plan(unigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan
