@@ -989,6 +989,19 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface: extract the integer `k` field from the
+    JSON props column (JVM get_json_object — pushdown-friendly, no
+    Python) and aggregate per k-bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.select(F.get_json_object("props", "$.k")
+                      .cast("int").alias("k"), "value")
+            .groupBy((F.col("k") % 10).alias("kb"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast("decimal(10,2)"))
+                  .cast("double").alias("sum_value")))
+
+
 def q_pagerank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-analytics probe: per-vertex PageRank shift after
     applying an edge batch (lineitem part->supplier links, every 7th
@@ -3538,6 +3551,12 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+ORACLES["r_json_extract"] = """SELECT
+    CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS kb,
+    count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(json_extract(props, '$.k') AS INTEGER) % 10"""
 _DELTA_EDGE_SQL = f"""SELECT DISTINCT sid, tid FROM (
     SELECT sid, tid FROM ({DERIVED_EDGE_SQL})
     UNION ALL
@@ -4399,6 +4418,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_twa_value": q_twa_value,
         "t_entity_resolution": q_entity_resolution,
         "e_audience_overlap": q_audience_overlap,
+        "r_json_extract": q_json_extract,
         "a_pagerank_delta": q_pagerank_delta,
         "a_hub_robustness": q_hub_robustness,
         "e_group_ols": q_group_ols,
