@@ -435,3 +435,56 @@ def prefix_jaccard_join(docs: DataFrame, text_col: str = "text",
                     .cast("double"), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def containment_join(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     threshold: float = 0.8) -> DataFrame:
+    """Asymmetric set-containment join: pairs (a, b) with
+    |tokens(a) ∩ tokens(b)| / |tokens(a)| >= threshold — catches a
+    document EMBEDDED in a larger one, which symmetric Jaccard dilutes
+    below any useful threshold. Directional: a is the contained side.
+    Self-pairs excluded; containment rounded to 6 dp BEFORE the
+    threshold compare (round-then-filter keeps the boundary identical
+    across engines).
+
+    Plan: one distinct (doc, token) explode, token-key equi-join
+    (candidates share a token — never all-pairs; at corpus scale swap
+    in the df-ordered prefix filter exactly as prefix_jaccard_join),
+    pair-count aggregate, one size join.
+    """
+    tok = (docs.select(F.col(id_col).alias("d"),
+                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                        .alias("w"))
+           .where(F.col("w") != "").distinct())
+    sizes = tok.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    inter = (tok.alias("x").join(tok.alias("y"),
+                                 (F.col("x.w") == F.col("y.w"))
+                                 & (F.col("x.d") != F.col("y.d")))
+             .groupBy(F.col("x.d").alias("a"), F.col("y.d").alias("b"))
+             .agg(F.count(F.lit(1)).alias("i")))
+    return (inter
+            .join(sizes.select(F.col("d").alias("a"),
+                               F.col("n").alias("na")), "a")
+            .withColumn("containment",
+                        F.round(F.col("i") / F.col("na"), 6))
+            .where(F.col("containment") >= threshold)
+            .select("a", "b", "containment"))
+
+
+CONTAINMENT_SQL = """WITH tok AS MATERIALIZED (
+    SELECT DISTINCT doc_id AS d, w
+    FROM documents,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+    WHERE w <> ''
+), sizes AS (
+    SELECT d, count(*) AS n FROM tok GROUP BY d
+), inter AS (
+    SELECT x.d AS a, y.d AS b, count(*) AS i
+    FROM tok x JOIN tok y ON x.w = y.w AND x.d <> y.d
+    GROUP BY 1, 2
+)
+SELECT a, b, containment FROM (
+    SELECT i.a, i.b, round(i.i / CAST(s.n AS DOUBLE), 6) AS containment
+    FROM inter i JOIN sizes s ON s.d = i.a
+) WHERE containment >= 0.8"""

@@ -989,6 +989,30 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-set containment join >= 0.8 over documents —
+    the subset-duplication detector symmetric Jaccard misses; oracle =
+    dedup.CONTAINMENT_SQL (same tokenization, round-then-filter)."""
+    from adopt_spark.functions.dedup import containment_join
+
+    return containment_join(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_cond_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the FILTER-clause surface): per line
+    status, counts/sums restricted to predicate slices in ONE pass
+    over lineitem — no self-joins, no unions."""
+    li = _t(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    big = F.col("l_quantity") > 30
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(ret, 1).otherwise(0)).alias("n_returned"),
+        F.sum(F.when(big, F.col("l_quantity")).otherwise(0))
+         .cast("double").alias("qty_big"),
+        F.sum(F.when(ret & big, 1).otherwise(0)).alias("n_ret_big"))
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface: extract the integer `k` field from the
     JSON props column (JVM get_json_object — pushdown-friendly, no
@@ -2714,6 +2738,7 @@ from adopt_spark.functions import text as _txt
 from adopt_spark.functions import zorder as _zo
 from adopt_spark.functions import scd as _scd
 from adopt_spark.functions import entity as _ent
+from adopt_spark.functions import dedup as _dd
 
 ORACLES.update({
     "t_near_dup_clusters": _og.NEAR_DUP_CLUSTERS_SQL,
@@ -3551,6 +3576,14 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+ORACLES["t_containment"] = _dd.CONTAINMENT_SQL
+ORACLES["r_cond_agg"] = """SELECT l_linestatus, count(*) AS n,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       CAST(COALESCE(sum(l_quantity) FILTER (WHERE l_quantity > 30), 0)
+            AS DOUBLE) AS qty_big,
+       count(*) FILTER (WHERE l_returnflag = 'R' AND l_quantity > 30)
+           AS n_ret_big
+FROM lineitem GROUP BY l_linestatus"""
 ORACLES["r_json_extract"] = """SELECT
     CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS kb,
     count(*) AS n,
@@ -4419,6 +4452,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_entity_resolution": q_entity_resolution,
         "e_audience_overlap": q_audience_overlap,
         "r_json_extract": q_json_extract,
+        "t_containment": q_containment,
+        "r_cond_agg": q_cond_agg,
         "a_pagerank_delta": q_pagerank_delta,
         "a_hub_robustness": q_hub_robustness,
         "e_group_ols": q_group_ols,
