@@ -989,6 +989,35 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-path and 3-path counts over the oriented sparse graph
+    via the pair-aggregated DP the cycle kernels use at full scale:
+    each level shuffles (endpoint-pair, count) aggregates — the path
+    MASS is a number, never a materialized row set."""
+    e = derived_edges_sparse(spark, sf_dir)
+    lt = (e.select(F.least("sid", "tid").alias("a"),
+                   F.greatest("sid", "tid").alias("b"))
+          .where(F.col("a") != F.col("b")).distinct())
+    # level 2: pairs (a, c) with a->b->c, aggregated counts
+    p2 = (lt.alias("x").join(lt.alias("y"), F.col("x.b") == F.col("y.a"))
+          .groupBy(F.col("x.a").alias("u"), F.col("y.b").alias("w"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    n2 = p2.agg(F.sum("c").alias("n")).first()["n"] or 0
+    p3 = (p2.join(lt.withColumnRenamed("a", "w"), "w")
+          .agg(F.sum("c").alias("n")).first()["n"] or 0)
+    return spark.createDataFrame(
+        [(int(n2), int(p3))], "n_paths2 long, n_paths3 long")
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the stopword-vote
+    predictor (Arrow-batched pandas UDF) against the stored lang
+    label; oracle composes the exact lang_id SQL twin."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("lang", lang_id(F.col("text")).alias("pred"))
+            .groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric token-set containment join >= 0.8 over documents —
     the subset-duplication detector symmetric Jaccard misses; oracle =
@@ -3576,6 +3605,25 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+ORACLES["g_path_counts"] = f"""WITH e AS MATERIALIZED (
+{SPARSE_EDGE_SQL}
+), lt AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM e WHERE sid <> tid
+), p2 AS MATERIALIZED (
+    SELECT x.a AS u, y.b AS w, count(*) AS c
+    FROM lt x JOIN lt y ON x.b = y.a
+    GROUP BY x.a, y.b
+)
+SELECT CAST((SELECT COALESCE(sum(c), 0) FROM p2) AS BIGINT) AS n_paths2,
+       CAST((SELECT COALESCE(sum(p2.c), 0)
+             FROM p2 JOIN lt ON lt.a = p2.w) AS BIGINT) AS n_paths3"""
+ORACLES["t_lang_confusion"] = f"""WITH pred AS (
+{_og.lang_id_sql()}
+)
+SELECT d.lang, p.lang_pred AS pred, count(*) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY d.lang, p.lang_pred"""
 ORACLES["t_containment"] = _dd.CONTAINMENT_SQL
 ORACLES["r_cond_agg"] = """SELECT l_linestatus, count(*) AS n,
        count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
@@ -4454,6 +4502,8 @@ def all_queries() -> dict[str, QueryFn]:
         "r_json_extract": q_json_extract,
         "t_containment": q_containment,
         "r_cond_agg": q_cond_agg,
+        "g_path_counts": q_path_counts,
+        "t_lang_confusion": q_lang_confusion,
         "a_pagerank_delta": q_pagerank_delta,
         "a_hub_robustness": q_hub_robustness,
         "e_group_ols": q_group_ols,
