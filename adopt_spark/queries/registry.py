@@ -989,6 +989,41 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU dashboard metric,
+    exact): dedup to (day, user), band-join each day to its trailing
+    window, one distinct-count — no collect_set windows, no sketch."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ev.select("d").distinct()
+    joined = days.alias("w").join(
+        ev.alias("e"),
+        (F.col("e.d") <= F.col("w.d"))
+        & (F.col("e.d") >= F.date_sub(F.col("w.d"), 6)))
+    return (joined.groupBy(F.col("w.d").alias("day"))
+            .agg(F.countDistinct("e.user_id").alias("wau"))
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau"))
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity (triadic closure rate) = 3*triangles /
+    wedges over the undirected derived graph — one row, exact integer
+    counts composed from the engine's own triangle kernel."""
+    e = derived_edges(spark, sf_dir)
+    tri = triangle_count_csr(e)  # exact scalar DataFrame[n_triangles]
+    sym = (e.select(F.col("sid").alias("u"), F.col("tid").alias("v"))
+           .unionAll(e.select(F.col("tid").alias("u"),
+                              F.col("sid").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct())
+    wedges = (sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+              .agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+                   .cast("long").alias("n_wedges")))
+    return (tri.crossJoin(wedges)
+            .select("n_triangles", "n_wedges",
+                    F.round(3 * F.col("n_triangles") / F.col("n_wedges"), 6)
+                    .alias("transitivity")))
+
+
 def q_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 2-path and 3-path counts over the oriented sparse graph
     via the pair-aggregated DP the cycle kernels use at full scale:
@@ -3605,6 +3640,29 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+ORACLES["e_rolling_wau"] = """WITH ev AS MATERIALIZED (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+    SELECT DISTINCT d FROM ev
+)
+SELECT strftime(w.d, '%Y-%m-%d') AS day,
+       count(DISTINCT e.user_id) AS wau
+FROM days w JOIN ev e
+  ON e.d <= w.d AND e.d >= w.d - INTERVAL 6 DAY
+GROUP BY w.d"""
+ORACLES["g_transitivity"] = f"""{_EDGE_CTE},
+tri AS (SELECT CAST(n AS BIGINT) AS n_triangles FROM ({clique_sql(3)})),
+sym AS MATERIALIZED (
+    SELECT sid AS u, tid AS v FROM edge WHERE sid <> tid
+    UNION SELECT tid, sid FROM edge WHERE sid <> tid
+),
+wedges AS (
+    SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+    FROM (SELECT u, count(*) AS deg FROM sym GROUP BY u)
+)
+SELECT n_triangles, n_wedges,
+       round(3 * n_triangles / CAST(n_wedges AS DOUBLE), 6) AS transitivity
+FROM tri, wedges"""
 ORACLES["g_path_counts"] = f"""WITH e AS MATERIALIZED (
 {SPARSE_EDGE_SQL}
 ), lt AS MATERIALIZED (
@@ -4504,6 +4562,8 @@ def all_queries() -> dict[str, QueryFn]:
         "r_cond_agg": q_cond_agg,
         "g_path_counts": q_path_counts,
         "t_lang_confusion": q_lang_confusion,
+        "e_rolling_wau": q_rolling_wau,
+        "g_transitivity": q_transitivity,
         "a_pagerank_delta": q_pagerank_delta,
         "a_hub_robustness": q_hub_robustness,
         "e_group_ols": q_group_ols,
