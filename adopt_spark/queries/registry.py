@@ -989,6 +989,53 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival-time stats over each user's
+    stream (lag over exact microsecond stamps): count, mean, p50,
+    p95 — the telemetry cadence profile, 6 dp seconds."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("t")
+    gaps = (ev.withColumn("gap", F.col("t") - F.lag("t").over(w))
+            .where(F.col("gap").isNotNull())
+            .select("event_type", (F.col("gap") / 1e6).alias("g")))
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("g"), 6).alias("mean_s"),
+        F.round(F.percentile("g", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("g", F.lit(0.95)), 6).alias("p95_s"))
+
+
+HEAPS_PREFIXES = [50, 100, 150, 200, 250, 300, 400, 500]
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-vocabulary size vs
+    total token count over fixed doc-id prefixes of the corpus, plus
+    the OLS fit of ln V on ln N (natural corpora: slope 0.4-0.6 —
+    a corpus-health signal like zipf_fit). Fixed prefix grid, exact
+    counts, 6 dp fit."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+         .alias("w")).where(F.col("w") != "")
+    pts = None
+    for k in HEAPS_PREFIXES:
+        p = toks.where(F.col("doc_id") < k).agg(
+            F.lit(k).cast("int").alias("prefix_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("w").alias("vocab"))
+        pts = p if pts is None else pts.unionByName(p)
+    fit = pts.agg(
+        F.round(F.regr_slope(F.log("vocab"), F.log("n_tokens")), 6)
+         .alias("beta"),
+        F.round(F.regr_intercept(F.log("vocab"), F.log("n_tokens")), 6)
+         .alias("ln_k"))
+    return pts.crossJoin(F.broadcast(fit))
+
+
 def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day active users per day (the WAU dashboard metric,
     exact): dedup to (day, user), band-join each day to its trailing
@@ -3640,6 +3687,36 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+ORACLES["e_interarrival"] = """WITH gaps AS (
+    SELECT event_type,
+           (t - lag(t) OVER (PARTITION BY user_id, event_type
+                             ORDER BY t)) / 1e6 AS g
+    FROM (SELECT event_type, user_id, epoch_us(ts) AS t FROM events)
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(avg(g), 6) AS mean_s,
+       round(quantile_cont(g, 0.5), 6) AS p50_s,
+       round(quantile_cont(g, 0.95), 6) AS p95_s
+FROM gaps WHERE g IS NOT NULL
+GROUP BY event_type"""
+_HEAPS_POINTS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT CAST({k} AS INTEGER) AS prefix_docs,
+       count(*) AS n_tokens, count(DISTINCT w) AS vocab
+FROM toks WHERE doc_id < {k}""" for k in HEAPS_PREFIXES)
+ORACLES["t_heaps_law"] = f"""WITH toks AS MATERIALIZED (
+    SELECT doc_id, w
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+          FROM documents)
+    WHERE w <> ''
+), pts AS MATERIALIZED (
+{_HEAPS_POINTS_SQL}
+), fit AS (
+    SELECT round(regr_slope(ln(vocab), ln(n_tokens)), 6) AS beta,
+           round(regr_intercept(ln(vocab), ln(n_tokens)), 6) AS ln_k
+    FROM pts
+)
+SELECT pts.*, fit.beta, fit.ln_k FROM pts, fit"""
 ORACLES["e_rolling_wau"] = """WITH ev AS MATERIALIZED (
     SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
 ), days AS (
@@ -4564,6 +4641,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_lang_confusion": q_lang_confusion,
         "e_rolling_wau": q_rolling_wau,
         "g_transitivity": q_transitivity,
+        "e_interarrival": q_interarrival,
+        "t_heaps_law": q_heaps_law,
         "a_pagerank_delta": q_pagerank_delta,
         "a_hub_robustness": q_hub_robustness,
         "e_group_ols": q_group_ols,
