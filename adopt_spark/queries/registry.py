@@ -989,6 +989,26 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(_t(spark, sf_dir, "documents"))
 
 
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the (returnflag × linestatus)
+    contingency table — the categorical-drift detector for data-QA:
+    exact integer cell/margin counts, one 6 dp statistic."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("l_returnflag").agg(F.sum("o").alias("rn"))
+    cols = cells.groupBy("l_linestatus").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    ex = (cells.join(rows, "l_returnflag").join(cols, "l_linestatus")
+          .crossJoin(F.broadcast(tot))
+          .withColumn("e", F.col("rn") * F.col("cn") / F.col("n")))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_rows"),
+        F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6)
+         .alias("chi2"))
+
+
 def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type inter-arrival-time stats over each user's
     stream (lag over exact microsecond stamps): count, mean, p50,
@@ -3687,6 +3707,21 @@ SELECT DISTINCT v FROM (
 ORACLES["a_dag_depth"] = _og.dag_depth_sql(SPARSE_EDGE_SQL)
 ORACLES["t_entity_resolution"] = _ent.resolve_entities_sql(
     "SELECT * FROM part", "p_name", 2)
+ORACLES["r_chi_square"] = """WITH cells AS (
+    SELECT l_returnflag, l_linestatus, count(*) AS o
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+), rows_m AS (
+    SELECT l_returnflag, sum(o) AS rn FROM cells GROUP BY l_returnflag
+), cols_m AS (
+    SELECT l_linestatus, sum(o) AS cn FROM cells GROUP BY l_linestatus
+), tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT count(*) AS n_cells,
+       max(t.n) AS n_rows,
+       round(sum((c.o - r.rn * cm.cn / CAST(t.n AS DOUBLE))
+                 ^ 2 / (r.rn * cm.cn / CAST(t.n AS DOUBLE))), 6) AS chi2
+FROM cells c
+JOIN rows_m r USING (l_returnflag)
+JOIN cols_m cm USING (l_linestatus), tot t"""
 ORACLES["e_interarrival"] = """WITH gaps AS (
     SELECT event_type,
            (t - lag(t) OVER (PARTITION BY user_id, event_type
@@ -4643,6 +4678,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_transitivity": q_transitivity,
         "e_interarrival": q_interarrival,
         "t_heaps_law": q_heaps_law,
+        "r_chi_square": q_chi_square,
         "a_pagerank_delta": q_pagerank_delta,
         "a_hub_robustness": q_hub_robustness,
         "e_group_ols": q_group_ols,
