@@ -2249,6 +2249,200 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cores.groupBy("core").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov over event values (click vs
+    purchase) — the distribution-drift gate; exact integer-lattice
+    sup statistic (functions/stats.py:ks_2sample)."""
+    from adopt_spark.functions.stats import ks_2sample
+
+    return ks_2sample(_t(spark, sf_dir, "events"),
+                      "event_type", "value", "click", "purchase")
+
+
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank test (view vs signup event values) with
+    average-rank ties and tie-corrected z."""
+    from adopt_spark.functions.stats import mann_whitney_u
+
+    return mann_whitney_u(_t(spark, sf_dir, "events"),
+                          "event_type", "value", "view", "signup")
+
+
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t test on mean event value, click vs
+    error — the A/B-lift significance primitive."""
+    from adopt_spark.functions.stats import welch_ttest
+
+    return welch_ttest(_t(spark, sf_dir, "events"),
+                       "event_type", "value", "click", "error")
+
+
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-style CUSUM drawup over the daily mean event value — the
+    change-point drift monitor (6 dp lattice before every cumulative
+    pass)."""
+    from adopt_spark.functions.stats import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_drift(ev, F.date_format("ts", "yyyy-MM-dd"), "value")
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event
+    count) and per-user mean value (6 dp-quantized before ranking so
+    tie blocks agree across engines)."""
+    from adopt_spark.functions.stats import spearman_corr
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"),
+             F.round(F.avg("value"), 6).alias("y")))
+    return spearman_corr(per_user, "x", "y")
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user activity spans: duration =
+    days between a user's first and last event; a user whose last
+    event predates the corpus end by at least a day is an observed
+    churn, the rest are right-censored at the corpus boundary.
+    Product-limit curve at death times, 6 dp
+    (functions/stats.py:km_survival)."""
+    from adopt_spark.functions.stats import km_survival
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"))
+    span = ev.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1"))
+    gmax = ev.agg(F.max("d").alias("dmax"))
+    spans = (span.crossJoin(F.broadcast(gmax))
+             .select(F.datediff("d1", "d0").alias("duration"),
+                     F.when(F.col("d1") <= F.date_sub("dmax", 1), 1)
+                      .otherwise(0).alias("observed")))
+    return km_survival(spans)
+
+
+_CORR_PAIRS = [("l_quantity", "l_extendedprice"),
+               ("l_quantity", "l_discount"),
+               ("l_extendedprice", "l_discount")]
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem numeric columns from
+    exact moment sums (n·Σxy − ΣxΣy over the root of the variance
+    products) — one scan builds every pair's moments, 6 dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    cols = sorted({c for p in _CORR_PAIRS for c in p})
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for x, y in _CORR_PAIRS:
+        aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
+    m = li.agg(*aggs)
+    outs = []
+    for x, y in _CORR_PAIRS:
+        n, sx, sy = F.col("n"), F.col(f"s_{x}"), F.col(f"s_{y}")
+        sxx, syy = F.col(f"ss_{x}"), F.col(f"ss_{y}")
+        sxy = F.col(f"sp_{x}_{y}")
+        outs.append(m.select(
+            F.lit(x).alias("x_col"), F.lit(y).alias("y_col"), n.alias("n"),
+            F.round((n * sxy - sx * sy)
+                    / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                    6).alias("corr")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary of the orders table: per column —
+    rows, nulls, distincts, numeric min/max (6 dp) and string/date
+    min/max (ISO) in typed columns; one scan, one aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    num_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols + ["o_orderdate"]:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nul_{c}"),
+            F.countDistinct(F.col(c)).alias(f"dst_{c}"),
+        ]
+    for c in num_cols:
+        aggs += [F.round(F.min(c), 6).alias(f"mn_{c}"),
+                 F.round(F.max(c), 6).alias(f"mx_{c}")]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    aggs += [F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_dt"),
+             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_dt")]
+    m = o.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(m.select(
+            F.lit(c).alias("col_name"), F.col("n_rows"),
+            F.col(f"nul_{c}").alias("n_null"),
+            F.col(f"dst_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").cast("double").alias("min_num"),
+            F.col(f"mx_{c}").cast("double").alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str")))
+    for c in str_cols:
+        rows.append(m.select(
+            F.lit(c).alias("col_name"), F.col("n_rows"),
+            F.col(f"nul_{c}").alias("n_null"),
+            F.col(f"dst_{c}").alias("n_distinct"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.col(f"mn_{c}").alias("min_str"),
+            F.col(f"mx_{c}").alias("max_str")))
+    rows.append(m.select(
+        F.lit("o_orderdate").alias("col_name"), F.col("n_rows"),
+        F.col("nul_o_orderdate").alias("n_null"),
+        F.col("dst_o_orderdate").alias("n_distinct"),
+        F.lit(None).cast("double").alias("min_num"),
+        F.lit(None).cast("double").alias("max_num"),
+        F.col("mn_dt").alias("min_str"), F.col("mx_dt").alias("max_str")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets (A-priori shape shared
+    with q_frequent_triples): frequent part pairs (support ≥ 3) emit
+    both directed rules with confidence = supp(AB)/supp(A) and
+    lift = N·supp(AB)/(supp(A)·supp(B)), 6 dp."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("b"),
+                  F.col("l_partkey").alias("i")).distinct())
+    n_baskets = li.select("b").distinct().count()
+    item_n = li.groupBy("i").agg(F.count(F.lit(1)).alias("ni"))
+    freq1 = item_n.where(F.col("ni") >= 3).select("i")
+    lif = li.join(freq1, "i", "left_semi")
+    a, b = lif.alias("a"), lif.alias("b")
+    pairs = (a.join(b, (F.col("a.b") == F.col("b.b"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .groupBy(F.col("a.i").alias("i1"), F.col("b.i").alias("i2"))
+             .agg(F.count(F.lit(1)).alias("support"))
+             .where(F.col("support") >= 3))
+    both = pairs.select("i1", "i2", "support").unionAll(
+        pairs.select(F.col("i2").alias("i1"), F.col("i1").alias("i2"),
+                     "support"))
+    scored = (both
+              .join(item_n.select(F.col("i").alias("i1"),
+                                  F.col("ni").alias("n1")), "i1")
+              .join(item_n.select(F.col("i").alias("i2"),
+                                  F.col("ni").alias("n2")), "i2"))
+    return scored.select(
+        F.col("i1").alias("antecedent"), F.col("i2").alias("consequent"),
+        "support",
+        F.round(F.col("support") / F.col("n1"), 6).alias("confidence"),
+        F.round(F.col("support") * F.lit(n_baskets)
+                / (F.col("n1") * F.col("n2")), 6).alias("lift"))
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -4628,6 +4822,231 @@ FROM (SELECT q_id, vec_id, cos,
 WHERE rnk <= 5
 """.strip()
 
+# ---- round-3 statistics layer (functions/stats.py) -------------------------
+ORACLES["e_ks_test"] = """WITH counts AS (
+    SELECT value AS v,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+    FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+), cum AS (
+    SELECT sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+           sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2
+    FROM counts
+), tot AS (SELECT max(cum1) AS n1, max(cum2) AS n2 FROM cum)
+SELECT CAST(max(t.n1) AS BIGINT) AS n1, CAST(max(t.n2) AS BIGINT) AS n2,
+       round(CAST(max(abs(c.cum1 * t.n2 - c.cum2 * t.n1)) AS DOUBLE)
+             / (max(t.n1) * max(t.n2)), 6) AS d_stat
+FROM cum c, tot t"""
+ORACLES["e_mannwhitney"] = """WITH counts AS (
+    SELECT value AS v,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c2
+    FROM events WHERE event_type IN ('view', 'signup') GROUP BY value
+), ranked AS (
+    SELECT c1, c2, c1 + c2 AS t,
+           sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+             - (c1 + c2) AS before
+    FROM counts
+), m AS (
+    SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+           sum(c1 * (before + (t + 1) / 2.0)) AS r1,
+           CAST(sum(t * t * t - t) AS DOUBLE) AS tie3
+    FROM ranked
+)
+SELECT n1, n2,
+       round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+       round(n1 * n2 - (r1 - n1 * (n1 + 1) / 2.0), 6) AS u2,
+       round(((r1 - n1 * (n1 + 1) / 2.0) - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - tie3 / (CAST(n1 + n2 AS DOUBLE)
+                                 * (n1 + n2 - 1)))), 6) AS z
+FROM m"""
+ORACLES["e_ab_ttest"] = """WITH m AS (
+    SELECT CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS n1,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+             AS n2,
+           avg(CASE WHEN event_type = 'click' THEN value END) AS m1,
+           avg(CASE WHEN event_type = 'error' THEN value END) AS m2,
+           var_samp(CASE WHEN event_type = 'click' THEN value END) AS s1,
+           var_samp(CASE WHEN event_type = 'error' THEN value END) AS s2
+    FROM events WHERE event_type IN ('click', 'error')
+)
+SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+       round((m1 - m2) / sqrt(s1 / n1 + s2 / n2), 6) AS t_stat,
+       round((s1 / n1 + s2 / n2) * (s1 / n1 + s2 / n2)
+             / ((s1 / n1) * (s1 / n1) / (n1 - 1)
+                + (s2 / n2) * (s2 / n2) / (n2 - 1)), 6) AS df
+FROM m"""
+ORACLES["e_cusum_drift"] = """WITH daily AS MATERIALIZED (
+    SELECT strftime(ts, '%Y-%m-%d') AS day, round(avg(value), 6) AS day_mean
+    FROM events GROUP BY 1
+), g AS (SELECT round(avg(day_mean), 6) AS gm FROM daily),
+c AS (
+    SELECT day, day_mean,
+           round(sum(day_mean - g.gm)
+                 OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS s
+    FROM daily, g
+)
+SELECT day, day_mean, s,
+       round(s - min(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
+         AS drawup
+FROM c"""
+ORACLES["e_spearman"] = """WITH pu AS MATERIALIZED (
+    SELECT user_id, CAST(count(*) AS DOUBLE) AS x, round(avg(value), 6) AS y
+    FROM events GROUP BY user_id
+), rxc AS (SELECT x AS v, count(*) AS t FROM pu GROUP BY x),
+rx AS (
+    SELECT v AS x,
+           sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+             + (t + 1) / 2.0 AS rank_x
+    FROM rxc
+), ryc AS (SELECT y AS v, count(*) AS t FROM pu GROUP BY y),
+ry AS (
+    SELECT v AS y,
+           sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t
+             + (t + 1) / 2.0 AS rank_y
+    FROM ryc
+), j AS (
+    SELECT rank_x, rank_y FROM pu JOIN rx USING (x) JOIN ry USING (y)
+), m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(rank_x) AS sx, sum(rank_y) AS sy,
+           sum(rank_x * rank_y) AS sxy,
+           sum(rank_x * rank_x) AS sxx, sum(rank_y * rank_y) AS syy
+    FROM j
+)
+SELECT n, round((n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+FROM m"""
+ORACLES["e_kaplan_meier"] = """WITH ev AS MATERIALIZED (
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), span AS (
+    SELECT user_id, min(d) AS d0, max(d) AS d1 FROM ev GROUP BY user_id
+), gmax AS (SELECT max(d) AS dmax FROM ev),
+spans AS (
+    SELECT date_diff('day', d0, d1) AS duration,
+           CASE WHEN d1 <= dmax - 1 THEN 1 ELSE 0 END AS observed
+    FROM span, gmax
+), per_t AS (
+    SELECT duration AS t, count(*) AS c, sum(observed) AS d
+    FROM spans GROUP BY duration
+), total AS (SELECT count(*) AS n FROM spans),
+risk AS (
+    SELECT t, c, d,
+           (SELECT n FROM total)
+             - sum(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) + c AS n_risk
+    FROM per_t
+), curve AS (
+    SELECT t, n_risk, d,
+           max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hit,
+           sum(CASE WHEN d < n_risk
+                    THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                    ELSE 0.0 END)
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum
+    FROM risk
+)
+SELECT CAST(t AS INTEGER) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d,
+       CASE WHEN hit = 1 THEN 0.0 ELSE round(exp(lnsum), 6) END AS s_hat
+FROM curve WHERE d > 0"""
+ORACLES["r_corr_matrix"] = """WITH m AS (
+    SELECT count(*) AS n,
+           sum(l_quantity) AS s_q, sum(l_quantity * l_quantity) AS ss_q,
+           sum(l_extendedprice) AS s_e,
+           sum(l_extendedprice * l_extendedprice) AS ss_e,
+           sum(l_discount) AS s_d, sum(l_discount * l_discount) AS ss_d,
+           sum(l_quantity * l_extendedprice) AS sp_qe,
+           sum(l_quantity * l_discount) AS sp_qd,
+           sum(l_extendedprice * l_discount) AS sp_ed
+    FROM lineitem
+)
+SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+       CAST(n AS BIGINT) AS n,
+       round((n * sp_qe - s_q * s_e)
+             / sqrt((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 6)
+         AS corr
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+       round((n * sp_qd - s_q * s_d)
+             / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 6)
+FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+       round((n * sp_ed - s_e * s_d)
+             / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 6)
+FROM m"""
+ORACLES["r_table_profile"] = """WITH m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nul_k,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS dst_k,
+           round(min(o_orderkey), 6) AS mn_k, round(max(o_orderkey), 6) AS mx_k,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nul_c,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS dst_c,
+           round(min(o_custkey), 6) AS mn_c, round(max(o_custkey), 6) AS mx_c,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nul_p,
+           CAST(count(DISTINCT o_totalprice) AS BIGINT) AS dst_p,
+           round(min(o_totalprice), 6) AS mn_p,
+           round(max(o_totalprice), 6) AS mx_p,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nul_s,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS dst_s,
+           min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nul_r,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS dst_r,
+           min(o_orderpriority) AS mn_r, max(o_orderpriority) AS mx_r,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS nul_d,
+           CAST(count(DISTINCT o_orderdate) AS BIGINT) AS dst_d,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS mn_d,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS mx_d
+    FROM orders
+)
+SELECT 'o_orderkey' AS col_name, n_rows, nul_k AS n_null, dst_k AS n_distinct,
+       CAST(mn_k AS DOUBLE) AS min_num, CAST(mx_k AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM m
+UNION ALL
+SELECT 'o_custkey', n_rows, nul_c, dst_c, CAST(mn_c AS DOUBLE),
+       CAST(mx_c AS DOUBLE), NULL, NULL FROM m
+UNION ALL
+SELECT 'o_totalprice', n_rows, nul_p, dst_p, mn_p, mx_p, NULL, NULL FROM m
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nul_s, dst_s, NULL, NULL, mn_s, mx_s FROM m
+UNION ALL
+SELECT 'o_orderpriority', n_rows, nul_r, dst_r, NULL, NULL, mn_r, mx_r FROM m
+UNION ALL
+SELECT 'o_orderdate', n_rows, nul_d, dst_d, NULL, NULL, mn_d, mx_d FROM m"""
+ORACLES["r_assoc_rules"] = """WITH li AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), nb AS (SELECT count(DISTINCT b) AS nb FROM li),
+itemn AS MATERIALIZED (SELECT i, count(*) AS ni FROM li GROUP BY i),
+freq1 AS (SELECT i FROM itemn WHERE ni >= 3),
+lif AS MATERIALIZED (SELECT li.* FROM li JOIN freq1 USING (i)),
+pairs AS (
+    SELECT a.i AS i1, b.i AS i2, count(*) AS support
+    FROM lif a JOIN lif b ON a.b = b.b AND a.i < b.i
+    GROUP BY 1, 2 HAVING count(*) >= 3
+), bidir AS (
+    SELECT i1, i2, support FROM pairs
+    UNION ALL SELECT i2, i1, support FROM pairs
+)
+SELECT b.i1 AS antecedent, b.i2 AS consequent,
+       CAST(b.support AS BIGINT) AS support,
+       round(CAST(b.support AS DOUBLE) / n1.ni, 6) AS confidence,
+       round(b.support * (SELECT nb FROM nb)
+             / (CAST(n1.ni AS DOUBLE) * n2.ni), 6) AS lift
+FROM bidir b
+JOIN itemn n1 ON n1.i = b.i1
+JOIN itemn n2 ON n2.i = b.i2"""
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -4651,6 +5070,16 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0a) round-3 session-3: the statistics layer
+        "e_ks_test": q_ks_test,
+        "e_mannwhitney": q_mannwhitney,
+        "e_ab_ttest": q_ab_ttest,
+        "e_cusum_drift": q_cusum_drift,
+        "e_spearman": q_spearman,
+        "e_kaplan_meier": q_kaplan_meier,
+        "r_corr_matrix": q_corr_matrix,
+        "r_table_profile": q_table_profile,
+        "r_assoc_rules": q_assoc_rules,
         # -- (0) brand-new round-3 session-2 operators
         "a_densest": q_densest,
         "t_edit_join": q_edit_join,
