@@ -88,6 +88,9 @@ def triangle_count_join(edges: DataFrame,
     return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+_I32_LO, _I32_HI = -(2 ** 31), 2 ** 31 - 1
+
+
 def triangle_count_cogroup(edges: DataFrame,
                            _oriented: DataFrame | None = None) -> DataFrame:
     """Distributed leapfrog triangle count; returns [n_triangles: long].
@@ -99,33 +102,70 @@ def triangle_count_cogroup(edges: DataFrame,
          builds the sorted adjacency table (the distributed analogue of
          the reference's cached trie orders, LFTJiter.java:81-197);
          every array is ≤ O(sqrt(E)) long by degree orientation, so no
-         single group can blow an executor.
-      2. join the oriented edges (u, v) to the adjacency table on u and
-         on v (sort-merge/shuffled-hash; AQE splits skewed partitions).
-         The v-side join is inner: a v with no out-list closes no
-         triangle.
+         single group can blow an executor. The table is persisted and
+         probed once for two *adaptive* physical choices (below).
+      2. join the oriented edges (u, v) to the adjacency table on both
+         endpoints (sort-merge/shuffled-hash; AQE splits skew). Only
+         the SECOND join re-shuffles adjacency arrays — the first
+         join's output rides in-stage into it — so the join ORDER
+         decides the wire bytes: u-side first ships N+(u) once per
+         edge (Σ_u outdeg(u)² elements), v-side first ships N+(v)
+         once per edge (Σ_v indeg(v)·outdeg(v) elements). One degree
+         aggregate computes both sums and the plan takes the cheaper
+         side — the engine-level analogue of the reference's adaptive
+         join-order scheduling (it learns per-attribute orders via
+         UCT; we measure the one statistic that separates the two
+         physical orders and dispatch on it).
       3. mapInPandas: per Arrow batch, count |N+(u) ∩ N+(v)| for every
-         edge at once — concatenate the v-side arrays, lift each row's
+         edge at once — concatenate the pool arrays, lift each row's
          values into a disjoint key range (value + row * M), and one
-         np.searchsorted of the u-side candidate keys against that
+         np.searchsorted of the candidate keys against that
          globally-sorted array is the leapfrog seek for the whole
          batch. Only per-edge counts leave the kernel.
 
-    Shuffle volume is Σ_v indeg(v)·outdeg(v) ≤ E^1.5 array elements —
-    strictly less than the wedge join, which shuffles the same wedge
-    count as materialized rows *and* joins them against the edge set
-    again.
+    Id-width narrowing: the same probe reads the global id bounds off
+    the persisted adjacency; when every id fits int32 the shuffled
+    arrays and endpoints are cast to int, halving the bytes of every
+    wire term above (dictionary-encoded graphs — this engine's own
+    corpus pipeline — always qualify). The kernel is dtype-agnostic.
+
+    The count is materialized inside the function (the adjacency cache
+    must outlive the job that uses it); a local 1-row DataFrame is
+    returned, matching triangle_count_auto.
     """
     o = _oriented if _oriented is not None else orient_by_degree(_lt_pairs(edges))
-    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
-    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
-    e = (
-        o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .join(au, "u")
-        .join(av, "v")
-        .select("nbrs_u", "nbrs_v")
-    )
+    spark = o.sparkSession
+    adj = (o.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+           .persist())
+    # one probe job: id bounds (int32 narrowing) + both join-order costs
+    deg = adj.select("src", F.size("nbrs").alias("od"),
+                     F.array_min("nbrs").alias("lo"),
+                     F.array_max("nbrs").alias("hi"))
+    indeg = o.groupBy(F.col("dst").alias("src")).agg(
+        F.count(F.lit(1)).alias("id_"))
+    probe = (deg.join(indeg, "src", "left").agg(
+        F.min(F.least("src", "lo")).alias("lo"),
+        F.max(F.greatest("src", "hi")).alias("hi"),
+        F.sum(F.col("od") * F.col("od")).alias("cost_u"),
+        F.sum(F.coalesce(F.col("id_"), F.lit(0)) * F.col("od"))
+         .alias("cost_v"),
+    ).collect()[0])
+    if probe["lo"] is None:          # empty oriented edge set
+        adj.unpersist()
+        return spark.createDataFrame([(0,)], "n_triangles long")
+    fits32 = _I32_LO <= probe["lo"] and probe["hi"] <= _I32_HI
+    idt = "int" if fits32 else "long"
+    adj_t = adj.select(F.col("src").cast(idt).alias("src"),
+                       F.col("nbrs").cast(f"array<{idt}>").alias("nbrs"))
+    au = adj_t.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    av = adj_t.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    euv = o.select(F.col("src").cast(idt).alias("u"),
+                   F.col("dst").cast(idt).alias("v"))
+    if int(probe["cost_u"] or 0) <= int(probe["cost_v"] or 0):
+        e = euv.join(au, "u").join(av, "v").select("nbrs_u", "nbrs_v")
+    else:
+        e = euv.join(av, "v").join(au, "u").select("nbrs_u", "nbrs_v")
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from adopt_spark.algos._kernels import batch_intersect_counts
@@ -138,8 +178,10 @@ def triangle_count_cogroup(edges: DataFrame,
             yield pd.DataFrame({"partial": [int(counts.sum())]})
 
     partials = e.mapInPandas(kernel, schema="partial long")
-    return partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
-                        .cast("long").alias("n_triangles"))
+    n = partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
+                     .cast("long").alias("n_triangles")).collect()[0][0]
+    adj.unpersist()
+    return spark.createDataFrame([(int(n),)], "n_triangles long")
 
 
 def triangle_count_csr(edges: DataFrame,

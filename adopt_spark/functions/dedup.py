@@ -488,3 +488,100 @@ SELECT a, b, containment FROM (
     SELECT i.a, i.b, round(i.i / CAST(s.n AS DOUBLE), 6) AS containment
     FROM inter i JOIN sizes s ON s.d = i.a
 ) WHERE containment >= 0.8"""
+
+
+def sorted_neighborhood_pairs(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              block_chars: int = 8,
+                              window: int = 4) -> DataFrame:
+    """Blocked sorted-neighborhood dedup (Hernandez-Stolfo merge/purge):
+    sort documents by a blocking key, compare each doc only to its
+    ``window`` successors in sort order, score candidates with exact
+    word-set Jaccard. The classic low-recall/low-cost rung of the
+    blocking ladder (below prefix_jaccard_join and minhash LSH): cost
+    is |docs|·window candidate pairs regardless of token statistics.
+
+    This is the BLOCKED variant — the sort/rank window is partitioned
+    by the first ``block_chars`` characters of the key, so ranking is
+    a per-block window (never a global single-task sort) and blocks
+    shard freely across executors at 100 TB. Pairs never span blocks:
+    the standard multi-pass answer (re-run with a different key /
+    pass) is orthogonal and out of scope here.
+
+    Returns [a, b, jaccard] for every in-window candidate pair
+    (a < b by rank order), jaccard 6 dp — unthresholded so the caller
+    (or the contract oracle) sees the whole candidate set.
+    """
+    from pyspark.sql import Window as W
+
+    key = F.trim(F.col(text_col))
+    keyed = docs.select(
+        F.col(id_col).alias("d"),
+        key.alias("k"),
+        F.substring(key, 1, block_chars).alias("blk"))
+    rn = keyed.withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("blk").orderBy("k", "d")))
+    left = rn.select("blk", F.col("d").alias("a"), F.col("rn").alias("ra"))
+    right = rn.select("blk", F.col("d").alias("b"), F.col("rn").alias("rb"))
+    cand = None
+    for off in range(1, window + 1):
+        c = left.join(
+            right,
+            (left["blk"] == right["blk"]) & (right["rb"] == left["ra"] + off)
+        ).select("a", "b")
+        cand = c if cand is None else cand.unionAll(c)
+    tok = (docs.select(F.col(id_col).alias("d"),
+                       F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                        .alias("w"))
+           .where(F.col("w") != "").distinct())
+    sizes = tok.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    inter = (cand
+             .join(tok.select(F.col("d").alias("a"), "w"), "a")
+             .join(tok.select(F.col("d").alias("b"), "w"), ["b", "w"])
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("i")))
+    return (cand
+            .join(inter, ["a", "b"], "left")
+            .join(sizes.select(F.col("d").alias("a"),
+                               F.col("n").alias("na")), "a")
+            .join(sizes.select(F.col("d").alias("b"),
+                               F.col("n").alias("nb")), "b")
+            .select("a", "b",
+                    F.round(F.coalesce(F.col("i"), F.lit(0))
+                            / (F.col("na") + F.col("nb")
+                               - F.coalesce(F.col("i"), F.lit(0)))
+                            .cast("double"), 6).alias("jaccard")))
+
+
+SORTED_NEIGHBORHOOD_SQL = """WITH keyed AS MATERIALIZED (
+    SELECT doc_id AS d, trim(text) AS k, substr(trim(text), 1, 8) AS blk
+    FROM documents
+), rn AS MATERIALIZED (
+    SELECT d, blk,
+           row_number() OVER (PARTITION BY blk ORDER BY k, d) AS rn
+    FROM keyed
+), cand AS MATERIALIZED (
+    SELECT l.d AS a, r.d AS b
+    FROM rn l JOIN rn r
+      ON l.blk = r.blk AND r.rn - l.rn BETWEEN 1 AND 4
+), tok AS MATERIALIZED (
+    SELECT DISTINCT doc_id AS d, w
+    FROM documents,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+    WHERE w <> ''
+), sizes AS (
+    SELECT d, count(*) AS n FROM tok GROUP BY d
+), inter AS (
+    SELECT c.a, c.b, count(*) AS i
+    FROM cand c
+    JOIN tok x ON x.d = c.a
+    JOIN tok y ON y.d = c.b AND y.w = x.w
+    GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       round(COALESCE(i.i, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.d = c.a
+JOIN sizes sb ON sb.d = c.b"""

@@ -548,3 +548,67 @@ SELECT t.doc_id,
        round(avg(-ln(c.cf / CAST(tt.n_total AS DOUBLE))), 6) AS surprisal
 FROM toks_f t JOIN cf c USING (term), total tt
 GROUP BY t.doc_id"""
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surprisal under an add-one-smoothed corpus bigram
+    LM: p(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V), score = mean over
+    the doc's bigrams of -ln p. The sequential-context sibling of
+    unigram_logprob: boilerplate with common words in rare ORDER now
+    scores high, verbatim-duplicated passages score low.
+
+    Smoothing is mandatory here (unlike the unigram score): a
+    document's bigrams are corpus-attested by construction, but the
+    conditional's denominator must dominate unseen continuations, and
+    add-one with V = corpus vocabulary size is the deterministic
+    textbook choice.
+
+    Scale shape: tokenization with positions (posexplode), bigrams by
+    an equi-join on (doc, pos+1) — no per-doc windows anywhere — one
+    bigram hash-agg, one context hash-agg, the scalar V broadcast,
+    then one doc-keyed mean. 6 dp after the mean, same libm
+    discipline as unigram_logprob.
+    """
+    toks = docs.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+         .alias("i", "term"),
+    ).where(F.col("term") != "")
+    nxt = toks.select(
+        F.col("doc_id"), (F.col("i") - 1).alias("i"),
+        F.col("term").alias("nxt"))
+    big = toks.join(nxt, ["doc_id", "i"]).select("doc_id", "term", "nxt")
+    bc = big.groupBy("term", "nxt").agg(F.count(F.lit(1)).alias("cb"))
+    cc = big.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = toks.agg(F.countDistinct("term").alias("v"))
+    return (big.join(bc, ["term", "nxt"]).join(cc, "term")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(-F.log((F.col("cb") + 1)
+                                      / (F.col("cc") + F.col("v"))
+                                      .cast("double"))), 6)
+                  .alias("surprisal")))
+
+
+BIGRAM_LOGPROB_SQL = """WITH toks AS MATERIALIZED (
+    SELECT doc_id, i, term FROM (
+        SELECT doc_id,
+               generate_subscripts(t, 1) AS i, unnest(t) AS term
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+              FROM documents)
+    ) WHERE term <> ''
+), big AS MATERIALIZED (
+    SELECT a.doc_id, a.term, b.term AS nxt
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+), bc AS (SELECT term, nxt, count(*) AS cb FROM big GROUP BY term, nxt),
+cc AS (SELECT term, count(*) AS cc FROM big GROUP BY term),
+vocab AS (SELECT count(DISTINCT term) AS v FROM toks)
+SELECT g.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((bc.cb + 1) / CAST(cc.cc + vocab.v AS DOUBLE))), 6)
+         AS surprisal
+FROM big g
+JOIN bc ON bc.term = g.term AND bc.nxt = g.nxt
+JOIN cc ON cc.term = g.term, vocab
+GROUP BY g.doc_id"""

@@ -2443,6 +2443,103 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("n1") * F.col("n2")), 6).alias("lift"))
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information of the (returnflag × linestatus) contingency
+    table — the entropy-based twin of q_chi_square: exact integer
+    cells/margins, MI = Σ (o/n)·ln(o·n/(rn·cn)), one 6 dp statistic."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("l_returnflag").agg(F.sum("o").alias("rn"))
+    cols = cells.groupBy("l_linestatus").agg(F.sum("o").alias("cn"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    ex = (cells.join(rows, "l_returnflag").join(cols, "l_linestatus")
+          .crossJoin(F.broadcast(tot)))
+    return ex.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_rows"),
+        F.round(F.sum((F.col("o") / F.col("n"))
+                      * F.log(F.col("o") * F.col("n")
+                              / (F.col("rn") * F.col("cn")).cast("double"))),
+                6).alias("mi_nats"))
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user total event value (engagement
+    inequality): 6 dp-quantized totals, deterministic rank ties via
+    (x, user_id), G = 2·Σ i·x_i / (n·Σx) − (n+1)/n, 6 dp. The rank
+    window runs over the per-user frame (|users| rows — the same
+    documented collapsed-frame bound as the ECDF statistics)."""
+    per_user = (_t(spark, sf_dir, "events")
+                .groupBy("user_id")
+                .agg(F.round(F.sum("value"), 6).alias("x")))
+    w = Window.orderBy("x", "user_id")
+    ranked = per_user.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(2 * F.sum(F.col("i") * F.col("x"))
+                / (F.count(F.lit(1)) * F.sum("x"))
+                - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+                6).alias("gini"))
+
+
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood candidate generation + exact
+    word-set Jaccard scoring (functions/dedup.py:
+    sorted_neighborhood_pairs) — the third blocking strategy in the
+    dedup ladder next to prefix filtering and minhash LSH."""
+    from adopt_spark.functions.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under the add-one-smoothed corpus
+    bigram LM (functions/text.py:bigram_logprob) — the
+    sequential-context quality score beside t_unigram_logprob."""
+    from adopt_spark.functions.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the LPA communities on the
+    sparse planted graph: cut edges over min(volume, total−volume) on
+    the undirected edge set — the community-quality metric beside
+    a_lpa_modularity; oracle composes the unrolled LPA label SQL.
+    (The dense derived graph LPA-collapses to one community — no
+    conductance to measure — so this runs on the sparse fixture.)"""
+    from adopt_spark.queries.oracle_gen import LPA_ITERS
+
+    e = derived_edges_sparse(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, max_iter=LPA_ITERS)
+    und = (e.select(F.least("sid", "tid").alias("u"),
+                    F.greatest("sid", "tid").alias("v"))
+           .where(F.col("u") != F.col("v")).distinct())
+    lu = labels.select(F.col("v").alias("u"), F.col("label").alias("la"))
+    lv = labels.select(F.col("v").alias("v"), F.col("label").alias("lb"))
+    ej = und.join(lu, "u").join(lv, "v")
+    tot = und.agg((2 * F.count(F.lit(1))).alias("tot"))
+    vol = (ej.select(F.col("la").alias("label"))
+           .unionAll(ej.select(F.col("lb").alias("label")))
+           .groupBy("label").agg(F.count(F.lit(1)).alias("vol")))
+    cut = (ej.where(F.col("la") != F.col("lb"))
+           .select(F.col("la").alias("label"))
+           .unionAll(ej.where(F.col("la") != F.col("lb"))
+                     .select(F.col("lb").alias("label")))
+           .groupBy("label").agg(F.count(F.lit(1)).alias("cut")))
+    out = (vol.join(cut, "label", "left")
+           .crossJoin(F.broadcast(tot))
+           .select("label", "vol",
+                   F.coalesce(F.col("cut"), F.lit(0)).alias("cut"),
+                   F.round(F.coalesce(F.col("cut"), F.lit(0))
+                           / F.least(F.col("vol"),
+                                     F.col("tot") - F.col("vol"))
+                           .cast("double"), 6).alias("conductance")))
+    return out.where(F.least(F.col("vol"),
+                             F.col("tot") - F.col("vol")) > 0)
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5046,6 +5143,65 @@ SELECT b.i1 AS antecedent, b.i2 AS consequent,
 FROM bidir b
 JOIN itemn n1 ON n1.i = b.i1
 JOIN itemn n2 ON n2.i = b.i2"""
+ORACLES["r_mutual_info"] = """WITH cells AS (
+    SELECT l_returnflag, l_linestatus, count(*) AS o
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+), rows_m AS (
+    SELECT l_returnflag, sum(o) AS rn FROM cells GROUP BY l_returnflag
+), cols_m AS (
+    SELECT l_linestatus, sum(o) AS cn FROM cells GROUP BY l_linestatus
+), tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+SELECT count(*) AS n_cells,
+       max(t.n) AS n_rows,
+       round(sum((c.o / CAST(t.n AS DOUBLE))
+                 * ln(c.o * t.n / CAST(r.rn * cm.cn AS DOUBLE))), 6)
+         AS mi_nats
+FROM cells c
+JOIN rows_m r USING (l_returnflag)
+JOIN cols_m cm USING (l_linestatus), tot t"""
+ORACLES["e_gini"] = """WITH pu AS (
+    SELECT user_id, round(sum(value), 6) AS x FROM events GROUP BY user_id
+), ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM pu
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(2 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM ranked"""
+from adopt_spark.functions.dedup import SORTED_NEIGHBORHOOD_SQL as _SN_SQL
+ORACLES["t_sorted_neighborhood"] = _SN_SQL
+from adopt_spark.functions.text import BIGRAM_LOGPROB_SQL as _BG_SQL
+ORACLES["t_bigram_logprob"] = _BG_SQL
+ORACLES["a_conductance"] = f"""WITH lab AS MATERIALIZED (
+{_og.lpa_fixed_sql(SPARSE_EDGE_SQL, output="labels")}
+), e2 AS MATERIALIZED (
+{SPARSE_EDGE_SQL}
+), und AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS u, greatest(sid, tid) AS v
+    FROM e2 WHERE sid <> tid
+), tot AS (SELECT 2 * count(*) AS tot FROM und),
+ej AS MATERIALIZED (
+    SELECT und.u, und.v, la.label AS la, lb.label AS lb
+    FROM und
+    JOIN lab la ON la.v = und.u
+    JOIN lab lb ON lb.v = und.v
+), vol AS (
+    SELECT label, count(*) AS vol FROM (
+        SELECT la AS label FROM ej UNION ALL SELECT lb FROM ej
+    ) GROUP BY label
+), cut AS (
+    SELECT label, count(*) AS cut FROM (
+        SELECT la AS label FROM ej WHERE la <> lb
+        UNION ALL SELECT lb FROM ej WHERE la <> lb
+    ) GROUP BY label
+)
+SELECT v.label, CAST(v.vol AS BIGINT) AS vol,
+       CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+       round(COALESCE(c.cut, 0)
+             / CAST(least(v.vol, t.tot - v.vol) AS DOUBLE), 6)
+         AS conductance
+FROM vol v LEFT JOIN cut c USING (label), tot t
+WHERE least(v.vol, t.tot - v.vol) > 0"""
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -5071,6 +5227,11 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0a) round-3 session-3: the statistics layer
+        "r_mutual_info": q_mutual_info,
+        "e_gini": q_gini,
+        "t_sorted_neighborhood": q_sorted_neighborhood,
+        "t_bigram_logprob": q_bigram_logprob,
+        "a_conductance": q_conductance,
         "e_ks_test": q_ks_test,
         "e_mannwhitney": q_mannwhitney,
         "e_ab_ttest": q_ab_ttest,
