@@ -2540,6 +2540,80 @@ def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("tot") - F.col("vol")) > 0)
 
 
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous power-law MLE over the degree distribution (Clauset
+    et al. 2009, eq. 3.1): α = 1 + n / Σ ln(d/dmin) with dmin = 1 —
+    the principled tail-exponent estimate beside the Zipf OLS fit.
+    Exact integer degrees; one 6 dp statistic."""
+    e = derived_edges_sparse(spark, sf_dir)
+    sym = (e.select(F.col("sid").alias("v"), F.col("tid").alias("w"))
+           .unionAll(e.select(F.col("tid").alias("v"),
+                              F.col("sid").alias("w")))
+           .where(F.col("v") != F.col("w")).distinct())
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("d").alias("max_degree"),
+        F.round(1.0 + F.count(F.lit(1))
+                / F.sum(F.log(F.col("d").cast("double"))), 6).alias("alpha"))
+
+
+def q_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event 3-step sequences: two leads over each user's
+    time-ordered stream, one (e1,e2,e3) aggregate — the sequence-mining
+    extension of e_transitions. Ties excluded by the exact (ts,
+    event_id) ordering; top 20 with deterministic tie-break."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    tri = (ev.withColumn("e2", F.lead("event_type", 1).over(w))
+           .withColumn("e3", F.lead("event_type", 2).over(w))
+           .where(F.col("e3").isNotNull()))
+    agg = tri.groupBy(F.col("event_type").alias("e1"), "e2", "e3").agg(
+        F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), "e1", "e2", "e3")
+    return (agg.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= 20)
+            .select("rank", "e1", "e2", "e3", "n"))
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of event value: per-dow mean,
+    its ratio to the grand mean (the multiplicative seasonal index),
+    and the count — the STL-lite diagnostic for telemetry feeds."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"), "value")
+    per = ev.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("dow_mean"))
+    grand = per.agg(
+        (F.sum(F.col("dow_mean") * F.col("n")) / F.sum("n")).alias("gm"))
+    return (per.crossJoin(F.broadcast(grand))
+            .select("dow", "n", "dow_mean",
+                    F.round(F.col("dow_mean") / F.col("gm"), 6)
+                     .alias("seasonal_index")))
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch purchase attribution: for every
+    purchase, credit the event type of the user's first and of the
+    most recent preceding event (exact (ts, event_id) ordering);
+    output the credit matrix — the marketing-analytics staple over
+    the events stream."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = (ev.withColumn("first_touch", F.first("event_type").over(w))
+           .withColumn("prev", F.lag("event_type", 1).over(w)))
+    pur = (seq.where(F.col("event_type") == "purchase")
+           .where(F.col("prev").isNotNull()))
+    return pur.groupBy(
+        F.col("first_touch"), F.col("prev").alias("last_touch")).agg(
+        F.count(F.lit(1)).alias("n_purchases"))
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5202,6 +5276,54 @@ SELECT v.label, CAST(v.vol AS BIGINT) AS vol,
          AS conductance
 FROM vol v LEFT JOIN cut c USING (label), tot t
 WHERE least(v.vol, t.tot - v.vol) > 0"""
+ORACLES["g_powerlaw_alpha"] = f"""WITH edge_sparse AS (
+{SPARSE_EDGE_SQL}
+), sym AS (
+    SELECT DISTINCT v, w FROM (
+        SELECT sid AS v, tid AS w FROM edge_sparse
+        UNION ALL SELECT tid, sid FROM edge_sparse
+    ) WHERE v <> w
+), deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(max(d) AS BIGINT) AS max_degree,
+       round(1.0 + count(*) / sum(ln(CAST(d AS DOUBLE))), 6) AS alpha
+FROM deg"""
+ORACLES["e_trigram_paths"] = """WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), tri AS (
+    SELECT event_type AS e1,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), agg AS (
+    SELECT e1, e2, e3, count(*) AS n FROM tri
+    WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS INTEGER)
+         AS rank,
+       e1, e2, e3, n
+FROM agg QUALIFY rank <= 20"""
+ORACLES["e_dow_seasonality"] = """WITH per AS (
+    SELECT dayofweek(ts) + 1 AS dow, CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS dow_mean
+    FROM events GROUP BY 1
+), grand AS (
+    SELECT sum(dow_mean * n) / sum(n) AS gm FROM per
+)
+SELECT dow, n, dow_mean, round(dow_mean / gm, 6) AS seasonal_index
+FROM per, grand"""
+ORACLES["e_attribution"] = """WITH ev AS (
+    SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
+), seq AS (
+    SELECT event_type,
+           first_value(event_type) OVER w AS first_touch,
+           lag(event_type, 1) OVER w AS prev
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+)
+SELECT first_touch, prev AS last_touch, count(*) AS n_purchases
+FROM seq
+WHERE event_type = 'purchase' AND prev IS NOT NULL
+GROUP BY first_touch, prev"""
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -5227,6 +5349,10 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0a) round-3 session-3: the statistics layer
+        "g_powerlaw_alpha": q_powerlaw_alpha,
+        "e_trigram_paths": q_trigram_paths,
+        "e_dow_seasonality": q_dow_seasonality,
+        "e_attribution": q_attribution,
         "r_mutual_info": q_mutual_info,
         "e_gini": q_gini,
         "t_sorted_neighborhood": q_sorted_neighborhood,
