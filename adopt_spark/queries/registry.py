@@ -2614,6 +2614,16 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"))
 
 
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join with watermark-driven
+    timeout emission (streaming/enrich.py:
+    stream_stream_click_purchase_outer); oracle = batch interval join
+    plus the deterministic final-watermark expiry rule."""
+    from adopt_spark.streaming.enrich import stream_stream_click_purchase_outer
+
+    return stream_stream_click_purchase_outer(spark, sf_dir)
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5312,6 +5322,32 @@ ORACLES["e_dow_seasonality"] = """WITH per AS (
 )
 SELECT dow, n, dow_mean, round(dow_mean / gm, 6) AS seasonal_index
 FROM per, grand"""
+ORACLES["e_stream_outer_join"] = """WITH clicks AS MATERIALIZED (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS MATERIALIZED (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), wm AS (
+    SELECT least((SELECT max(ts) FROM clicks),
+                 (SELECT max(ts) FROM purchases))
+           - INTERVAL 1 HOUR AS w
+), matched AS MATERIALIZED (
+    SELECT c.user_id, c.event_id AS cid, p.event_id AS pid
+    FROM clicks c JOIN purchases p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+), expired AS (
+    SELECT c.user_id, c.event_id AS cid
+    FROM clicks c, wm
+    WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.cid = c.event_id)
+      AND c.ts + INTERVAL 60 MINUTE < wm.w
+), u AS (
+    SELECT user_id, cid, pid FROM matched
+    UNION ALL SELECT user_id, cid, NULL FROM expired
+)
+SELECT user_id, CAST(count(pid) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_expired
+FROM u GROUP BY user_id"""
 ORACLES["e_attribution"] = """WITH ev AS (
     SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
 ), seq AS (
@@ -5349,6 +5385,7 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0a) round-3 session-3: the statistics layer
+        "e_stream_outer_join": q_stream_outer_join,
         "g_powerlaw_alpha": q_powerlaw_alpha,
         "e_trigram_paths": q_trigram_paths,
         "e_dow_seasonality": q_dow_seasonality,

@@ -132,3 +132,65 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str,
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.min("lag_s").alias("min_lag_s"),
                  F.max("lag_s").alias("max_lag_s")))
+
+
+def stream_stream_click_purchase_outer(spark: SparkSession, sf_dir: str,
+                                       max_lag_minutes: int = 60) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the state-eviction
+    semantics the inner variant never exercises: a click with no
+    purchase in its window is emitted with nulls only once the global
+    watermark has passed the end of its join window (so the engine
+    can prove no future purchase can match). This is the fifth
+    Structured Streaming join shape in the module and the one whose
+    correctness depends on watermark-driven state cleanup (Spark runs
+    no-data micro-batches to flush evicted state; the finite-source
+    completion result is therefore deterministic).
+
+    Determinism contract mirrored by the oracle: the global watermark
+    after the final batch is min(max click ts, max purchase ts) − the
+    1 h watermark delay; a matchless click is emitted iff its join
+    window [c_ts, c_ts + lag] closes strictly before that watermark.
+    Matched pairs are emitted exactly as in the inner join.
+
+    Returns [user_id, n_matched, n_expired] per user with any
+    emitted row — n_expired counts the null-padded (timed-out)
+    clicks, the rows an inner join silently drops.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="events_sso_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+
+    def side(evt: str, pfx: str):
+        return (
+            spark.readStream.schema(schema).parquet(src_dir)
+            .where(F.col("event_type") == evt)
+            .select(F.col("user_id").alias(f"{pfx}_user"),
+                    F.col("ts").cast("timestamp").alias(f"{pfx}_ts"),
+                    F.col("event_id").alias(f"{pfx}_id"))
+            .withWatermark(f"{pfx}_ts", "1 hour")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts")
+           + F.expr(f"INTERVAL {max_lag_minutes} MINUTES")),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"), F.col("c_id"),
+             F.col("p_id"))
+    name = f"sso_{uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.count("p_id").alias("n_matched"),
+                 F.sum(F.when(F.col("p_id").isNull(), 1).otherwise(0))
+                  .alias("n_expired")))
