@@ -2624,6 +2624,68 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_click_purchase_outer(spark, sf_dir)
 
 
+# Deterministic split hash: same LCG-mod-Mersenne-prime family as the
+# KMV/weighted-sample twins (portable integer arithmetic, identical in
+# any engine — the reason these oracles never need xxhash).
+SPLIT_A, SPLIT_B, SPLIT_M = 2654435761, 104729, 2147483647
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10 by hash bucket of
+    doc_id) + the split-integrity report every training pipeline
+    needs: per (split, lang) doc counts and token sums. Reproducible
+    at any parallelism — the split is a pure function of the id."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = ((F.lit(SPLIT_A) * F.col("doc_id") + F.lit(SPLIT_B))
+              % F.lit(SPLIT_M)) % 100
+    toks = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    return (d.select(split.alias("split"), "lang", toks.alias("t"))
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("t").alias("n_tokens")))
+
+
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: for every event, the count of the same
+    user's events in the preceding hour (inclusive), histogrammed —
+    the interval-frame window feature (ROWS frames are exercised by
+    r_window_analytics; this is the RANGE-with-time-bound shape)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t"))
+    w = (Window.partitionBy("user_id").orderBy("t")
+         .rangeBetween(-3_600_000_000, 0))
+    per_event = ev.withColumn("n_1h", F.count(F.lit(1)).over(w))
+    return (per_event.groupBy("n_1h")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+
+
+def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per event type: exact interpolated
+    quartiles, fences q1 − 1.5·IQR / q3 + 1.5·IQR on the 6 dp
+    lattice, round-then-compare at the fence boundary — the
+    rank-based sibling of e_anomaly_zscore."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"))
+    fenced = q.select(
+        "event_type", "q1", "q3",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6)
+         .alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6)
+         .alias("hi"))
+    joined = ev.select("event_type", F.round("value", 6).alias("v")) \
+        .join(fenced, "event_type")
+    return joined.groupBy("event_type", "q1", "q3").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("v") < F.col("lo"))
+                     | (F.col("v") > F.col("hi")), 1).otherwise(0))
+         .alias("n_outliers"))
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5348,6 +5410,44 @@ SELECT user_id, CAST(count(pid) AS BIGINT) AS n_matched,
        CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_expired
 FROM u GROUP BY user_id"""
+ORACLES["t_dataset_split"] = f"""SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens
+FROM (
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS t
+    FROM (SELECT lang, text,
+                 (({SPLIT_A} * doc_id + {SPLIT_B}) % {SPLIT_M}) % 100 AS b
+          FROM documents)
+) GROUP BY split, lang"""
+ORACLES["e_rolling_1h"] = """WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS t FROM events
+), pe AS (
+    SELECT count(*) OVER (
+        PARTITION BY user_id ORDER BY t
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+    FROM ev
+)
+SELECT n_1h, CAST(count(*) AS BIGINT) AS n_events FROM pe GROUP BY n_1h"""
+ORACLES["e_anomaly_iqr"] = """WITH q AS (
+    SELECT event_type, round(quantile_cont(value, 0.25), 6) AS q1,
+           round(quantile_cont(value, 0.75), 6) AS q3
+    FROM events GROUP BY event_type
+), f AS (
+    SELECT event_type, q1, q3,
+           round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+           round(q3 + 1.5 * (q3 - q1), 6) AS hi
+    FROM q
+)
+SELECT e.event_type, f.q1, f.q3, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN round(e.value, 6) < f.lo
+                       OR round(e.value, 6) > f.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN f USING (event_type)
+GROUP BY e.event_type, f.q1, f.q3"""
 ORACLES["e_attribution"] = """WITH ev AS (
     SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events
 ), seq AS (
@@ -5386,6 +5486,9 @@ def all_queries() -> dict[str, QueryFn]:
     return {
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
+        "t_dataset_split": q_dataset_split,
+        "e_rolling_1h": q_rolling_1h,
+        "e_anomaly_iqr": q_anomaly_iqr,
         "g_powerlaw_alpha": q_powerlaw_alpha,
         "e_trigram_paths": q_trigram_paths,
         "e_dow_seasonality": q_dow_seasonality,
