@@ -2686,6 +2686,102 @@ def q_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_outliers"))
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface readability metrics per language: mean word length,
+    mean sentence length (words), and a Flesch-style linear proxy on
+    those two — pure Column arithmetic over exact token/sentence
+    counts, 6 dp after the per-language means."""
+    d = _t(spark, sf_dir, "documents")
+    txt = F.trim(F.col("text"))
+    words = F.when(F.length(txt) == 0, 0).otherwise(
+        F.size(F.split(txt, r"\s+")))
+    # sentences = terminator runs; at least 1 for non-empty text
+    sents = F.greatest(
+        F.size(F.split(txt, r"[.!?]+")) - 1, F.lit(1))
+    chars = F.length(F.regexp_replace(txt, r"\s+", ""))
+    per_doc = (d.where(F.length(txt) > 0)
+               .select("lang", words.alias("w"), sents.alias("s"),
+                       chars.alias("c")))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("c") / F.sum("w").cast("double"), 6)
+         .alias("mean_word_len"),
+        F.round(F.sum("w") / F.sum("s").cast("double"), 6)
+         .alias("mean_sentence_len"),
+        F.round(206.835
+                - 1.015 * (F.sum("w") / F.sum("s").cast("double"))
+                - 84.6 * (F.sum("c") / F.sum("w").cast("double") / 3.0),
+                6).alias("flesch_proxy"))
+
+
+def q_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-user concentration: share of all events generated by the
+    top 1% / 10% most active users (ceil of user count), plus the
+    totals — the skew companion of e_gini, computed from one user
+    aggregate + one rank window over |users| rows."""
+    per = (_t(spark, sf_dir, "events").groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy(F.desc("c"), "user_id")
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    tot = per.agg(F.sum("c").alias("n_events"),
+                  F.count(F.lit(1)).alias("n_users"))
+    j = ranked.crossJoin(F.broadcast(tot))
+    return j.agg(
+        F.max("n_users").alias("n_users"),
+        F.max("n_events").alias("n_events"),
+        F.round(F.sum(F.when(
+            F.col("rn") <= F.ceil(F.col("n_users") / 100.0), F.col("c"))
+            .otherwise(0)) / F.max("n_events").cast("double"), 6)
+         .alias("top1pct_share"),
+        F.round(F.sum(F.when(
+            F.col("rn") <= F.ceil(F.col("n_users") / 10.0), F.col("c"))
+            .otherwise(0)) / F.max("n_events").cast("double"), 6)
+         .alias("top10pct_share"))
+
+
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank parts by
+    exact DECIMAL revenue, classify by cumulative share (A < 0.5,
+    B < 0.8, C rest — share computed on the 6 dp lattice), report
+    class sizes and revenue totals. Window runs over |parts| rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")).alias("rev"))
+    tot = rev.agg(F.sum("rev").alias("tot"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = (rev.crossJoin(F.broadcast(tot))
+           .withColumn("cum_share",
+                       F.round((F.sum("rev").over(w) / F.col("tot"))
+                               .cast("double"), 6)))
+    cls = cum.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= 0.5, "A")
+         .when(F.col("cum_share") <= 0.8, "B").otherwise("C"))
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("decimal(18,4)").alias("class_revenue"))
+
+
+def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per priority: exact day lags
+    from the order/lineitem date join, count/mean/p50/p95, 6 dp —
+    the fulfillment-SLA profile (join + one percentile aggregate)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("od"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd"))
+    lag = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .select("o_orderpriority",
+                   F.datediff("sd", "od").cast("double").alias("lag")))
+    return lag.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("lag"), 6).alias("mean_days"),
+        F.round(F.percentile("lag", F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile("lag", F.lit(0.95)), 6).alias("p95_days"))
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5410,6 +5506,67 @@ SELECT user_id, CAST(count(pid) AS BIGINT) AS n_matched,
        CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_expired
 FROM u GROUP BY user_id"""
+ORACLES["t_readability"] = """WITH per_doc AS (
+    SELECT lang,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+           greatest(len(regexp_split_to_array(trim(text), '[.!?]+')) - 1,
+                    1) AS s,
+           length(regexp_replace(trim(text), '\\s+', '', 'g')) AS c
+    FROM documents WHERE length(trim(text)) > 0
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(c) / CAST(sum(w) AS DOUBLE), 6) AS mean_word_len,
+       round(sum(w) / CAST(sum(s) AS DOUBLE), 6) AS mean_sentence_len,
+       round(206.835 - 1.015 * (sum(w) / CAST(sum(s) AS DOUBLE))
+             - 84.6 * (sum(c) / CAST(sum(w) AS DOUBLE) / 3.0), 6)
+         AS flesch_proxy
+FROM per_doc GROUP BY lang"""
+ORACLES["e_user_concentration"] = """WITH per AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+), ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rn FROM per
+), tot AS (
+    SELECT CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_users FROM per
+)
+SELECT max(t.n_users) AS n_users, max(t.n_events) AS n_events,
+       round(sum(CASE WHEN r.rn <= ceil(t.n_users / 100.0)
+                      THEN r.c ELSE 0 END)
+             / CAST(max(t.n_events) AS DOUBLE), 6) AS top1pct_share,
+       round(sum(CASE WHEN r.rn <= ceil(t.n_users / 10.0)
+                      THEN r.c ELSE 0 END)
+             / CAST(max(t.n_events) AS DOUBLE), 6) AS top10pct_share
+FROM ranked r, tot t"""
+ORACLES["r_abc_analysis"] = """WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+    FROM lineitem GROUP BY l_partkey
+), tot AS (SELECT sum(rev) AS tot FROM rev),
+cum AS (
+    SELECT rev,
+           round(CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                     ROWS UNBOUNDED PRECEDING) / t.tot
+                      AS DOUBLE), 6) AS cum_share
+    FROM rev, tot t
+)
+SELECT CASE WHEN cum_share <= 0.5 THEN 'A'
+            WHEN cum_share <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(rev) AS DECIMAL(18,4)) AS class_revenue
+FROM cum GROUP BY 1"""
+ORACLES["r_ship_lag"] = """WITH lag AS (
+    SELECT o.o_orderpriority,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS lag
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(avg(lag), 6) AS mean_days,
+       round(quantile_cont(lag, 0.5), 6) AS p50_days,
+       round(quantile_cont(lag, 0.95), 6) AS p95_days
+FROM lag GROUP BY o_orderpriority"""
 ORACLES["t_dataset_split"] = f"""SELECT split, lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(t) AS BIGINT) AS n_tokens
@@ -5489,6 +5646,10 @@ def all_queries() -> dict[str, QueryFn]:
         "t_dataset_split": q_dataset_split,
         "e_rolling_1h": q_rolling_1h,
         "e_anomaly_iqr": q_anomaly_iqr,
+        "t_readability": q_readability,
+        "e_user_concentration": q_user_concentration,
+        "r_abc_analysis": q_abc_analysis,
+        "r_ship_lag": q_ship_lag,
         "g_powerlaw_alpha": q_powerlaw_alpha,
         "e_trigram_paths": q_trigram_paths,
         "e_dow_seasonality": q_dow_seasonality,
