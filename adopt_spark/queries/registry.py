@@ -2782,6 +2782,53 @@ def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag", F.lit(0.95)), 6).alias("p95_days"))
 
 
+def q_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between two centrality rankings — top-50 fixed-step
+    PageRank vs top-50 in-degree: intersection size and Jaccard. Both
+    top sets select on the 6 dp-rounded score with id tie-breaks, so
+    the sets are engine-deterministic (a_pagerank_fixed proves the
+    6 dp rank lattice agrees everywhere)."""
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    e = derived_edges(spark, sf_dir)
+    ranks, _ = pagerank(spark, e, tol=0.0, max_iter=PR_ITERS)
+    top_pr = (ranks.select("v", F.round("rank", 6).alias("r"))
+              .orderBy(F.desc("r"), F.asc("v")).limit(50).select("v"))
+    top_deg = (e.groupBy(F.col("tid").alias("v"))
+               .agg(F.count(F.lit(1)).alias("c"))
+               .orderBy(F.desc("c"), F.asc("v")).limit(50).select("v"))
+    inter = top_pr.join(top_deg, "v").count()
+    return spark.createDataFrame(
+        [(50, int(inter), round(inter / (100 - inter), 6))],
+        "k int, n_common long, jaccard double")
+
+
+def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 reconstruction-error report over the embedding corpus:
+    per-value MSE, max |error|, and the value count — the QA entry
+    for the compression rung s_knn_sq8 searches with. Fully
+    distributed: the per-dimension (lo, hi) stats stay a DataFrame
+    joined back on dimension (never collected), codes use the exact
+    s_knn_sq8 arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    st = ex.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    j = ex.join(st, "i")
+    code = F.when(F.col("hi") > F.col("lo"), F.greatest(
+        F.lit(0.0), F.least(F.lit(255.0), F.floor(
+            (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+            * 255.0 + 0.5).cast("double")))).otherwise(F.lit(0.0))
+    dq = F.col("lo") + code / 255.0 * (F.col("hi") - F.col("lo"))
+    err = j.select((F.col("x") - dq).alias("e"))
+    return err.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.avg(F.col("e") * F.col("e")) * 1e6, 6)
+         .alias("mse_x1e6"),
+        F.round(F.max(F.abs("e")), 6).alias("max_abs_err"))
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5506,6 +5553,35 @@ SELECT user_id, CAST(count(pid) AS BIGINT) AS n_matched,
        CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_expired
 FROM u GROUP BY user_id"""
+ORACLES["a_rank_overlap"] = f"""WITH pr AS MATERIALIZED (
+{_og.pagerank_fixed_sql(DERIVED_EDGE_SQL)}
+), edge AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), top_pr AS (SELECT v FROM pr ORDER BY rank DESC, v LIMIT 50),
+top_deg AS (
+    SELECT tid AS v FROM edge GROUP BY tid
+    ORDER BY count(*) DESC, tid LIMIT 50
+), i AS (SELECT count(*) AS n FROM top_pr JOIN top_deg USING (v))
+SELECT CAST(50 AS INTEGER) AS k, CAST(i.n AS BIGINT) AS n_common,
+       round(i.n / CAST(100 - i.n AS DOUBLE), 6) AS jaccard
+FROM i"""
+ORACLES["s_quantization_error"] = """WITH ex AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), st AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY i),
+e AS (
+    SELECT ex.x - (CASE WHEN st.hi > st.lo
+        THEN st.lo + greatest(0.0, least(255.0,
+                 floor((ex.x - st.lo) / (st.hi - st.lo)
+                       * 255.0 + 0.5))) / 255.0 * (st.hi - st.lo)
+        ELSE st.lo END) AS err
+    FROM ex JOIN st USING (i)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_values,
+       round(avg(err * err) * 1e6, 6) AS mse_x1e6,
+       round(max(abs(err)), 6) AS max_abs_err
+FROM e"""
 ORACLES["t_readability"] = """WITH per_doc AS (
     SELECT lang,
            CASE WHEN length(trim(text)) = 0 THEN 0
@@ -5647,6 +5723,8 @@ def all_queries() -> dict[str, QueryFn]:
         "e_rolling_1h": q_rolling_1h,
         "e_anomaly_iqr": q_anomaly_iqr,
         "t_readability": q_readability,
+        "a_rank_overlap": q_rank_overlap,
+        "s_quantization_error": q_quantization_error,
         "e_user_concentration": q_user_concentration,
         "r_abc_analysis": q_abc_analysis,
         "r_ship_lag": q_ship_lag,
