@@ -2829,6 +2829,78 @@ def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs("e")), 6).alias("max_abs_err"))
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of users: recency (days since last event at
+    the corpus horizon), frequency (event count), monetary (6 dp
+    value sum) → quintile scores via ntile with id tie-breaks →
+    segment histogram over the 125 (r,f,m) cells that have users."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "value")
+    horizon = ev.agg(F.max("d").alias("h"))
+    rfm = (ev.groupBy("user_id")
+           .agg(F.max("d").alias("last_d"),
+                F.count(F.lit(1)).alias("f"),
+                F.round(F.sum("value"), 6).alias("m"))
+           .crossJoin(F.broadcast(horizon))
+           .select("user_id", F.datediff("h", "last_d").alias("r"),
+                   "f", "m"))
+    # quintiles: LOW recency days = best, HIGH freq/monetary = best
+    wr = Window.orderBy(F.asc("r"), "user_id")
+    wf = Window.orderBy(F.desc("f"), "user_id")
+    wm = Window.orderBy(F.desc("m"), "user_id")
+    scored = (rfm.withColumn("r_score", F.ntile(5).over(wr))
+              .withColumn("f_score", F.ntile(5).over(wf))
+              .withColumn("m_score", F.ntile(5).over(wm)))
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"))
+
+
+def q_twohop_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-hop neighborhood size per vertex on the sparse graph
+    (self excluded), histogrammed — the exact-k companion of the ANF
+    sketch curve: one symmetric self-join + distinct + two counts."""
+    e = derived_edges_sparse(spark, sf_dir)
+    sym = (e.select(F.col("sid").alias("u"), F.col("tid").alias("v"))
+           .unionAll(e.select(F.col("tid").alias("u"),
+                              F.col("sid").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct())
+    two = (sym.alias("a")
+           .join(sym.alias("b"), F.col("a.v") == F.col("b.u"))
+           .select(F.col("a.u").alias("u"), F.col("b.v").alias("w"))
+           .where(F.col("u") != F.col("w")))
+    reach = sym.select("u", F.col("v").alias("w")).unionAll(two).distinct()
+    sizes = reach.groupBy("u").agg(F.count(F.lit(1)).alias("n2"))
+    return sizes.groupBy("n2").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originality score per document: the fraction of its distinct
+    word 3-grams that occur in NO other document (corpus df = 1) —
+    high = novel text, low = boilerplate; the inverse view of the
+    dup-block mass report. Exact counts, 6 dp ratio."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    pos = d.select(F.col("doc_id").alias("doc"),
+                   F.posexplode(t).alias("i", "w")) \
+        .where(F.col("w") != "")
+    nxt1 = pos.select(F.col("doc"), (F.col("i") - 1).alias("i"),
+                      F.col("w").alias("w2"))
+    nxt2 = pos.select(F.col("doc"), (F.col("i") - 2).alias("i"),
+                      F.col("w").alias("w3"))
+    sh = (pos.join(nxt1, ["doc", "i"]).join(nxt2, ["doc", "i"])
+          .select("doc", F.concat_ws(" ", "w", "w2", "w3").alias("s"))
+          .distinct())
+    df_ = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    j = sh.join(df_, "s")
+    return (j.groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                  .alias("n_unique"),
+                 F.round(F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                         / F.count(F.lit(1)).cast("double"), 6)
+                  .alias("novelty")))
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5553,6 +5625,57 @@ SELECT user_id, CAST(count(pid) AS BIGINT) AS n_matched,
        CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_expired
 FROM u GROUP BY user_id"""
+ORACLES["e_rfm_segments"] = """WITH ev AS MATERIALIZED (
+    SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
+), h AS (SELECT max(d) AS h FROM ev),
+rfm AS (
+    SELECT user_id, date_diff('day', max(d), (SELECT h FROM h)) AS r,
+           count(*) AS f, round(sum(value), 6) AS m
+    FROM ev GROUP BY user_id
+), scored AS (
+    SELECT CAST(ntile(5) OVER (ORDER BY r ASC, user_id) AS INTEGER)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY f DESC, user_id) AS INTEGER)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY m DESC, user_id) AS INTEGER)
+             AS m_score
+    FROM rfm
+)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users
+FROM scored GROUP BY 1, 2, 3"""
+ORACLES["g_twohop_sizes"] = f"""WITH edge_sparse AS (
+{SPARSE_EDGE_SQL}
+), sym AS MATERIALIZED (
+    SELECT DISTINCT u, v FROM (
+        SELECT sid AS u, tid AS v FROM edge_sparse
+        UNION ALL SELECT tid, sid FROM edge_sparse
+    ) WHERE u <> v
+), two AS (
+    SELECT a.u, b.v AS w FROM sym a JOIN sym b ON b.u = a.v
+    WHERE a.u <> b.v
+), reach AS (
+    SELECT DISTINCT u, w FROM (
+        SELECT u, v AS w FROM sym UNION ALL SELECT u, w FROM two)
+), sizes AS (SELECT u, count(*) AS n2 FROM reach GROUP BY u)
+SELECT n2, CAST(count(*) AS BIGINT) AS n_vertices FROM sizes GROUP BY n2"""
+ORACLES["t_ngram_novelty"] = """WITH pos AS MATERIALIZED (
+    SELECT doc_id AS doc, i, w FROM (
+        SELECT doc_id, generate_subscripts(t, 1) AS i, unnest(t) AS w
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents)
+    ) WHERE w <> ''
+), sh AS MATERIALIZED (
+    SELECT DISTINCT a.doc, a.w || ' ' || b.w || ' ' || c.w AS s
+    FROM pos a
+    JOIN pos b ON b.doc = a.doc AND b.i = a.i + 1
+    JOIN pos c ON c.doc = a.doc AND c.i = a.i + 2
+), dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN dfq USING (s) GROUP BY doc"""
 ORACLES["a_rank_overlap"] = f"""WITH pr AS MATERIALIZED (
 {_og.pagerank_fixed_sql(DERIVED_EDGE_SQL)}
 ), edge AS MATERIALIZED (
@@ -5723,6 +5846,9 @@ def all_queries() -> dict[str, QueryFn]:
         "e_rolling_1h": q_rolling_1h,
         "e_anomaly_iqr": q_anomaly_iqr,
         "t_readability": q_readability,
+        "e_rfm_segments": q_rfm_segments,
+        "g_twohop_sizes": q_twohop_sizes,
+        "t_ngram_novelty": q_ngram_novelty,
         "a_rank_overlap": q_rank_overlap,
         "s_quantization_error": q_quantization_error,
         "e_user_concentration": q_user_concentration,
