@@ -1409,3 +1409,74 @@ def dag_depth_sql(edge_sql: str, rounds: int = DAG_ROUNDS) -> str:
 )""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT v, CAST(d AS INTEGER) AS depth FROM d{rounds}")
+
+
+# ------------------------------------------------------- eigenvector
+
+EIGEN_ITERS = 10
+
+
+def eigen_fixed_sql(edge_sql: str, k_iters: int = EIGEN_ITERS) -> str:
+    """Unrolled power iteration with per-step L2 normalization, the
+    exact twin of algos/eigen.py: x0 = 1/sqrt(N) on the symmetrized
+    simple graph, x_{t+1} = A x_t / ||A x_t||_2; 6 dp output."""
+    steps = []
+    for i in range(1, k_iters + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+    SELECT e.w AS v, sum(p.x) AS s
+    FROM sym e JOIN x{i-1} p ON p.v = e.u
+    GROUP BY e.w
+), x{i} AS MATERIALIZED (
+    SELECT v, s / (SELECT sqrt(sum(s * s)) FROM s{i}) AS x FROM s{i}
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT DISTINCT u, w FROM (
+        SELECT sid AS u, tid AS w FROM edge
+        UNION ALL SELECT tid, sid FROM edge
+    ) WHERE u <> w
+), verts AS MATERIALIZED (SELECT DISTINCT u AS v FROM sym),
+x0 AS MATERIALIZED (
+    SELECT v, 1.0 / sqrt((SELECT count(*) FROM verts)) AS x FROM verts
+), {', '.join(steps)}
+SELECT v, CAST(round(x, 6) AS DOUBLE) AS eigen FROM x{k_iters}"""
+
+
+# ------------------------------------------------- Markov stationary
+
+MARKOV_ITERS = 20
+
+
+def markov_stationary_sql(k_iters: int = MARKOV_ITERS) -> str:
+    """Unrolled power iteration of the event-type Markov chain, the
+    exact twin of queries/registry.py:q_markov_stationary: states =
+    event types observed as transition sources; transitions restricted
+    to dst within that state set and row-normalized over the
+    restricted counts (strictly stochastic); pi0 uniform."""
+    steps = []
+    for i in range(1, k_iters + 1):
+        steps.append(f"""pi{i} AS MATERIALIZED (
+    SELECT t.dst AS state, sum(p.pi * t.n / t.tot) AS pi
+    FROM trans t JOIN pi{i-1} p ON p.state = t.src
+    GROUP BY t.dst
+)""")
+    return f"""WITH pairs AS MATERIALIZED (
+    SELECT src, dst, count(*) AS n FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ) WHERE dst IS NOT NULL GROUP BY src, dst
+), states AS MATERIALIZED (SELECT DISTINCT src AS state FROM pairs),
+trans AS MATERIALIZED (
+    SELECT p.src, p.dst, CAST(p.n AS DOUBLE) AS n, t.tot
+    FROM (SELECT * FROM pairs
+          WHERE dst IN (SELECT state FROM states)) p
+    JOIN (SELECT src, CAST(sum(n) AS DOUBLE) AS tot
+          FROM pairs WHERE dst IN (SELECT state FROM states)
+          GROUP BY src) t USING (src)
+), pi0 AS MATERIALIZED (
+    SELECT state, 1.0 / (SELECT count(*) FROM states) AS pi FROM states
+), {', '.join(steps)}
+SELECT state, CAST(round(pi, 6) AS DOUBLE) AS pi FROM pi{k_iters}"""

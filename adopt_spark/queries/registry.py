@@ -2901,6 +2901,51 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("novelty")))
 
 
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex eigenvector centrality (10 power-iteration
+    supersteps, per-step L2 normalization) on the sparse graph —
+    full vector vs the unrolled oracle recurrence, the strongest
+    possible check (every vertex, every value)."""
+    from adopt_spark.algos.eigen import EIGEN_ITERS, eigenvector_centrality
+
+    e = derived_edges_sparse(spark, sf_dir)
+    scores, _ = eigenvector_centrality(spark, e, max_iter=EIGEN_ITERS)
+    return scores
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (20
+    power-iteration steps over the exact transition ratios; chain
+    restricted to source states and row-renormalized so it is
+    strictly stochastic) — the long-run behavioral profile on top of
+    e_transitions; oracle = oracle_gen.markov_stationary_sql."""
+    from adopt_spark.queries.oracle_gen import MARKOV_ITERS
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("src"),
+                       F.lead("event_type").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    states = pairs.select(F.col("src").alias("state")).distinct()
+    rp = pairs.join(states.withColumnRenamed("state", "dst"), "dst",
+                    "left_semi")
+    tot = rp.groupBy("src").agg(F.sum("n").alias("tot"))
+    trans = (rp.join(tot, "src")
+             .select("src", "dst", F.col("n").cast("double").alias("n"),
+                     F.col("tot").cast("double").alias("tot"))
+             .localCheckpoint(eager=True))
+    k = states.count()
+    pi = states.select("state", F.lit(1.0 / k).alias("pi"))
+    for _ in range(MARKOV_ITERS):
+        pi = (trans.join(pi, trans["src"] == pi["state"])
+              .groupBy(F.col("dst").alias("_s"))
+              .agg(F.sum(F.col("pi") * F.col("n") / F.col("tot"))
+                   .alias("pi"))
+              .withColumnRenamed("_s", "state"))
+    return pi.select("state", F.round("pi", 6).alias("pi"))
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5625,6 +5670,8 @@ SELECT user_id, CAST(count(pid) AS BIGINT) AS n_matched,
        CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_expired
 FROM u GROUP BY user_id"""
+ORACLES["a_eigenvector"] = _og.eigen_fixed_sql(SPARSE_EDGE_SQL)
+ORACLES["e_markov_stationary"] = _og.markov_stationary_sql()
 ORACLES["e_rfm_segments"] = """WITH ev AS MATERIALIZED (
     SELECT user_id, CAST(ts AS DATE) AS d, value FROM events
 ), h AS (SELECT max(d) AS h FROM ev),
@@ -5846,6 +5893,8 @@ def all_queries() -> dict[str, QueryFn]:
         "e_rolling_1h": q_rolling_1h,
         "e_anomaly_iqr": q_anomaly_iqr,
         "t_readability": q_readability,
+        "a_eigenvector": q_eigenvector,
+        "e_markov_stationary": q_markov_stationary,
         "e_rfm_segments": q_rfm_segments,
         "g_twohop_sizes": q_twohop_sizes,
         "t_ngram_novelty": q_ngram_novelty,
