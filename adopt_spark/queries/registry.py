@@ -2946,6 +2946,36 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select("state", F.round("pi", 6).alias("pi"))
 
 
+RECALL_KS = (1, 3, 5)
+
+
+def q_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve (k = 1, 3, 5) of banded-LSH ANN vs brute-force
+    ground truth — s_ann_recall's single point widened to the curve
+    every ANN tuning loop actually reads; computed from the two
+    oracle-checked top-5 rank lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(emb)
+    a = lsh_topk(emb, q, k=5, bits=12, bands=4) \
+        .select("q_id", "vec_id", F.col("rank").alias("ra"))
+    e = brute_force_topk(emb, q, k=5) \
+        .select("q_id", "vec_id", F.col("rank").alias("re"))
+    j = a.join(e, ["q_id", "vec_id"])
+    rows = []
+    for k in RECALL_KS:
+        rows.append(j.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.sum(F.when((F.col("ra") <= k) & (F.col("re") <= k), 1)
+                  .otherwise(0)).alias("hits"),
+            F.round(F.sum(F.when((F.col("ra") <= k) & (F.col("re") <= k),
+                                 1).otherwise(0)) / (3.0 * k), 6)
+             .alias("recall")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 # ---------------- oracle SQL ------------------------------------------------
 
 _TOKENS_SQL = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -5670,6 +5700,22 @@ SELECT user_id, CAST(count(pid) AS BIGINT) AS n_matched,
        CAST(sum(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_expired
 FROM u GROUP BY user_id"""
+_RECALL_POINTS = "\nUNION ALL\n".join(
+    f"""SELECT CAST({k} AS INTEGER) AS k,
+       CAST(sum(CASE WHEN ra <= {k} AND re <= {k} THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       round(sum(CASE WHEN ra <= {k} AND re <= {k} THEN 1 ELSE 0 END)
+             / (3.0 * {k}), 6) AS recall
+FROM j""" for k in RECALL_KS)
+ORACLES["s_recall_curve"] = f"""WITH a AS MATERIALIZED (
+{_og.knn_lsh_sql(k=5, bands=4)}
+), e AS MATERIALIZED (
+{ORACLES["s_knn_bruteforce"]}
+), j AS MATERIALIZED (
+    SELECT a.q_id, a.rank AS ra, e.rank AS re
+    FROM a JOIN e USING (q_id, vec_id)
+)
+{_RECALL_POINTS}"""
 ORACLES["a_eigenvector"] = _og.eigen_fixed_sql(SPARSE_EDGE_SQL)
 ORACLES["e_markov_stationary"] = _og.markov_stationary_sql()
 ORACLES["e_rfm_segments"] = """WITH ev AS MATERIALIZED (
@@ -5893,6 +5939,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_rolling_1h": q_rolling_1h,
         "e_anomaly_iqr": q_anomaly_iqr,
         "t_readability": q_readability,
+        "s_recall_curve": q_recall_curve,
         "a_eigenvector": q_eigenvector,
         "e_markov_stationary": q_markov_stationary,
         "e_rfm_segments": q_rfm_segments,
