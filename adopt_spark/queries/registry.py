@@ -2340,20 +2340,20 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x, y in _CORR_PAIRS:
         aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
     m = li.agg(*aggs)
-    outs = []
+    # one row -> three rows via explode, so the single scan/aggregate
+    # is shared (a union of selects would recompute it per branch)
+    structs = []
     for x, y in _CORR_PAIRS:
         n, sx, sy = F.col("n"), F.col(f"s_{x}"), F.col(f"s_{y}")
         sxx, syy = F.col(f"ss_{x}"), F.col(f"ss_{y}")
         sxy = F.col(f"sp_{x}_{y}")
-        outs.append(m.select(
-            F.lit(x).alias("x_col"), F.lit(y).alias("y_col"), n.alias("n"),
+        structs.append(F.struct(
+            F.lit(x).alias("x_col"), F.lit(y).alias("y_col"),
             F.round((n * sxy - sx * sy)
                     / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
                     6).alias("corr")))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return (m.select("n", F.explode(F.array(*structs)).alias("p"))
+            .select("p.x_col", "p.y_col", "n", "p.corr"))
 
 
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2377,10 +2377,11 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs += [F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("mn_dt"),
              F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("mx_dt")]
     m = o.agg(*aggs)
-    rows = []
+    # one row -> one row per column via explode (shared single scan)
+    structs = []
     for c in num_cols:
-        rows.append(m.select(
-            F.lit(c).alias("col_name"), F.col("n_rows"),
+        structs.append(F.struct(
+            F.lit(c).alias("col_name"),
             F.col(f"nul_{c}").alias("n_null"),
             F.col(f"dst_{c}").alias("n_distinct"),
             F.col(f"mn_{c}").cast("double").alias("min_num"),
@@ -2388,25 +2389,24 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("min_str"),
             F.lit(None).cast("string").alias("max_str")))
     for c in str_cols:
-        rows.append(m.select(
-            F.lit(c).alias("col_name"), F.col("n_rows"),
+        structs.append(F.struct(
+            F.lit(c).alias("col_name"),
             F.col(f"nul_{c}").alias("n_null"),
             F.col(f"dst_{c}").alias("n_distinct"),
             F.lit(None).cast("double").alias("min_num"),
             F.lit(None).cast("double").alias("max_num"),
             F.col(f"mn_{c}").alias("min_str"),
             F.col(f"mx_{c}").alias("max_str")))
-    rows.append(m.select(
-        F.lit("o_orderdate").alias("col_name"), F.col("n_rows"),
+    structs.append(F.struct(
+        F.lit("o_orderdate").alias("col_name"),
         F.col("nul_o_orderdate").alias("n_null"),
         F.col("dst_o_orderdate").alias("n_distinct"),
         F.lit(None).cast("double").alias("min_num"),
         F.lit(None).cast("double").alias("max_num"),
         F.col("mn_dt").alias("min_str"), F.col("mx_dt").alias("max_str")))
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return (m.select("n_rows", F.explode(F.array(*structs)).alias("p"))
+            .select("p.col_name", "n_rows", "p.n_null", "p.n_distinct",
+                    "p.min_num", "p.max_num", "p.min_str", "p.max_str"))
 
 
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:

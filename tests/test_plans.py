@@ -171,3 +171,36 @@ def test_round3_session_ops_plan_quality(spark):
     # the vocabulary join in unigram scoring must broadcast, not shuffle
     plan = physical_plan(unigram_logprob(docs))
     assert "BroadcastHashJoin" in plan
+
+
+def test_stats_layer_plan_shape(spark):
+    """Session-3 statistics operators: map-side partial aggregation,
+    no cartesian joins (the scalar broadcasts are BroadcastNestedLoop
+    over 1-row frames, not CartesianProduct), and zero Python eval —
+    the whole layer is JVM-side Column arithmetic."""
+    from adopt_spark.functions.stats import (
+        ks_2sample, mann_whitney_u, welch_ttest)
+    from adopt_spark.queries.registry import (
+        q_corr_matrix, q_dataset_split, q_mutual_info)
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for q in (ks_2sample(ev, "event_type", "value", "click", "purchase"),
+              mann_whitney_u(ev, "event_type", "value", "view", "signup"),
+              welch_ttest(ev, "event_type", "value", "click", "error"),
+              q_corr_matrix(spark, SF),
+              q_mutual_info(spark, SF),
+              q_dataset_split(spark, SF)):
+        plan = physical_plan(q)
+        assert "HashAggregate" in plan
+        assert "partial" in plan.lower()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_corr_matrix_single_scan(spark):
+    """All pairwise moments must come from ONE scan of lineitem."""
+    from adopt_spark.queries.registry import q_corr_matrix
+
+    plan = physical_plan(q_corr_matrix(spark, SF))
+    assert plan.count("FileScan parquet") == 1
