@@ -59,3 +59,22 @@ def test_cc_resume_equivalence(spark, two_components, tmp_path):
     a = {r["v"]: r["component"] for r in base.collect()}
     b = {r["v"]: r["component"] for r in resumed.collect()}
     assert a == b
+
+
+def test_eigen_resume_equivalence(spark, powerlaw_small, tmp_path):
+    """Interrupt eigenvector centrality after 3 of 10 supersteps and
+    resume: the resumed run must match the uninterrupted one exactly
+    (the normalized state vector is the checkpointed unit, so resume
+    replays supersteps 4..10 from the snapshot)."""
+    from adopt_spark.algos.eigen import eigenvector_centrality
+
+    df, _ = powerlaw_small
+    full, _ = eigenvector_centrality(spark, df, max_iter=10)
+    ckpt = str(tmp_path / "eig")
+    eigenvector_centrality(spark, df, max_iter=3, checkpoint_dir=ckpt)
+    resumed, metrics = eigenvector_centrality(
+        spark, df, max_iter=10, checkpoint_dir=ckpt, resume=True)
+    assert len(metrics) == 7          # only the remaining supersteps ran
+    a = {r.v: r.eigen for r in full.collect()}
+    b = {r.v: r.eigen for r in resumed.collect()}
+    assert a == b
