@@ -88,24 +88,49 @@ def cycle_count_cogroup(edges: DataFrame, n: int,
                 .dropDuplicates(["sid", "tid"])).persist())
     closing = _closing_sets(edges, lt, n).persist()
     try:
+        # id-width narrowing (same probe-and-narrow as the triangle
+        # cogroup kernel): every id the DP shuffles comes from lt or
+        # the closing table, both persisted — two cheap bound probes,
+        # and when everything fits int32 the per-level pair rows and
+        # the intersection arrays ship at half the key bytes. The
+        # Arrow kernel is dtype-agnostic (coerces to int64 in-memory).
+        b1 = lt.agg(F.min("sid").alias("a"), F.max("tid").alias("b"),
+                    F.min("tid").alias("c"), F.max("sid").alias("d")
+                    ).collect()[0]
+        b2 = closing.agg(
+            F.min("v1").alias("a"), F.max("v1").alias("b"),
+            F.min(F.array_min("nbrs_c")).alias("c"),
+            F.max(F.array_max("nbrs_c")).alias("d")).collect()[0]
+        bounds = [b1["a"], b1["b"], b1["c"], b1["d"],
+                  b2["a"], b2["b"], b2["c"], b2["d"]]
+        fits32 = (all(v is not None for v in bounds)
+                  and min(bounds) >= -(2 ** 31)
+                  and max(bounds) <= 2 ** 31 - 1)
+        idt = "int" if fits32 else "long"
+        lt_t = lt.select(F.col("sid").cast(idt).alias("sid"),
+                         F.col("tid").cast(idt).alias("tid"))
+        closing_t = closing.select(
+            F.col("v1").cast(idt).alias("v1"),
+            F.col("nbrs_c").cast(f"array<{idt}>").alias("nbrs_c"))
+
         # the final pair table's x must have a non-empty lt out-list to
         # close — prune those x BEFORE the last aggregation shuffles
         # their pairs (they would join-eliminate at close anyway, but
         # only after paying the shuffle). V-sized key set: broadcastable.
-        can_extend = lt.select(F.col("sid").alias("x")).distinct()
+        can_extend = lt_t.select(F.col("sid").alias("x")).distinct()
 
         # p2: increasing-wedge counts per (v1, x); prune v1 that cannot
         # close (the cached closing table serves keys AND arrays)
-        e1 = lt.select(F.col("sid").alias("v1"), F.col("tid").alias("mid"))
-        e2 = lt.select(F.col("sid").alias("mid"), F.col("tid").alias("x"))
-        p = e1.join(closing.select("v1"), "v1", "left_semi").join(e2, "mid")
+        e1 = lt_t.select(F.col("sid").alias("v1"), F.col("tid").alias("mid"))
+        e2 = lt_t.select(F.col("sid").alias("mid"), F.col("tid").alias("x"))
+        p = e1.join(closing_t.select("v1"), "v1", "left_semi").join(e2, "mid")
         if n == 4:
             p = p.join(can_extend, "x", "left_semi")
         p = p.groupBy("v1", "x").agg(F.count(F.lit(1)).alias("cnt"))
 
         # chain extensions: p(k) -> p(k+1), k = 2..n-3; on the LAST
         # extension the same dead-end prune applies to the new endpoint
-        step = lt.select(F.col("sid").alias("x"), F.col("tid").alias("y"))
+        step = lt_t.select(F.col("sid").alias("x"), F.col("tid").alias("y"))
         for lvl in range(n - 4):
             ext = p.join(step, "x")
             if lvl == n - 5:
@@ -115,10 +140,10 @@ def cycle_count_cogroup(edges: DataFrame, n: int,
                  .agg(F.sum("cnt").alias("cnt")))
 
         # close: |A+(x) ∩ C(v1)| per surviving pair, weighted by cnt
-        adj = lt.groupBy("sid").agg(
+        adj = lt_t.groupBy("sid").agg(
             F.sort_array(F.collect_list("tid")).alias("nbrs_a"))
         a_x = adj.select(F.col("sid").alias("x"), "nbrs_a")
-        cand = (p.join(closing, "v1").join(a_x, "x")
+        cand = (p.join(closing_t, "v1").join(a_x, "x")
                 .select("cnt", "nbrs_a", "nbrs_c"))
 
         def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
