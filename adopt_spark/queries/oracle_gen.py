@@ -1480,3 +1480,81 @@ trans AS MATERIALIZED (
     SELECT state, 1.0 / (SELECT count(*) FROM states) AS pi FROM states
 ), {', '.join(steps)}
 SELECT state, CAST(round(pi, 6) AS DOUBLE) AS pi FROM pi{k_iters}"""
+
+
+# ------------------------------------------------- Louvain local-move
+
+LOUVAIN_SWEEPS = 6
+
+
+def _louvain_half_step(prev: str, out: str, parity: int) -> str:
+    """One parity half-step: vertices with v % 2 == parity re-decide
+    (strict-improvement move rule, own community wins score ties,
+    smaller c breaks ties among improvers), the rest keep."""
+    return f"""tot_{out} AS MATERIALIZED (
+    SELECT l.label, sum(d.k) AS tot
+    FROM {prev} l JOIN degv d USING (v) GROUP BY l.label
+), cand_{out} AS MATERIALIZED (
+    SELECT v, c, max(w) AS w FROM (
+        SELECT s.v, p.label AS c, count(*) AS w
+        FROM sym s JOIN {prev} p ON p.v = s.nbr
+        WHERE s.v % 2 = {parity}
+        GROUP BY s.v, p.label
+        UNION ALL
+        SELECT v, label AS c, 0 AS w FROM {prev} WHERE v % 2 = {parity}
+    ) GROUP BY v, c
+), {out} AS MATERIALIZED (
+    SELECT v, c AS label FROM (
+        SELECT g.v, g.c,
+               row_number() OVER (PARTITION BY g.v
+                                  ORDER BY g.score DESC, g.is_own DESC,
+                                           g.c ASC) AS rn
+        FROM (SELECT ca.v, ca.c,
+                     (SELECT twom FROM mm) * ca.w
+                     - d.k * (t.tot - CASE WHEN ca.c = ol.label
+                                           THEN d.k ELSE 0 END) AS score,
+                     CASE WHEN ca.c = ol.label THEN 1 ELSE 0 END AS is_own
+              FROM cand_{out} ca
+              JOIN {prev} ol ON ol.v = ca.v
+              JOIN degv d ON d.v = ca.v
+              JOIN tot_{out} t ON t.label = ca.c) g
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT v, label FROM {prev} WHERE v % 2 <> {parity}
+)"""
+
+
+def louvain_fixed_sql(edge_sql: str, sweeps: int = LOUVAIN_SWEEPS) -> str:
+    """Parity-scheduled Louvain local-move phase, unrolled: each sweep
+    is two half-steps (odd-id vertices re-decide first, then even-id
+    against the refreshed labels). An updating vertex moves to the
+    candidate community c (a neighbor label or its own) maximizing the
+    ALL-INTEGER score
+
+        2m*w_vc - k_v*(tot_c - k_v*[label(v)=c])
+
+    (modularity gain scaled by 2m^2) with the STRICT-improvement rule:
+    a top-score tie that includes the current community resolves to
+    staying, otherwise the smallest best c wins — the exact twin of
+    algos/louvain.py:louvain_move (v % 2 equals Spark\'s pmod(v, 2) on
+    the non-negative derived-graph ids). Output: community size
+    histogram [label, size]."""
+    steps = []
+    prev = "l0"
+    for i in range(1, sweeps + 1):
+        steps.append(_louvain_half_step(prev, f"h{i}", parity=1))
+        steps.append(_louvain_half_step(f"h{i}", f"l{i}", parity=0))
+        prev = f"l{i}"
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT sid AS v, tid AS nbr FROM edge
+    UNION
+    SELECT tid, sid FROM edge
+), degv AS MATERIALIZED (
+    SELECT v, count(*) AS k FROM sym GROUP BY v
+), mm AS MATERIALIZED (SELECT count(*) AS twom FROM sym),
+l0 AS MATERIALIZED (
+    SELECT v, v AS label FROM degv
+), {', '.join(steps)}
+SELECT label, count(*) AS size FROM l{sweeps} GROUP BY label"""

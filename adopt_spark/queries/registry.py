@@ -1836,6 +1836,16 @@ def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directed_modularity(e, labels)
 
 
+def q_louvain_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain local-move (greedy modularity, 4 sweeps,
+    all-integer gain scores) on the derived graph — community size
+    histogram. Oracle: oracle_gen.louvain_fixed_sql unrolls the exact
+    same rule sweep by sweep."""
+    from adopt_spark.algos.louvain import louvain_sizes
+
+    return louvain_sizes(spark, derived_edges(spark, sf_dir))
+
+
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization of events per user (gap 1800 s):
     lag-marks breaks, running-sum numbers sessions, one collapse."""
@@ -5042,6 +5052,8 @@ SELECT (SELECT m FROM m) AS n_edges,
              6) AS modularity
 """.strip()
 
+ORACLES["a_louvain_sizes"] = _og.louvain_fixed_sql(DERIVED_EDGE_SQL)
+
 ORACLES["e_sessionize_batch"] = """
 WITH base AS (
     SELECT user_id,
@@ -6099,6 +6111,8 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0b) round-3 session-4: community detection
+        "a_louvain_sizes": q_louvain_sizes,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,
