@@ -90,6 +90,12 @@ def triangle_count_join(edges: DataFrame,
 
 _I32_LO, _I32_HI = -(2 ** 31), 2 ** 31 - 1
 
+# Mean oriented-adjacency length at or below which the cogroup kernel
+# stays JVM-side (array_intersect in codegen) instead of crossing into
+# the numpy batch kernel. Measured crossover on this workload class is
+# well above this; 32 keeps the JVM path to the clearly-sparse regime.
+_JVM_INTERSECT_MAX_MEAN_LEN = 32.0
+
 
 def triangle_count_cogroup(edges: DataFrame,
                            _oriented: DataFrame | None = None) -> DataFrame:
@@ -116,12 +122,15 @@ def triangle_count_cogroup(edges: DataFrame,
          join-order scheduling (it learns per-attribute orders via
          UCT; we measure the one statistic that separates the two
          physical orders and dispatch on it).
-      3. mapInPandas: per Arrow batch, count |N+(u) ∩ N+(v)| for every
-         edge at once — concatenate the pool arrays, lift each row's
-         values into a disjoint key range (value + row * M), and one
-         np.searchsorted of the candidate keys against that
-         globally-sorted array is the leapfrog seek for the whole
-         batch. Only per-edge counts leave the kernel.
+      3. count |N+(u) ∩ N+(v)| per edge, dispatched on the probed mean
+         adjacency length: sparse regime → JVM ``array_intersect``
+         inside whole-stage codegen (no Arrow crossing at all); dense
+         regime → mapInPandas numpy kernel — per Arrow batch,
+         concatenate the pool arrays, lift each row's values into a
+         disjoint key range (value + row * M), and one np.searchsorted
+         of the candidate keys against that globally-sorted array is
+         the leapfrog seek for the whole batch. Only per-edge counts
+         leave the kernel.
 
     Id-width narrowing: the same probe reads the global id bounds off
     the persisted adjacency; when every id fits int32 the shuffled
@@ -150,6 +159,8 @@ def triangle_count_cogroup(edges: DataFrame,
         F.sum(F.col("od") * F.col("od")).alias("cost_u"),
         F.sum(F.coalesce(F.col("id_"), F.lit(0)) * F.col("od"))
          .alias("cost_v"),
+        F.count(F.lit(1)).alias("n_adj"),
+        F.sum("od").alias("n_edges"),
     ).collect()[0])
     if probe["lo"] is None:          # empty oriented edge set
         adj.unpersist()
@@ -167,19 +178,36 @@ def triangle_count_cogroup(edges: DataFrame,
     else:
         e = euv.join(av, "v").join(au, "u").select("nbrs_u", "nbrs_v")
 
-    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from adopt_spark.algos._kernels import batch_intersect_counts
+    # Kernel dispatch on the probed mean adjacency length: short arrays
+    # (sparse regime, e.g. web-scale link graphs after orientation) stay
+    # entirely JVM-side — array_intersect inside whole-stage codegen
+    # rides the join output with zero Arrow transfer, measured ~2x
+    # faster AND better core-scaling than the Python kernel at mean
+    # length ~3. Long arrays (dense regime — the kernel's home turf)
+    # go to the numpy batched-galloping kernel, whose one-searchsorted-
+    # per-batch amortization is what beats element-at-a-time JVM
+    # evaluation when arrays hold hundreds of elements.
+    mean_len = (float(probe["n_edges"]) / float(probe["n_adj"])
+                if probe["n_adj"] else 0.0)
+    if mean_len <= _JVM_INTERSECT_MAX_MEAN_LEN:
+        n = (e.select(F.size(F.array_intersect("nbrs_u", "nbrs_v"))
+                      .alias("c"))
+             .agg(F.coalesce(F.sum("c"), F.lit(0))
+                  .cast("long").alias("n_triangles")).collect()[0][0])
+    else:
+        def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from adopt_spark.algos._kernels import batch_intersect_counts
 
-        for batch in it:
-            if len(batch) == 0:
-                continue
-            counts = batch_intersect_counts(list(batch["nbrs_u"]),
-                                            list(batch["nbrs_v"]))
-            yield pd.DataFrame({"partial": [int(counts.sum())]})
+            for batch in it:
+                if len(batch) == 0:
+                    continue
+                counts = batch_intersect_counts(list(batch["nbrs_u"]),
+                                                list(batch["nbrs_v"]))
+                yield pd.DataFrame({"partial": [int(counts.sum())]})
 
-    partials = e.mapInPandas(kernel, schema="partial long")
-    n = partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
-                     .cast("long").alias("n_triangles")).collect()[0][0]
+        partials = e.mapInPandas(kernel, schema="partial long")
+        n = partials.agg(F.coalesce(F.sum("partial"), F.lit(0))
+                         .cast("long").alias("n_triangles")).collect()[0][0]
     adj.unpersist()
     return spark.createDataFrame([(int(n),)], "n_triangles long")
 

@@ -84,3 +84,19 @@ def test_csr_fallback_set_semantics_huge_ids(spark):
     assert clique_count(df, 3, "csr").collect()[0][0] == 1
     assert clique_count(df, 3, "cogroup").collect()[0][0] == 1
     assert clique_count(df, 3, "sql").collect()[0][0] == 1
+
+
+def test_triangle_cogroup_kernel_dispatch_same_count(spark, powerlaw_small,
+                                                     monkeypatch):
+    """The sparse-regime JVM array_intersect path and the dense-regime
+    numpy batch kernel must agree; the threshold only picks the plan."""
+    import adopt_spark.algos.triangles as tri
+
+    df, pairs = powerlaw_small
+    monkeypatch.setattr(tri, "_JVM_INTERSECT_MAX_MEAN_LEN", 1e18)
+    n_jvm = tri.triangle_count_cogroup(df).collect()[0][0]
+    monkeypatch.setattr(tri, "_JVM_INTERSECT_MAX_MEAN_LEN", -1.0)
+    n_py = tri.triangle_count_cogroup(df).collect()[0][0]
+    assert n_jvm == n_py
+    from tests.conftest import py_triangles
+    assert n_jvm == py_triangles(pairs)
