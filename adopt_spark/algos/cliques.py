@@ -199,9 +199,17 @@ def clique_count_cogroup(edges: DataFrame, k: int,
         raise ValueError("clique size must be >= 3")
     from adopt_spark.edges import orient_by_degree
 
+    # persist self-built orientation and the adjacency: o feeds the
+    # adjacency build AND the level-2 edge stream, adj feeds THREE
+    # aliases (au, av, aw) — without caching, orientation would be
+    # recomputed per consumer (same fix as triangle_count_cogroup)
+    own_o = _oriented is None
     o = _oriented if _oriented is not None else orient_by_degree(
-        edges.where(F.col("sid") < F.col("tid")).dropDuplicates(["sid", "tid"]))
-    adj = o.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        edges.where(F.col("sid") < F.col("tid"))
+        .dropDuplicates(["sid", "tid"])).persist()
+    adj = (o.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+           .persist())
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     # level 2: every oriented edge (u,v) with cand = N+(u) ∩ N+(v)
@@ -222,8 +230,12 @@ def clique_count_cogroup(edges: DataFrame, k: int,
             .mapInPandas(_intersect_kernel("cand", "nbrs_w", "cand"),
                          schema="cand array<bigint>")
         )
-    return p.agg(F.coalesce(F.sum(F.size("cand")), F.lit(0))
-                 .cast("long").alias("n_cliques"))
+    n = int(p.agg(F.coalesce(F.sum(F.size("cand")), F.lit(0))
+                  .cast("long").alias("n_cliques")).collect()[0][0])
+    adj.unpersist()
+    if own_o:
+        o.unpersist()
+    return o.sparkSession.createDataFrame([(n,)], "n_cliques long")
 
 
 def clique_count(edges: DataFrame, k: int, method: str = "auto") -> DataFrame:
