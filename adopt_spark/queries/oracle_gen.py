@@ -1558,3 +1558,83 @@ l0 AS MATERIALIZED (
     SELECT v, v AS label FROM degv
 ), {', '.join(steps)}
 SELECT label, count(*) AS size FROM l{sweeps} GROUP BY label"""
+
+
+# ------------------------------------------- temporal reachability
+
+TEMPORAL_ROUNDS = 8
+
+
+def temporal_reach_sql(rounds: int = TEMPORAL_ROUNDS) -> str:
+    """Earliest-arrival temporal BFS over hourly same-event-type
+    contacts, unrolled: arr_{i+1}(v) = min(arr_i(v), min t of contacts
+    (u,v,t) with t >= arr_i(u)) from the minimum user id — the exact
+    twin of algos/temporal.py:temporal_reach_report. Rounds past the
+    fixpoint are no-ops."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""a{i} AS MATERIALIZED (
+    SELECT v, min(arrival) AS arrival FROM (
+        SELECT v, arrival FROM a{i-1}
+        UNION ALL
+        SELECT c.v, c.t AS arrival
+        FROM contacts c JOIN a{i-1} p ON p.v = c.u
+        WHERE c.t >= p.arrival
+    ) GROUP BY v
+)""")
+    return f"""WITH occ AS MATERIALIZED (
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+           event_type
+    FROM events
+), contacts AS MATERIALIZED (
+    SELECT DISTINCT a.u, b.u AS v, a.t
+    FROM occ a JOIN occ b ON a.t = b.t AND a.event_type = b.event_type
+    WHERE a.u <> b.u
+), a0 AS MATERIALIZED (
+    SELECT CAST(min(user_id) AS BIGINT) AS v, CAST(0 AS BIGINT) AS arrival
+    FROM events
+), {', '.join(steps)}
+SELECT v, CAST(arrival AS BIGINT) AS arrival FROM a{rounds}"""
+
+
+# ------------------------------------------- threshold cascade
+
+CASCADE_ROUNDS = 10
+CASCADE_THETA = 2
+CASCADE_SEEDS = 25
+
+
+def cascade_fixed_sql(edge_sql: str, n_seeds: int = CASCADE_SEEDS,
+                      theta: int = CASCADE_THETA,
+                      rounds: int = CASCADE_ROUNDS) -> str:
+    """Bootstrap-percolation unroll: seeds = the n_seeds lowest vertex
+    ids at round 0; an inactive vertex activates in round i when >=
+    theta neighbors are active after round i-1. Monotone, so rounds
+    past the fixpoint are no-ops — the exact twin of
+    algos/cascade.py:cascade_report."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""r{i} AS MATERIALIZED (
+    SELECT v, round FROM r{i-1}
+    UNION ALL
+    SELECT c.v, {i} AS round FROM (
+        SELECT s.v, count(*) AS n_active
+        FROM sym s JOIN r{i-1} a ON a.v = s.nbr
+        GROUP BY s.v
+    ) c
+    WHERE c.n_active >= {theta}
+      AND c.v NOT IN (SELECT v FROM r{i-1})
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT sid AS v, tid AS nbr FROM edge
+    UNION
+    SELECT tid, sid FROM edge
+), r0 AS MATERIALIZED (
+    SELECT v, 0 AS round FROM (
+        SELECT DISTINCT v FROM sym ORDER BY v LIMIT {n_seeds}
+    )
+), {', '.join(steps)}
+SELECT v, CAST(round AS INTEGER) AS round FROM r{rounds}"""

@@ -1836,6 +1836,25 @@ def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return directed_modularity(e, labels)
 
 
+def q_threshold_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap percolation on the derived graph: activation round
+    per vertex from the 25 lowest-id seeds at threshold 2 (monotone
+    cascade — unrolled-SQL exact). Influence-spread primitive."""
+    from adopt_spark.algos.cascade import cascade_report
+
+    return cascade_report(spark, derived_edges(spark, sf_dir))
+
+
+def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability: earliest-arrival hour per user
+    from the minimum user id over hourly same-event-type contacts
+    (static reachability would overcount — arrival times must be
+    non-decreasing along the path). Oracle: unrolled min-relaxation."""
+    from adopt_spark.algos.temporal import temporal_reach_report
+
+    return temporal_reach_report(spark, _t(spark, sf_dir, "events"))
+
+
 def q_louvain_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous Louvain local-move (greedy modularity, 4 sweeps,
     all-integer gain scores) on the derived graph — community size
@@ -5054,6 +5073,10 @@ SELECT (SELECT m FROM m) AS n_edges,
 
 ORACLES["a_louvain_sizes"] = _og.louvain_fixed_sql(DERIVED_EDGE_SQL)
 
+ORACLES["e_temporal_reach"] = _og.temporal_reach_sql()
+
+ORACLES["a_threshold_cascade"] = _og.cascade_fixed_sql(DERIVED_EDGE_SQL)
+
 ORACLES["e_sessionize_batch"] = """
 WITH base AS (
     SELECT user_id,
@@ -6111,8 +6134,10 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
-        # -- (0b) round-3 session-4: community detection
+        # -- (0b) round-3 session-4: community detection + temporal
         "a_louvain_sizes": q_louvain_sizes,
+        "e_temporal_reach": q_temporal_reach,
+        "a_threshold_cascade": q_threshold_cascade,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,

@@ -1,0 +1,92 @@
+"""Temporal reachability vs a pure-python earliest-arrival twin."""
+
+import numpy as np
+
+from adopt_spark.algos.temporal import (hourly_contacts,
+                                        temporal_reachability)
+
+
+def py_earliest_arrival(contacts, seed, rounds=50):
+    """contacts: iterable of (u, v, t) directed; returns {v: arrival}."""
+    arr = {seed: 0}
+    for _ in range(rounds):
+        new = dict(arr)
+        for u, v, t in contacts:
+            if u in arr and t >= arr[u]:
+                if v not in new or t < new[v]:
+                    new[v] = t
+        if new == arr:
+            break
+        arr = new
+    return arr
+
+
+def _contact_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(u), int(v), int(t)) for u, v, t in triples],
+        "u long, v long, t long")
+
+
+def sym(triples):
+    out = set()
+    for u, v, t in triples:
+        out.add((u, v, t))
+        out.add((v, u, t))
+    return sorted(out)
+
+
+def test_time_respecting_vs_static(spark):
+    """u→w at t=5, w→v at t=3: statically connected, temporally NOT."""
+    contacts = [(0, 1, 5), (1, 2, 3)]
+    arr, _ = temporal_reachability(spark, _contact_df(spark, contacts), 0)
+    got = {r["v"]: r["arrival"] for r in arr.collect()}
+    assert got == {0: 0, 1: 5}
+    # reversed times: now the 2-hop path is time-respecting
+    contacts = [(0, 1, 3), (1, 2, 5)]
+    arr, _ = temporal_reachability(spark, _contact_df(spark, contacts), 0)
+    got = {r["v"]: r["arrival"] for r in arr.collect()}
+    assert got == {0: 0, 1: 3, 2: 5}
+
+
+def test_equal_time_hop_allowed(spark):
+    """t >= arr(u): a same-hour relay is a valid temporal path."""
+    contacts = [(0, 1, 4), (1, 2, 4)]
+    arr, _ = temporal_reachability(spark, _contact_df(spark, contacts), 0)
+    got = {r["v"]: r["arrival"] for r in arr.collect()}
+    assert got == {0: 0, 1: 4, 2: 4}
+
+
+def test_random_differential(spark):
+    rng = np.random.default_rng(11)
+    triples = sym({(int(a), int(b), int(t))
+                   for a, b, t in zip(rng.integers(0, 30, 200),
+                                      rng.integers(0, 30, 200),
+                                      rng.integers(1, 40, 200))
+                   if a != b})
+    arr, metrics = temporal_reachability(
+        spark, _contact_df(spark, triples), 0, rounds=40)
+    got = {r["v"]: r["arrival"] for r in arr.collect()}
+    assert got == py_earliest_arrival(triples, 0)
+    assert metrics[-1]["changed"] == 0  # fixpoint reached within budget
+
+
+def test_hourly_contacts_symmetric_and_bucketed(spark):
+    import datetime as dt
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 5), 100, "click"),
+        (2, dt.datetime(2024, 1, 1, 10, 55), 200, "click"),
+        (3, dt.datetime(2024, 1, 1, 11, 5), 200, "click"),   # next hour
+        (4, dt.datetime(2024, 1, 1, 10, 30), 300, "view"),   # other type
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {(r["u"], r["v"], r["t"]) for r in hourly_contacts(ev).collect()}
+    h = int(dt.datetime(2024, 1, 1, 10, 0,
+                        tzinfo=dt.timezone.utc).timestamp() // 3600)
+    assert got == {(100, 200, h), (200, 100, h)}
+
+
+def test_seed_only_when_isolated(spark):
+    contacts = [(5, 6, 2)]
+    arr, _ = temporal_reachability(spark, _contact_df(spark, contacts), 99)
+    assert {tuple(r) for r in arr.collect()} == {(99, 0)}
