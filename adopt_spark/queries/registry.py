@@ -1865,6 +1865,108 @@ def q_louvain_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_sizes(spark, derived_edges(spark, sf_dir))
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the hourly event-count series
+    (k = 1, 2, 3, 24 — the daily-seasonality probe), over CALENDAR
+    hours min..max (missing hours count 0). Exact integer moments
+    expanded so the only float op is one final division:
+    n²·num = n²·Sxy − n·Sx·(S1+S2) + (n−k)·Sx², n²·den = n(n·Sxx−Sx²),
+    all in decimal(38,0) (HUGEINT in the oracle). No global window —
+    the lagged pairing is an hour+k equi-join, so the plan is two
+    shuffles on a table of per-hour counts regardless of event volume."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3_600_000_000)).cast("long").alias("h"))
+    counts = ev.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    lags = spark.createDataFrame([(1,), (2,), (3,), (24,)], "k int")
+    b = counts.agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"),
+                   F.sum("x").alias("sx"),
+                   F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    sums = (counts.crossJoin(F.broadcast(lags)).crossJoin(F.broadcast(b))
+            .groupBy("k").agg(
+                F.sum(F.when(F.col("h") <= F.col("hmax") - F.col("k"),
+                             F.col("x")).otherwise(F.lit(0))).alias("s1"),
+                F.sum(F.when(F.col("h") >= F.col("hmin") + F.col("k"),
+                             F.col("x")).otherwise(F.lit(0))).alias("s2")))
+    c2 = counts.select(F.col("h").alias("h2"), F.col("x").alias("x2"))
+    sxy = (counts.crossJoin(F.broadcast(lags))
+           .withColumn("h2", F.col("h") + F.col("k"))
+           .join(c2, "h2")
+           .groupBy("k").agg(F.sum(F.col("x") * F.col("x2")).alias("sxy")))
+    d = "decimal(38,0)"
+    joined = (sums.join(sxy, "k", "left")
+              .crossJoin(F.broadcast(b))
+              .withColumn("sxy", F.coalesce("sxy", F.lit(0)))
+              .withColumn("n", (F.col("hmax") - F.col("hmin") + 1).cast(d)))
+    num = (F.col("n") * F.col("n") * F.col("sxy").cast(d)
+           - F.col("n") * F.col("sx").cast(d)
+             * (F.col("s1") + F.col("s2")).cast(d)
+           + (F.col("n") - F.col("k")) * F.col("sx").cast(d)
+             * F.col("sx").cast(d))
+    den = (F.col("n") * (F.col("n") * F.col("sxx").cast(d)
+                         - F.col("sx").cast(d) * F.col("sx").cast(d)))
+    return joined.select(
+        "k",
+        (F.col("n") - F.col("k")).cast("long").alias("n_pairs"),
+        F.when(den != 0,
+               F.round(num.cast("double") / den.cast("double"), 6))
+         .alias("autocorr"))
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals: per-digit
+    count, observed share, Benford expectation log10(1+1/d), and the
+    per-digit chi-square contribution. The digit is taken from the
+    integer cents string (floor(x·100 + 0.5) → first char), never from
+    float log10/formatting — exact and engine-identical."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"))
+    fd = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    per = o.select(fd.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = per.agg(F.sum("n").alias("nn"))
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    exp_n = F.col("nn").cast("double") * p
+    return (per.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        F.round(F.col("n") / F.col("nn"), 6).alias("obs_p"),
+        F.round(p, 6).alias("exp_p"),
+        F.round(F.pow(F.col("n").cast("double") - exp_n, F.lit(2.0))
+                / exp_n, 6).alias("chi2_term")))
+
+
+EWMA_K = 16
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event value, α = 1/2,
+    over the last K=16 events ((ts, event_id)-desc order). Adjusted
+    EWMA (pandas adjust=True): Σ 2^(K−i)·v / Σ 2^(K−i) with the value
+    on the exact cents lattice, so numerator and denominator are exact
+    int64 and the single division is engine-identical. Key-partitioned
+    window — scales per user, no global sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long").alias("v100"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("t").desc(), F.col("event_id").desc())
+    r = (ev.withColumn("i", F.row_number().over(w))
+         .where(F.col("i") <= EWMA_K))
+    wt = F.pow(F.lit(2.0), F.lit(EWMA_K) - F.col("i")).cast("long")
+    agg = r.groupBy("user_id").agg(
+        F.sum(wt * F.col("v100")).alias("num"),
+        F.sum(wt).alias("den"),
+        F.count(F.lit(1)).alias("n_used"))
+    return agg.select(
+        "user_id", "n_used",
+        F.round(F.col("num") / F.col("den") / F.lit(100.0), 6)
+        .alias("ewma"))
+
+
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization of events per user (gap 1800 s):
     lag-marks breaks, running-sum numbers sessions, one collapse."""
@@ -5077,6 +5179,75 @@ ORACLES["e_temporal_reach"] = _og.temporal_reach_sql()
 
 ORACLES["a_threshold_cascade"] = _og.cascade_fixed_sql(DERIVED_EDGE_SQL)
 
+ORACLES["e_autocorr"] = """
+WITH counts AS MATERIALIZED (
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, count(*) AS x
+    FROM events GROUP BY 1
+), b AS (
+    SELECT min(h) AS hmin, max(h) AS hmax,
+           sum(x) AS sx, sum(x * x) AS sxx
+    FROM counts
+), lags(k) AS (VALUES (1), (2), (3), (24)),
+sums AS (
+    SELECT l.k,
+           sum(CASE WHEN c.h <= b.hmax - l.k THEN c.x ELSE 0 END) AS s1,
+           sum(CASE WHEN c.h >= b.hmin + l.k THEN c.x ELSE 0 END) AS s2
+    FROM counts c, b, lags l GROUP BY l.k
+), sxyt AS (
+    SELECT l.k, sum(c1.x * c2.x) AS sxy
+    FROM lags l
+    JOIN counts c1 ON true
+    JOIN counts c2 ON c2.h = c1.h + l.k
+    GROUP BY l.k
+), f AS (
+    SELECT s.k,
+           CAST(b.hmax - b.hmin + 1 AS HUGEINT) AS n,
+           CAST(coalesce(x.sxy, 0) AS HUGEINT) AS sxy,
+           CAST(b.sx AS HUGEINT) AS sx, CAST(b.sxx AS HUGEINT) AS sxx,
+           CAST(s.s1 AS HUGEINT) AS s1, CAST(s.s2 AS HUGEINT) AS s2
+    FROM sums s LEFT JOIN sxyt x ON x.k = s.k, b
+)
+SELECT k,
+       CAST(n - k AS BIGINT) AS n_pairs,
+       CASE WHEN n * (n * sxx - sx * sx) <> 0 THEN
+           round(CAST(n * n * sxy - n * sx * (s1 + s2)
+                      + (n - k) * sx * sx AS DOUBLE)
+                 / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6)
+       END AS autocorr
+FROM f"""
+
+ORACLES["r_benford"] = """
+WITH cents AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+    FROM orders
+), per AS (
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           count(*) AS n
+    FROM cents GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM per)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / nn, 6) AS obs_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS exp_p,
+       round(pow(CAST(n AS DOUBLE) - nn * log10(1.0 + 1.0 / digit), 2)
+             / (nn * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+FROM per, tot"""
+
+ORACLES["e_ewma"] = """
+WITH base AS (
+    SELECT user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC
+                              ) AS i
+    FROM events
+), lastk AS (SELECT * FROM base WHERE i <= 16)
+SELECT user_id,
+       count(*) AS n_used,
+       round(CAST(sum(CAST(pow(2, 16 - i) AS BIGINT) * v100) AS DOUBLE)
+             / CAST(sum(CAST(pow(2, 16 - i) AS BIGINT)) AS DOUBLE)
+             / 100.0, 6) AS ewma
+FROM lastk GROUP BY user_id"""
+
 ORACLES["e_sessionize_batch"] = """
 WITH base AS (
     SELECT user_id,
@@ -6138,6 +6309,9 @@ def all_queries() -> dict[str, QueryFn]:
         "a_louvain_sizes": q_louvain_sizes,
         "e_temporal_reach": q_temporal_reach,
         "a_threshold_cascade": q_threshold_cascade,
+        "e_autocorr": q_autocorr,
+        "r_benford": q_benford,
+        "e_ewma": q_ewma,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,

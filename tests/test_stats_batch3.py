@@ -1,0 +1,145 @@
+"""Differential tests for the batch-3 analytics operators: hourly
+autocorrelation, Benford first-digit audit, exact-arithmetic EWMA.
+
+Twins are independent numpy/pandas implementations (the DuckDB oracle
+parity is covered by the contract gate; these pin the math itself).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+def test_autocorr_matches_numpy(spark):
+    from adopt_spark.queries.registry import q_autocorr
+
+    got = {r.k: r for r in q_autocorr(spark, SF_TINY).collect()}
+
+    pdf = pd.read_parquet(f"{SF_TINY}/events.parquet", columns=["ts"])
+    h = (pdf["ts"].astype("datetime64[ns]").astype("int64")
+         // (3_600 * 10**9)).to_numpy()
+    hmin, hmax = int(h.min()), int(h.max())
+    x = np.bincount(h - hmin, minlength=hmax - hmin + 1).astype(float)
+    n = len(x)
+    xbar = x.mean()
+    den = ((x - xbar) ** 2).sum()
+    for k in (1, 2, 3, 24):
+        num = ((x[: n - k] - xbar) * (x[k:] - xbar)).sum()
+        assert got[k].n_pairs == n - k
+        assert got[k].autocorr == pytest.approx(num / den, abs=2e-6)
+
+
+def test_autocorr_constant_series_is_null(spark, tmp_path):
+    from adopt_spark.queries.registry import q_autocorr
+
+    # one event in every hour of a 30h span -> zero variance -> NULL
+    rows = [(i, (pd.Timestamp("2024-01-01")
+                 + pd.Timedelta(hours=i)).to_pydatetime(), 1)
+            for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, t, u, "click", 1.0) for i, t, u in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    d = tmp_path / "sf"
+    df.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    out = {r.k: r for r in q_autocorr(spark, str(d)).collect()}
+    assert out[1].autocorr is None and out[1].n_pairs == 29
+    assert out[24].autocorr is None and out[24].n_pairs == 6
+
+
+def test_autocorr_perfect_daily_seasonality(spark, tmp_path):
+    from adopt_spark.queries.registry import q_autocorr
+
+    # a 24h-periodic count pattern over 6 whole days -> lag-24
+    # autocorrelation is the maximum across the probed lags
+    rows, eid = [], 0
+    for day in range(6):
+        for hour in range(24):
+            burst = 5 if hour in (9, 18) else 1
+            for _ in range(burst):
+                rows.append((eid,
+                             (pd.Timestamp("2024-03-01")
+                              + pd.Timedelta(days=day, hours=hour,
+                                             minutes=eid % 50))
+                             .to_pydatetime(),
+                             eid % 7))
+                eid += 1
+    df = spark.createDataFrame(
+        [(i, t, u, "view", 2.0) for i, t, u in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    d = tmp_path / "sf"
+    df.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    out = {r.k: r.autocorr for r in q_autocorr(spark, str(d)).collect()}
+    # perfectly periodic series: the biased estimator is exactly
+    # (n - k)/n at the period (120/144 here)
+    assert out[24] == pytest.approx(120 / 144, abs=1e-6)
+    assert out[24] > out[1] and out[24] > out[2] and out[24] > out[3]
+
+
+def test_benford_known_digits(spark, tmp_path):
+    from adopt_spark.queries.registry import q_benford
+
+    totals = [1013.70, 1999.99, 105.00, 950.10, 9.99, 0.07, 23.45, 2.50]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(totals)],
+        "o_orderkey long, o_totalprice double")
+    d = tmp_path / "sf"
+    df.write.mode("overwrite").parquet(str(d / "orders.parquet"))
+    out = {r.digit: r for r in q_benford(spark, str(d)).collect()}
+    # first significant digits: 1,1,1,9,9,7,2,2
+    assert {d_: out[d_].n for d_ in out} == {1: 3, 9: 2, 7: 1, 2: 2}
+    assert sum(r.obs_p for r in out.values()) == pytest.approx(1.0, abs=5e-6)
+    for d_, r in out.items():
+        assert r.exp_p == pytest.approx(math.log10(1 + 1 / d_), abs=1e-6)
+        nn, p = len(totals), math.log10(1 + 1 / d_)
+        assert r.chi2_term == pytest.approx(
+            (r.n - nn * p) ** 2 / (nn * p), abs=1e-5)
+
+
+def test_ewma_matches_manual_weights(spark):
+    from adopt_spark.queries.registry import q_ewma
+
+    got = {r.user_id: r for r in q_ewma(spark, SF_TINY).collect()}
+
+    pdf = pd.read_parquet(f"{SF_TINY}/events.parquet",
+                          columns=["user_id", "ts", "event_id", "value"])
+    pdf["v100"] = np.floor(pdf["value"].to_numpy() * 100 + 0.5)
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"], ascending=False).head(16)
+        w = 2.0 ** (16 - np.arange(1, len(g) + 1))
+        want = (w * g["v100"].to_numpy()).sum() / w.sum() / 100.0
+        assert got[uid].n_used == len(g)
+        assert got[uid].ewma == pytest.approx(want, abs=1e-6)
+
+
+def test_ewma_tie_break_and_truncation(spark, tmp_path):
+    from adopt_spark.queries.registry import q_ewma
+
+    t0 = pd.Timestamp("2024-01-01T00:00:00").to_pydatetime()
+    # user 1: two events at the SAME ts -> higher event_id is "latest";
+    # user 2: 20 events -> only the last 16 count
+    rows = [(1, t0, 1, "a", 10.00), (2, t0, 1, "a", 30.00)]
+    import datetime
+    rows += [(100 + i, t0 + datetime.timedelta(minutes=i), 2, "a", float(i))
+             for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    d = tmp_path / "sf"
+    df.write.mode("overwrite").parquet(str(d / "events.parquet"))
+    out = {r.user_id: r for r in q_ewma(spark, str(d)).collect()}
+    # user 1: newest (event_id 2, v=30) weight 2^15, older 2^14
+    assert out[1].ewma == pytest.approx(
+        (30 * 2**15 + 10 * 2**14) / (2**15 + 2**14), abs=1e-6)
+    # user 2: values 19..4 (last 16), newest weight 2^15
+    w = 2.0 ** np.arange(15, -1, -1)
+    v = np.arange(19, 3, -1, dtype=float)
+    assert out[2].n_used == 16
+    assert out[2].ewma == pytest.approx((w * v).sum() / w.sum(), abs=1e-6)
