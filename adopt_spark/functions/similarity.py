@@ -265,6 +265,79 @@ def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
     return cand.select("a", "b", cos).where(F.col("cos") >= threshold)
 
 
+def knn_graph_clusters(spark, embeddings: DataFrame, k: int = 3,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       label_col: str = "label",
+                       mutual: bool = True) -> DataFrame:
+    """Embedding clustering: exact-cosine (mutual) kNN graph →
+    connected components → per-cluster majority-label report.
+
+    Pipeline (all deterministic, parallelism-independent):
+      1. directed kNN edges: for every vector its top-k neighbors by
+         cosine (self excluded BEFORE ranking; ties broken by
+         neighbor id asc),
+      2. ``mutual=True`` keeps an edge only when BOTH endpoints list
+         each other (the standard mutual-kNN sparsifier — fragments
+         hub-dominated graphs into real clusters); otherwise the
+         union of directions is kept,
+      3. hash-min connected components (algos/cc.py large/small-star,
+         O(log n) rounds); vectors with no surviving edge become
+         singleton clusters,
+      4. per component: size, majority label (ties → smallest label),
+         and the majority count.
+
+    Returns [component, size, top_label, top_label_n]; ``component``
+    is the minimum vec_id of the cluster.
+
+    Scale: step 1 here scores corpus × corpus with the query side
+    broadcast — correct for the ≤ broadcast-threshold fixture; at
+    corpus scale swap the candidate generator for the banded-LSH join
+    (``embedding_near_dup``) or IVF cells (``ivf_topk``) — steps 2-4
+    are unchanged and shuffle only id pairs, never vectors.
+    """
+    from adopt_spark.algos.cc import connected_components
+
+    e = embeddings.select(F.col(id_col), F.col(vec_col),
+                          _norm_col(vec_col).alias("_n1"))
+    q = embeddings.select(F.col(id_col).alias("_qid"),
+                          F.col(vec_col).alias("_qvec"),
+                          _norm_col(vec_col).alias("_n2"))
+    pairs = (e.crossJoin(F.broadcast(q))
+             .where(F.col("_qid") != F.col(id_col)))
+    cos = (_dot(F.col(vec_col), F.col("_qvec"))
+           / (F.col("_n1") * F.col("_n2"))).alias("_cos")
+    scored = pairs.select("_qid", id_col, cos).where(~F.isnan("_cos"))
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.asc(id_col))
+    knn = (scored.withColumn("_rnk", F.row_number().over(w))
+           .where(F.col("_rnk") <= k).select("_qid", id_col))
+    if mutual:
+        rev = knn.select(F.col(id_col).alias("_qid"),
+                         F.col("_qid").alias(id_col))
+        knn = knn.join(rev, ["_qid", id_col], "left_semi")
+    edges = knn.select(
+        F.least(F.col("_qid"), F.col(id_col)).alias("sid"),
+        F.greatest(F.col("_qid"), F.col(id_col)).alias("tid")).distinct()
+    comp, _ = connected_components(spark, edges)
+    singles = (embeddings.select(F.col(id_col).alias("v"))
+               .join(comp.select("v"), "v", "left_anti")
+               .select("v", F.col("v").alias("component")))
+    labels = comp.unionByName(singles)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    lab = labels.join(
+        embeddings.select(F.col(id_col).alias("v"),
+                          F.col(label_col).alias("_lab")), "v")
+    counts = lab.groupBy("component", "_lab").agg(
+        F.count(F.lit(1)).alias("_n"))
+    wl = Window.partitionBy("component").orderBy(
+        F.desc("_n"), F.asc("_lab"))
+    top = (counts.withColumn("_r", F.row_number().over(wl))
+           .where(F.col("_r") == 1)
+           .select("component", F.col("_lab").alias("top_label"),
+                   F.col("_n").alias("top_label_n")))
+    return sizes.join(top, "component").select(
+        "component", "size", "top_label", "top_label_n")
+
+
 def group_centroids(df: DataFrame, group_col: str,
                     vec_col: str = "embedding") -> DataFrame:
     """Element-wise mean vector per group, in LONG form ->

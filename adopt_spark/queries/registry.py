@@ -2230,6 +2230,18 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def q_knn_graph_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering: exact-cosine MUTUAL 3-NN graph (self
+    excluded, id tie-break; an edge survives only if both endpoints
+    list each other) → hash-min connected components (no-edge vectors
+    are singletons) → per-cluster size + majority label. Oracle: the
+    same kNN edges in SQL + recursive reachability (the a_cc_sizes
+    pattern)."""
+    from adopt_spark.functions.similarity import knn_graph_clusters
+
+    return knn_graph_clusters(spark, _t(spark, sf_dir, "embeddings"), k=3)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN with an EXACT oracle: the seeded hyperplanes
     are embedded as float literals in the DuckDB SQL
@@ -5232,6 +5244,59 @@ SELECT digit, n,
              / (nn * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
 FROM per, tot"""
 
+ORACLES["s_knn_graph"] = """
+WITH RECURSIVE ex AS MATERIALIZED (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+), norms AS MATERIALIZED (
+    SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id
+), dots AS MATERIALIZED (
+    SELECT q.vec_id AS a, e.vec_id AS b, sum(q.x * e.x) AS dot
+    FROM ex q JOIN ex e USING (i)
+    WHERE q.vec_id <> e.vec_id
+    GROUP BY 1, 2
+), knn AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT d.a, d.b,
+               row_number() OVER (
+                   PARTITION BY d.a
+                   ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.b) AS rnk
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.a
+        JOIN norms nb ON nb.vec_id = d.b
+    ) WHERE rnk <= 3
+), mutual AS MATERIALIZED (
+    SELECT k1.a, k1.b FROM knn k1
+    JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+), sym AS MATERIALIZED (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM mutual
+    UNION
+    SELECT greatest(a, b), least(a, b) FROM mutual
+), reach(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v, w.r FROM reach w JOIN sym s ON s.u = w.v
+), comp AS MATERIALIZED (
+    SELECT v, min(r) AS component FROM reach GROUP BY v
+    UNION ALL
+    SELECT vec_id, vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT v FROM reach)
+), lab AS (
+    SELECT c.component, e.label AS l, count(*) AS n
+    FROM comp c JOIN embeddings e ON e.vec_id = c.v
+    GROUP BY 1, 2
+), top AS (
+    SELECT component, l, n,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY n DESC, l) AS rnk
+    FROM lab
+)
+SELECT s.component, s.size,
+       t.l AS top_label, t.n AS top_label_n
+FROM (SELECT component, count(*) AS size FROM comp GROUP BY 1) s
+JOIN top t ON t.component = s.component AND t.rnk = 1"""
+
 ORACLES["e_ewma"] = """
 WITH base AS (
     SELECT user_id,
@@ -6312,6 +6377,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_autocorr": q_autocorr,
         "r_benford": q_benford,
         "e_ewma": q_ewma,
+        "s_knn_graph": q_knn_graph_clusters,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,

@@ -192,3 +192,92 @@ def test_pq_topk_recall_and_self_hit(spark):
     rows2 = pq_topk(emb, q, k=10).collect()
     assert {(r.q_id, r.vec_id, r.cos, r.rank) for r in rows} == \
            {(r.q_id, r.vec_id, r.cos, r.rank) for r in rows2}
+
+
+def test_knn_graph_clusters_blobs_twin(spark):
+    """Three tight blobs + one far-off singleton: the mutual 3-NN
+    graph must recover exactly the blobs, and the majority label per
+    cluster must match a numpy/union-find twin."""
+    import numpy as np
+
+    from adopt_spark.functions.similarity import knn_graph_clusters
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 8
+    centers = rng.normal(size=(3, dim)) * 10
+    vecs, labels = [], []
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            vecs.append(c + rng.normal(size=dim) * 0.05)
+            labels.append(ci)
+    vecs.append(-centers[0] * 3)  # the loner
+    labels.append(9)
+    x = np.asarray(vecs, dtype=np.float64)
+
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]], int(labels[i]))
+         for i in range(len(x))],
+        "vec_id long, embedding array<float>, label int")
+    out = knn_graph_clusters(spark, emb, k=3).collect()
+
+    # twin: mutual 3-NN + union-find (float32 first, like the table)
+    x32 = x.astype(np.float32).astype(np.float64)
+    nrm = np.linalg.norm(x32, axis=1)
+    cos = (x32 @ x32.T) / np.outer(nrm, nrm)
+    np.fill_diagonal(cos, -np.inf)
+    n = len(x32)
+    topk = {
+        i: set(sorted(range(n), key=lambda j: (-cos[i, j], j))[:3])
+        for i in range(n)
+    }
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in topk[i]:
+            if i in topk[j]:
+                parent[find(i)] = find(j)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {}
+    for members in comp.values():
+        rep = min(members)
+        labs = sorted((labels[m] for m in members))
+        top = max(set(labs), key=lambda l: (labs.count(l), -l))
+        want[rep] = (len(members), top, labs.count(top))
+    got = {r.component: (r.size, r.top_label, r.top_label_n) for r in out}
+    assert got == want
+    # structure: no cluster mixes blobs (majority == unanimity), the
+    # loner is a singleton with its own label, and the three largest
+    # clusters are one per blob
+    assert all(s == tn for s, _, tn in got.values())
+    assert got[len(x) - 1] == (1, 9, 1)
+    big = sorted(got.values(), reverse=True)[:3]
+    assert [lab for _, lab, _ in sorted(big, key=lambda t: t[1])] == [0, 1, 2]
+    assert all(s >= 7 for s, _, _ in big)
+
+
+def test_knn_graph_clusters_empty_and_union_mode(spark):
+    from adopt_spark.functions.similarity import knn_graph_clusters
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+    assert knn_graph_clusters(spark, empty, k=3).count() == 0
+
+    # two mutually-nearest pairs; union (non-mutual) mode must give
+    # the same answer here since all edges are reciprocal
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.99, 0.1], 0),
+         (2, [0.0, 1.0], 1), (3, [0.1, 0.99], 1)],
+        "vec_id long, embedding array<float>, label int")
+    a = {(r.component, r.size) for r in
+         knn_graph_clusters(spark, emb, k=1, mutual=True).collect()}
+    b = {(r.component, r.size) for r in
+         knn_graph_clusters(spark, emb, k=1, mutual=False).collect()}
+    assert a == b == {(0, 2), (2, 2)}
