@@ -1855,6 +1855,24 @@ def q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_reach_report(spark, _t(spark, sf_dir, "events"))
 
 
+BRIDGE_ID_BOUND = 3000
+
+
+def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge (cut-edge) list of the bounded sparse graph (ids <
+    3000 — the a_bowtie bounding precedent: keeps the oracle's
+    recursive reachability ~8.5M rows instead of the giant
+    component's 2×10^8). Kernel: BFS forest + fundamental-cycle
+    cover (algos/bridges.py); oracle: the same forest + walk as
+    recursive SQL. The unbounded kernel is differentially tested
+    against an independent Tarjan twin in pytest."""
+    from adopt_spark.algos.bridges import bridge_report
+
+    e = derived_edges_sparse(spark, sf_dir).where(
+        (F.col("sid") < BRIDGE_ID_BOUND) & (F.col("tid") < BRIDGE_ID_BOUND))
+    return bridge_report(spark, e)
+
+
 def q_louvain_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous Louvain local-move (greedy modularity, 4 sweeps,
     all-integer gain scores) on the derived graph — community size
@@ -5244,6 +5262,65 @@ SELECT digit, n,
              / (nn * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
 FROM per, tot"""
 
+ORACLES["a_bridges"] = f"""
+WITH RECURSIVE edge AS MATERIALIZED (
+    SELECT * FROM ({SPARSE_EDGE_SQL})
+    WHERE sid < 3000 AND tid < 3000
+), sym AS MATERIALIZED (
+    SELECT sid AS u, tid AS v FROM edge
+    UNION
+    SELECT tid, sid FROM edge
+), reach(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v, w.r FROM reach w JOIN sym s ON s.u = w.v
+), roots AS MATERIALIZED (
+    SELECT DISTINCT comp AS root FROM (
+        SELECT v, min(r) AS comp FROM reach GROUP BY v
+    )
+), bfs(v, d) AS (
+    SELECT root, 0 FROM roots
+    UNION
+    SELECT s.v, b.d + 1 FROM bfs b JOIN sym s ON s.u = b.v
+    WHERE b.d < 64
+), dist AS MATERIALIZED (
+    SELECT v, min(d) AS d FROM bfs GROUP BY v
+), parent AS MATERIALIZED (
+    SELECT s.u AS child, min(s.v) AS par
+    FROM sym s
+    JOIN dist du ON du.v = s.u
+    JOIN dist dn ON dn.v = s.v
+    WHERE dn.d = du.d - 1
+    GROUP BY s.u
+), nontree AS MATERIALIZED (
+    SELECT e.a, e.b, da.d AS da, db.d AS db
+    FROM (SELECT u AS a, v AS b FROM sym WHERE u < v) e
+    JOIN dist da ON da.v = e.a
+    JOIN dist db ON db.v = e.b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM parent t
+        WHERE (t.child = e.a AND t.par = e.b)
+           OR (t.child = e.b AND t.par = e.a))
+), walk(pu, pv, du, dv) AS (
+    SELECT a, b, da, db FROM nontree
+    UNION ALL
+    SELECT CASE WHEN w.du >= w.dv THEN tu.par ELSE w.pu END,
+           CASE WHEN w.dv >= w.du THEN tv.par ELSE w.pv END,
+           CASE WHEN w.du >= w.dv THEN w.du - 1 ELSE w.du END,
+           CASE WHEN w.dv >= w.du THEN w.dv - 1 ELSE w.dv END
+    FROM walk w
+    LEFT JOIN parent tu ON tu.child = w.pu
+    LEFT JOIN parent tv ON tv.child = w.pv
+    WHERE w.pu <> w.pv
+), covered AS MATERIALIZED (
+    SELECT pu AS child FROM walk WHERE pu <> pv AND du >= dv
+    UNION
+    SELECT pv FROM walk WHERE pu <> pv AND dv >= du
+)
+SELECT least(t.child, t.par) AS u, greatest(t.child, t.par) AS v
+FROM parent t
+WHERE t.child NOT IN (SELECT child FROM covered)"""
+
 ORACLES["s_knn_graph"] = """
 WITH RECURSIVE ex AS MATERIALIZED (
     SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -6378,6 +6455,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_benford": q_benford,
         "e_ewma": q_ewma,
         "s_knn_graph": q_knn_graph_clusters,
+        "a_bridges": q_bridges,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,
