@@ -165,3 +165,34 @@ def bridge_report(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """Contract shape: the bridge edge list [u: long, v: long], u < v."""
     out, _ = bridge_edges(spark, edges)
     return out.select(F.col("u").cast("long"), F.col("v").cast("long"))
+
+
+def two_edge_connected_sizes(spark: SparkSession,
+                             edges: DataFrame) -> DataFrame:
+    """2-edge-connected component size histogram [size, n_components]:
+    delete the bridges, re-run hash-min components; a vertex whose
+    every incident edge is a bridge is its own (singleton) 2ECC.
+
+    Composition of two existing kernels — the bridge walk and the
+    large/small-star CC — so it inherits both scale arguments; the
+    only new step is one anti-join of the edge list against the
+    bridge list."""
+    from adopt_spark.algos.cc import connected_components
+
+    br, _ = bridge_edges(spark, edges)
+    e = (edges.select(F.col("sid").cast("long"), F.col("tid").cast("long"))
+         .where(F.col("sid") != F.col("tid")))
+    und = e.select(F.least("sid", "tid").alias("u"),
+                   F.greatest("sid", "tid").alias("v")).distinct()
+    keep = und.join(br, ["u", "v"], "left_anti")
+    comp, _ = connected_components(
+        spark, keep.select(F.col("u").alias("sid"),
+                           F.col("v").alias("tid")))
+    verts = (und.select(F.col("u").alias("v"))
+             .unionAll(und.select("v")).distinct())
+    singles = (verts.join(comp.select("v"), "v", "left_anti")
+               .select("v", F.col("v").alias("component")))
+    labels = comp.unionByName(singles)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return (sizes.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_components")))

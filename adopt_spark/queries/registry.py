@@ -1873,6 +1873,18 @@ def q_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bridge_report(spark, e)
 
 
+def q_2ecc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-edge-connected component size histogram of the bounded
+    sparse graph: bridges removed, hash-min CC re-run, bridge-only
+    vertices singletons. Oracle: the bridge core SQL + a second
+    recursive reachability over the surviving edges."""
+    from adopt_spark.algos.bridges import two_edge_connected_sizes
+
+    e = derived_edges_sparse(spark, sf_dir).where(
+        (F.col("sid") < BRIDGE_ID_BOUND) & (F.col("tid") < BRIDGE_ID_BOUND))
+    return two_edge_connected_sizes(spark, e)
+
+
 def q_louvain_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous Louvain local-move (greedy modularity, 4 sweeps,
     all-integer gain scores) on the derived graph — community size
@@ -5262,7 +5274,9 @@ SELECT digit, n,
              / (nn * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
 FROM per, tot"""
 
-ORACLES["a_bridges"] = f"""
+# Shared recursive core for the bridge family: BFS forest + cycle
+# cover over the id-bounded sparse graph (see q_bridges for bounds).
+_BRIDGE_CORE_SQL = f"""
 WITH RECURSIVE edge AS MATERIALIZED (
     SELECT * FROM ({SPARSE_EDGE_SQL})
     WHERE sid < 3000 AND tid < 3000
@@ -5316,10 +5330,36 @@ WITH RECURSIVE edge AS MATERIALIZED (
     SELECT pu AS child FROM walk WHERE pu <> pv AND du >= dv
     UNION
     SELECT pv FROM walk WHERE pu <> pv AND dv >= du
+), bridge AS MATERIALIZED (
+    SELECT least(t.child, t.par) AS u, greatest(t.child, t.par) AS v
+    FROM parent t
+    WHERE t.child NOT IN (SELECT child FROM covered)
+)"""
+
+ORACLES["a_bridges"] = _BRIDGE_CORE_SQL + """
+SELECT u, v FROM bridge"""
+
+ORACLES["a_2ecc_sizes"] = _BRIDGE_CORE_SQL + """
+, sym2 AS MATERIALIZED (
+    SELECT s.u, s.v FROM sym s
+    WHERE NOT EXISTS (SELECT 1 FROM bridge b
+                      WHERE b.u = least(s.u, s.v)
+                        AND b.v = greatest(s.u, s.v))
+), reach2(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym2)
+    UNION
+    SELECT s.v, w.r FROM reach2 w JOIN sym2 s ON s.u = w.v
+), comp2 AS MATERIALIZED (
+    SELECT v, min(r) AS component FROM reach2 GROUP BY v
+    UNION ALL
+    -- vertices whose every incident edge is a bridge are their own
+    -- 2-edge-connected component
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    WHERE u NOT IN (SELECT v FROM reach2)
 )
-SELECT least(t.child, t.par) AS u, greatest(t.child, t.par) AS v
-FROM parent t
-WHERE t.child NOT IN (SELECT child FROM covered)"""
+SELECT size, count(*) AS n_components FROM (
+    SELECT component, count(*) AS size FROM comp2 GROUP BY component
+) GROUP BY size"""
 
 ORACLES["s_knn_graph"] = """
 WITH RECURSIVE ex AS MATERIALIZED (
@@ -6456,6 +6496,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_ewma": q_ewma,
         "s_knn_graph": q_knn_graph_clusters,
         "a_bridges": q_bridges,
+        "a_2ecc_sizes": q_2ecc_sizes,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,

@@ -120,3 +120,45 @@ def test_bridges_partition_invariance(spark):
     many = {(r.u, r.v)
             for r in bridge_report(spark, e.repartition(7)).collect()}
     assert one == many == tarjan_bridges(pairs)
+
+
+def test_two_edge_connected_sizes_vs_twin(spark):
+    from adopt_spark.algos.bridges import two_edge_connected_sizes
+
+    rng = np.random.default_rng(5)
+    pairs = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 50, size=(70, 2))
+                    if a != b})
+    got = {(r.size, r.n_components)
+           for r in two_edge_connected_sizes(
+               spark, edge_df(spark, pairs)).collect()}
+
+    # twin: tarjan bridges -> union-find on the rest
+    br = tarjan_bridges(pairs)
+    verts = sorted({x for p in pairs for x in p})
+    parent = {v: v for v in verts}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        if (a, b) not in br:
+            parent[find(a)] = find(b)
+    from collections import Counter
+    comp_sizes = Counter(find(v) for v in verts)
+    want = set(Counter(comp_sizes.values()).items())
+    assert got == {(s, n) for s, n in want}
+
+
+def test_two_edge_connected_ring_plus_pendant(spark):
+    from adopt_spark.algos.bridges import two_edge_connected_sizes
+
+    # 5-ring with a pendant: one 2ECC of size 5, one singleton
+    pairs = [(i, (i + 1) % 5) for i in range(5)] + [(0, 9)]
+    got = {(r.size, r.n_components)
+           for r in two_edge_connected_sizes(
+               spark, edge_df(spark, pairs)).collect()}
+    assert got == {(5, 1), (1, 1)}
