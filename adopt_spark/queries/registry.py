@@ -930,6 +930,15 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("window_start", "event_type", "n", "total_value")
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly top-3 users by event count: incremental
+    tumbling-window aggregation in the stream, deterministic rank at
+    serve time; oracle = equivalent batch SQL."""
+    from adopt_spark.streaming.windowed import windowed_topk_stream
+
+    return windowed_topk_stream(spark, sf_dir, k=3)
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming (applyInPandasWithState, bounded per-key
     state); oracle = batch lag+cumsum sessionization SQL."""
@@ -5339,6 +5348,20 @@ WITH RECURSIVE edge AS MATERIALIZED (
 ORACLES["a_bridges"] = _BRIDGE_CORE_SQL + """
 SELECT u, v FROM bridge"""
 
+ORACLES["e_stream_topk"] = """
+WITH c AS (
+    SELECT strftime(date_trunc('hour', ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, count(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, n, CAST(rnk AS INTEGER) AS rank
+FROM (SELECT window_start, user_id, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, user_id) AS rnk
+      FROM c)
+WHERE rnk <= 3"""
+
 ORACLES["a_2ecc_sizes"] = _BRIDGE_CORE_SQL + """
 , sym2 AS MATERIALIZED (
     SELECT s.u, s.v FROM sym s
@@ -6497,6 +6520,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_knn_graph": q_knn_graph_clusters,
         "a_bridges": q_bridges,
         "a_2ecc_sizes": q_2ecc_sizes,
+        "e_stream_topk": q_stream_topk,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,

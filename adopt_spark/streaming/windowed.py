@@ -180,3 +180,46 @@ def session_window_stream(spark: SparkSession, sf_dir: str,
                       "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n",
     )
+
+
+def windowed_topk_stream(spark: SparkSession, sf_dir: str, k: int = 3,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Hourly top-k users by event count: the streaming side runs the
+    tumbling-window (window, user) count aggregation — the heavy,
+    incremental part — and the rank runs as a batch window over the
+    materialized aggregate (ranking is not a supported streaming op;
+    aggregate-in-stream / rank-at-serve is the production split, with
+    the sink table per-window-partitioned so the serve rank never
+    re-reads history).
+
+    Returns [window_start: string, user_id, n, rank], rank ≤ k,
+    deterministic tie-break (count desc, user_id asc).
+    """
+    from pyspark.sql import Window
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="events_topk_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    agg = spark.table(name).select(
+        F.date_format(F.col("w.start"),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "user_id", "n")
+    rw = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("user_id"))
+    return (agg.withColumn("rank", F.row_number().over(rw))
+            .where(F.col("rank") <= k))

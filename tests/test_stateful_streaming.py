@@ -153,3 +153,37 @@ def test_append_mode_watermark_drops_late_events(spark, tmp_path):
     assert out == {("2024-01-01 00:00:00", 2),
                    ("2024-01-01 02:00:00", 1),
                    ("2024-01-01 03:00:00", 1)}
+
+
+def test_windowed_topk_stream_structure_and_batch_parity(spark):
+    """Streaming hourly top-3: ranks are 1..k per window with the
+    deterministic (n desc, user_id asc) tie-break, and the whole
+    result equals the batch computation over the same parquet."""
+    from pyspark.sql import Window, functions as F
+
+    from adopt_spark.streaming.windowed import windowed_topk_stream
+
+    sf = "/root/testdata/sf0.001"
+    rows = windowed_topk_stream(spark, sf, k=3).collect()
+    per_w: dict[str, list] = {}
+    for r in rows:
+        per_w.setdefault(r.window_start, []).append(r)
+    for w, rs in per_w.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        key = [(-r.n, r.user_id) for r in rs]
+        assert key == sorted(key)
+
+    batch = (spark.read.parquet(f"{sf}/events.parquet")
+             .groupBy(F.date_format(F.date_trunc("hour",
+                      F.col("ts").cast("timestamp")),
+                      "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                      "user_id")
+             .agg(F.count(F.lit(1)).alias("n")))
+    rw = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("user_id"))
+    want = {(r.window_start, r.user_id, r.n, r.rank)
+            for r in batch.withColumn("rank", F.row_number().over(rw))
+            .where(F.col("rank") <= 3).collect()}
+    assert {(r.window_start, r.user_id, r.n, r.rank) for r in rows} == want
