@@ -106,3 +106,56 @@ def temporal_reach_report(spark: SparkSession, events: DataFrame,
                                    rounds=rounds)
     return arr.select(F.col("v").cast("long"),
                       F.col("arrival").cast("long"))
+
+
+TRIANGLE_DELTAS = (24, 72)
+
+
+def temporal_triangles(spark: SparkSession, contacts: DataFrame,
+                       deltas: tuple[int, ...] = TRIANGLE_DELTAS,
+                       ) -> DataFrame:
+    """δ-temporal triangle census (the Paranjape-Benson-Leskovec
+    WSDM'17 motif family, hour resolution): ordered contact triples
+    (u,v,t1), (v,w,t2), (w,u,t3) with t1 < t2 < t3 and t3 − t1 ≤ δ.
+    For an undirected triangle with three DISTINCT edge times there is
+    exactly one such triple (the middle edge fixes v), so the count is
+    the number of time-respecting triangles; same-hour edges never
+    count (strict <).
+
+    Plan: two equi-joins on the shared vertex with the time predicates
+    as join residuals, then one span histogram scanned once per δ —
+    the wedge volume is the temporal 2-path count, keyed by the
+    center vertex, so hub skew goes to AQE skew-join handling exactly
+    like the static wedge plan in algos/triangles.py. Returns
+    [delta: int, n_triangles: long].
+    """
+    c = contacts.select(F.col("u").cast("long"), F.col("v").cast("long"),
+                        F.col("t").cast("long")).localCheckpoint(eager=True)
+    c1 = c.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                  F.col("t").alias("t1"))
+    c2 = c.select(F.col("u").alias("b"), F.col("v").alias("cv"),
+                  F.col("t").alias("t2"))
+    max_d = max(deltas)
+    wedge = (c1.join(c2, "b")
+             .where((F.col("t2") > F.col("t1"))
+                    & (F.col("cv") != F.col("a"))
+                    & (F.col("t2") - F.col("t1") <= max_d)))
+    c3 = c.select(F.col("u").alias("cv"), F.col("v").alias("a"),
+                  F.col("t").alias("t3"))
+    tri = (wedge.join(c3, ["cv", "a"])
+           .where((F.col("t3") > F.col("t2"))
+                  & (F.col("t3") - F.col("t1") <= max_d))
+           .select((F.col("t3") - F.col("t1")).alias("span")))
+    spans = tri.groupBy("span").agg(F.count(F.lit(1)).alias("n"))
+    dl = spark.createDataFrame([(int(d),) for d in deltas], "delta int")
+    return (spans.crossJoin(F.broadcast(dl))
+            .where(F.col("span") <= F.col("delta"))
+            .groupBy("delta")
+            .agg(F.sum("n").alias("n_triangles"))
+            .unionByName(  # deltas with zero triangles still get a row
+                dl.join(spans.crossJoin(F.broadcast(dl))
+                        .where(F.col("span") <= F.col("delta"))
+                        .select("delta").distinct(),
+                        "delta", "left_anti")
+                .select("delta", F.lit(0).cast("long")
+                        .alias("n_triangles"))))

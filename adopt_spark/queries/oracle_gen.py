@@ -1564,6 +1564,38 @@ SELECT label, count(*) AS size FROM l{sweeps} GROUP BY label"""
 
 TEMPORAL_ROUNDS = 8
 
+# hourly same-event-type contact list — the shared deterministic
+# input of the temporal operators (twin of algos/temporal.py:
+# hourly_contacts)
+CONTACTS_CTE_SQL = """occ AS MATERIALIZED (
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+           event_type
+    FROM events
+), contacts AS MATERIALIZED (
+    SELECT DISTINCT a.u, b.u AS v, a.t
+    FROM occ a JOIN occ b ON a.t = b.t AND a.event_type = b.event_type
+    WHERE a.u <> b.u
+)"""
+
+
+def temporal_triangles_sql(deltas: tuple[int, ...] = (24, 72)) -> str:
+    """δ-temporal triangle census: ordered contact triples
+    (u,v,t1),(v,w,t2),(w,u,t3), t1 < t2 < t3, span ≤ δ — the exact
+    twin of algos/temporal.py:temporal_triangles."""
+    max_d = max(deltas)
+    values = ", ".join(f"({int(d)})" for d in deltas)
+    return f"""WITH {CONTACTS_CTE_SQL}, tri AS MATERIALIZED (
+    SELECT c3.t - c1.t AS span
+    FROM contacts c1
+    JOIN contacts c2 ON c2.u = c1.v AND c2.t > c1.t AND c2.v <> c1.u
+    JOIN contacts c3 ON c3.u = c2.v AND c3.v = c1.u AND c3.t > c2.t
+    WHERE c3.t - c1.t <= {max_d}
+), dl(delta) AS (VALUES {values})
+SELECT d.delta, CAST(count(t.span) AS BIGINT) AS n_triangles
+FROM dl d LEFT JOIN tri t ON t.span <= d.delta
+GROUP BY d.delta"""
+
 
 def temporal_reach_sql(rounds: int = TEMPORAL_ROUNDS) -> str:
     """Earliest-arrival temporal BFS over hourly same-event-type
@@ -1582,16 +1614,7 @@ def temporal_reach_sql(rounds: int = TEMPORAL_ROUNDS) -> str:
         WHERE c.t >= p.arrival
     ) GROUP BY v
 )""")
-    return f"""WITH occ AS MATERIALIZED (
-    SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
-           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
-           event_type
-    FROM events
-), contacts AS MATERIALIZED (
-    SELECT DISTINCT a.u, b.u AS v, a.t
-    FROM occ a JOIN occ b ON a.t = b.t AND a.event_type = b.event_type
-    WHERE a.u <> b.u
-), a0 AS MATERIALIZED (
+    return f"""WITH {CONTACTS_CTE_SQL}, a0 AS MATERIALIZED (
     SELECT CAST(min(user_id) AS BIGINT) AS v, CAST(0 AS BIGINT) AS arrival
     FROM events
 ), {', '.join(steps)}

@@ -1894,6 +1894,17 @@ def q_2ecc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_edge_connected_sizes(spark, e)
 
 
+def q_temporal_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """δ-temporal triangle census over the hourly contact stream
+    (δ = 24, 72 hours): time-respecting triangles with strictly
+    increasing edge hours. Oracle: the same three-way join in SQL."""
+    from adopt_spark.algos.temporal import (hourly_contacts,
+                                            temporal_triangles)
+
+    contacts = hourly_contacts(_t(spark, sf_dir, "events"))
+    return temporal_triangles(spark, contacts)
+
+
 def q_louvain_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous Louvain local-move (greedy modularity, 4 sweeps,
     all-integer gain scores) on the derived graph — community size
@@ -5228,6 +5239,8 @@ ORACLES["a_louvain_sizes"] = _og.louvain_fixed_sql(DERIVED_EDGE_SQL)
 
 ORACLES["e_temporal_reach"] = _og.temporal_reach_sql()
 
+ORACLES["e_temporal_triangles"] = _og.temporal_triangles_sql()
+
 ORACLES["a_threshold_cascade"] = _og.cascade_fixed_sql(DERIVED_EDGE_SQL)
 
 ORACLES["e_autocorr"] = """
@@ -6521,6 +6534,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_bridges": q_bridges,
         "a_2ecc_sizes": q_2ecc_sizes,
         "e_stream_topk": q_stream_topk,
+        "e_temporal_triangles": q_temporal_triangles,
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,

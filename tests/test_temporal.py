@@ -90,3 +90,67 @@ def test_seed_only_when_isolated(spark):
     contacts = [(5, 6, 2)]
     arr, _ = temporal_reachability(spark, _contact_df(spark, contacts), 99)
     assert {tuple(r) for r in arr.collect()} == {(99, 0)}
+
+
+def test_temporal_triangles_vs_python_twin(spark):
+    import itertools
+
+    import numpy as np
+
+    from adopt_spark.algos.temporal import temporal_triangles
+
+    rng = np.random.default_rng(11)
+    contacts = set()
+    while len(contacts) < 120:
+        u, v = rng.integers(0, 15, size=2)
+        if u != v:
+            t = int(rng.integers(0, 50))
+            contacts.add((int(u), int(v), t))
+            contacts.add((int(v), int(u), t))  # symmetric, like hourly
+    rows = sorted(contacts)
+    cdf = spark.createDataFrame(rows, "u long, v long, t long")
+    got = {r.delta: r.n_triangles
+           for r in temporal_triangles(spark, cdf,
+                                       deltas=(5, 20, 100)).collect()}
+
+    cset = set(rows)
+    want = {5: 0, 20: 0, 100: 0}
+    for (a, b, t1), (b2, c, t2) in itertools.product(rows, rows):
+        if b2 != b or t2 <= t1 or c == a:
+            continue
+        for (c3, a3, t3) in rows:
+            if c3 == c and a3 == a and t3 > t2:
+                span = t3 - t1
+                for d in want:
+                    if span <= d:
+                        want[d] += 1
+    assert got == want
+
+
+def test_temporal_triangles_strict_time_and_direction(spark):
+    from adopt_spark.algos.temporal import temporal_triangles
+
+    def sym(tris):
+        out = []
+        for u, v, t in tris:
+            out += [(u, v, t), (v, u, t)]
+        return out
+
+    # distinct increasing times within delta -> exactly one triangle
+    one = spark.createDataFrame(sym([(1, 2, 10), (2, 3, 11), (3, 1, 12)]),
+                                "u long, v long, t long")
+    got = {r.delta: r.n_triangles
+           for r in temporal_triangles(spark, one, deltas=(2, 24)).collect()}
+    assert got == {2: 1, 24: 1}
+    # equal times never count (strict <)
+    eq = spark.createDataFrame(sym([(1, 2, 10), (2, 3, 10), (3, 1, 12)]),
+                               "u long, v long, t long")
+    got = {r.delta: r.n_triangles
+           for r in temporal_triangles(spark, eq, deltas=(24,)).collect()}
+    assert got == {24: 0}
+    # span beyond delta filtered
+    far = spark.createDataFrame(sym([(1, 2, 0), (2, 3, 5), (3, 1, 40)]),
+                                "u long, v long, t long")
+    got = {r.delta: r.n_triangles
+           for r in temporal_triangles(spark, far, deltas=(24, 72)).collect()}
+    assert got == {24: 0, 72: 1}
