@@ -168,6 +168,8 @@ _SEL_3CLIQUE = {1: 500, 2: 1000, 3: 1500}
 _SEL_4CYCLE = {1: 500, 2: 1000, 4: 1500}
 _SEL_5CYCLE = {1: 200, 2: 400, 4: 800}
 _SEL_6CLIQUE_SPARSE = {1: 25000, 2: 40000, 4: 45000}
+_SEL_4CLIQUE = {1: 500, 2: 1000, 3: 1500}
+_SEL_5CLIQUE_SPARSE = {1: 20000, 2: 35000, 3: 45000}
 
 
 def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3778,6 +3780,9 @@ ORACLES.update({
     "g_sel_5cycle": f"{_EDGE_CTE}\n{selectivity_cycle_sql(5, bounds=_SEL_5CYCLE)}",
     "g_sel_6clique": f"{_SPARSE_CTE}\n"
                      f"{selectivity_clique_sql(6, bounds=_SEL_6CLIQUE_SPARSE, edge_view='edge_sparse')}",
+    "g_sel_4clique": f"{_EDGE_CTE}\n{selectivity_clique_sql(4, bounds=_SEL_4CLIQUE)}",
+    "g_sel_5clique": f"{_SPARSE_CTE}\n"
+                     f"{selectivity_clique_sql(5, bounds=_SEL_5CLIQUE_SPARSE, edge_view='edge_sparse')}",
     # connected components: min-reachable-id labels via recursive CTE
     # over the symmetrized edge set — sizes per component. (RECURSIVE
     # must head the whole WITH clause, so the edge CTE is inlined.)
@@ -6535,6 +6540,12 @@ def all_queries() -> dict[str, QueryFn]:
         "a_2ecc_sizes": q_2ecc_sizes,
         "e_stream_topk": q_stream_topk,
         "e_temporal_triangles": q_temporal_triangles,
+        # full 6-family parity with graph_selectivity_query: the two
+        # families not yet driver-checked in r01/r02
+        "g_sel_4clique": _motif(selectivity_clique_sql(
+            4, bounds=_SEL_4CLIQUE)),
+        "g_sel_5clique": _motif_sparse(selectivity_clique_sql(
+            5, bounds=_SEL_5CLIQUE_SPARSE, edge_view="edge_sparse")),
         # -- (0a) round-3 session-3: the statistics layer
         "e_stream_outer_join": q_stream_outer_join,
         "t_dataset_split": q_dataset_split,
