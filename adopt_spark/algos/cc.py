@@ -118,3 +118,67 @@ def connected_components(
     roots = vertices.join(covered, "v", "left_anti") \
                     .select("v", F.col("v").alias("component"))
     return labels.unionAll(roots), metrics
+
+
+def cc_incremental(spark: SparkSession, base_edges: DataFrame,
+                   delta_edges: DataFrame,
+                   base_labels: DataFrame | None = None,
+                   ) -> tuple[DataFrame, dict]:
+    """Incremental CC maintenance under an edge-insertion batch:
+    instead of re-labelling the whole graph, contract the delta onto
+    the existing labels and run the star kernel on the CONTRACTED
+    graph — whose size is the delta batch, not the base graph.
+
+      1. label the base graph once (or accept cached ``base_labels``),
+      2. map each delta endpoint to its base component (delta-only
+         vertices are their own components),
+      3. hash-min CC over the contracted (comp_a, comp_b) edges —
+         O(|delta|) state, base-size-independent,
+      4. one relabel join pushes the merged roots back to vertices.
+
+    Because component ids are minimum vertex ids at every stage, the
+    composition yields exactly the from-scratch labels (min is
+    associative over the merge tree) — the oracle can therefore be an
+    independent full recompute. Returns ([v, component], stats).
+    """
+    if base_labels is None:
+        base_labels, _ = connected_components(spark, base_edges)
+    base_labels = base_labels.localCheckpoint(eager=True)
+
+    d = (delta_edges.select(F.col("sid").cast("long"),
+                            F.col("tid").cast("long"))
+         .where(F.col("sid") != F.col("tid")))
+    la = base_labels.select(F.col("v").alias("sid"),
+                            F.col("component").alias("ca"))
+    lb = base_labels.select(F.col("v").alias("tid"),
+                            F.col("component").alias("cb"))
+    mapped = (d.join(la, "sid", "left").join(lb, "tid", "left")
+              .select(F.coalesce("ca", "sid").alias("ca"),
+                      F.coalesce("cb", "tid").alias("cb"))
+              .where(F.col("ca") != F.col("cb")))
+    contracted = mapped.select(F.col("ca").alias("sid"),
+                               F.col("cb").alias("tid")).distinct()
+    n_contracted = contracted.count()
+    if n_contracted == 0:
+        # the delta closed no new connections: labels are unchanged,
+        # except delta-only vertices become their own components
+        extra = (d.select(F.col("sid").alias("v"))
+                 .unionAll(d.select(F.col("tid").alias("v"))).distinct()
+                 .join(base_labels.select("v"), "v", "left_anti")
+                 .select("v", F.col("v").alias("component")))
+        return base_labels.unionByName(extra), {"contracted_edges": 0}
+
+    merge, _ = connected_components(spark, contracted)
+    rename = merge.select(F.col("v").alias("component"),
+                          F.col("component").alias("new_c"))
+    relabeled = (base_labels.join(rename, "component", "left")
+                 .select("v", F.coalesce("new_c", "component")
+                         .alias("component")))
+    extra = (d.select(F.col("sid").alias("v"))
+             .unionAll(d.select(F.col("tid").alias("v"))).distinct()
+             .join(base_labels.select("v"), "v", "left_anti"))
+    extra_lab = (extra.join(rename.withColumnRenamed("component", "v"),
+                            "v", "left")
+                 .select("v", F.coalesce("new_c", "v").alias("component")))
+    return (relabeled.unionByName(extra_lab),
+            {"contracted_edges": int(n_contracted)})

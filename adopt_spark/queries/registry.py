@@ -1896,6 +1896,25 @@ def q_2ecc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_edge_connected_sizes(spark, e)
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance: the bounded sparse graph is split
+    deterministically ((sid + tid) % 7 == 0 → the insertion batch),
+    the base is labelled once, and the delta is merged by contracting
+    onto component ids — O(|delta|) merge state, never a full
+    re-label. Output = per-component sizes, which must equal (and the
+    oracle IS) an independent from-scratch recursive recompute over
+    the full edge set."""
+    from adopt_spark.algos.cc import cc_incremental
+
+    e = derived_edges_sparse(spark, sf_dir).where(
+        (F.col("sid") < BRIDGE_ID_BOUND) & (F.col("tid") < BRIDGE_ID_BOUND))
+    is_delta = (F.col("sid") + F.col("tid")) % 7 == 0
+    labels, _ = cc_incremental(spark, e.where(~is_delta),
+                               e.where(is_delta))
+    return (labels.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("size")))
+
+
 def q_temporal_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """δ-temporal triangle census over the hourly contact stream
     (δ = 24, 72 hours): time-respecting triangles with strictly
@@ -5246,6 +5265,25 @@ ORACLES["e_temporal_reach"] = _og.temporal_reach_sql()
 
 ORACLES["e_temporal_triangles"] = _og.temporal_triangles_sql()
 
+# independent from-scratch recompute (recursive reachability) — the
+# incremental path must reproduce it exactly
+ORACLES["a_incremental_cc"] = f"""
+WITH RECURSIVE edge AS MATERIALIZED (
+    SELECT * FROM ({SPARSE_EDGE_SQL})
+    WHERE sid < 3000 AND tid < 3000
+), sym AS MATERIALIZED (
+    SELECT sid AS u, tid AS v FROM edge
+    UNION
+    SELECT tid, sid FROM edge
+), reach(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v, w.r FROM reach w JOIN sym s ON s.u = w.v
+)
+SELECT component, count(*) AS size FROM (
+    SELECT v, min(r) AS component FROM reach GROUP BY v
+) GROUP BY component"""
+
 ORACLES["a_threshold_cascade"] = _og.cascade_fixed_sql(DERIVED_EDGE_SQL)
 
 ORACLES["e_autocorr"] = """
@@ -6540,6 +6578,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_2ecc_sizes": q_2ecc_sizes,
         "e_stream_topk": q_stream_topk,
         "e_temporal_triangles": q_temporal_triangles,
+        "a_incremental_cc": q_incremental_cc,
         # full 6-family parity with graph_selectivity_query: the two
         # families not yet driver-checked in r01/r02
         "g_sel_4clique": _motif(selectivity_clique_sql(

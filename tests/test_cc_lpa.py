@@ -2,7 +2,7 @@
 
 from adopt_spark.algos.cc import connected_components
 from adopt_spark.algos.lpa import label_propagation
-from tests.conftest import py_components
+from tests.conftest import edge_df, py_components
 
 
 def check_cc(spark, df, pairs):
@@ -129,3 +129,57 @@ def test_directed_modularity_vs_python(spark):
     assert row.modularity == round(q, 6)
     # perfect split without the cross links ~ higher modularity
     assert row.modularity > 0.3
+
+
+def test_cc_incremental_matches_full_recompute(spark):
+    """Randomized base/delta splits: the contraction-merge labels must
+    equal a from-scratch union-find on base+delta, including delta-only
+    vertices and min-id component naming."""
+    import numpy as np
+
+    from adopt_spark.algos.cc import cc_incremental
+
+    rng = np.random.default_rng(17)
+    pairs = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 40, size=(45, 2))
+                    if a != b})
+    # delta includes brand-new vertices 100..103 bridging components
+    delta = [(0, 100), (100, 101), (25, 102), (102, 103), (5, 30)]
+    base = [p for p in pairs if p not in set(delta)]
+
+    labels, stats = cc_incremental(
+        spark, edge_df(spark, base), edge_df(spark, delta))
+    got = {(r.v, r.component) for r in labels.collect()}
+
+    allp = base + delta
+    verts = sorted({x for p in allp for x in p})
+    parent = {v: v for v in verts}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in allp:
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {(v, comp_min[find(v)]) for v in verts}
+    assert got == want
+    assert stats["contracted_edges"] >= 1
+
+
+def test_cc_incremental_noop_delta(spark):
+    from adopt_spark.algos.cc import cc_incremental
+
+    base = [(0, 1), (1, 2), (10, 11)]
+    # delta edge inside an existing component + an isolated new pair
+    delta = [(0, 2), (50, 51)]
+    labels, stats = cc_incremental(
+        spark, edge_df(spark, base), edge_df(spark, delta))
+    got = {(r.v, r.component) for r in labels.collect()}
+    want = {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (50, 50), (51, 50)}
+    assert got == want
