@@ -1915,6 +1915,19 @@ def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("size")))
 
 
+def q_stream_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental CC: the bounded sparse edge table arrives
+    as 4 hash-split micro-batches; foreachBatch folds each into the
+    running labels by delta contraction (cc_incremental). Every fold
+    is exact, so the final sizes equal the from-scratch recompute —
+    the oracle (shared with a_incremental_cc)."""
+    from adopt_spark.streaming.graph_stream import streaming_cc_sizes
+
+    e = derived_edges_sparse(spark, sf_dir).where(
+        (F.col("sid") < BRIDGE_ID_BOUND) & (F.col("tid") < BRIDGE_ID_BOUND))
+    return streaming_cc_sizes(spark, e)
+
+
 def q_temporal_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """δ-temporal triangle census over the hourly contact stream
     (δ = 24, 72 hours): time-respecting triangles with strictly
@@ -5284,6 +5297,9 @@ SELECT component, count(*) AS size FROM (
     SELECT v, min(r) AS component FROM reach GROUP BY v
 ) GROUP BY component"""
 
+# the streaming fold must land on the identical from-scratch answer
+ORACLES["e_stream_cc"] = ORACLES["a_incremental_cc"]
+
 ORACLES["a_threshold_cascade"] = _og.cascade_fixed_sql(DERIVED_EDGE_SQL)
 
 ORACLES["e_autocorr"] = """
@@ -6579,6 +6595,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_stream_topk": q_stream_topk,
         "e_temporal_triangles": q_temporal_triangles,
         "a_incremental_cc": q_incremental_cc,
+        "e_stream_cc": q_stream_cc,
         # full 6-family parity with graph_selectivity_query: the two
         # families not yet driver-checked in r01/r02
         "g_sel_4clique": _motif(selectivity_clique_sql(

@@ -183,3 +183,39 @@ def test_cc_incremental_noop_delta(spark):
     got = {(r.v, r.component) for r in labels.collect()}
     want = {(0, 0), (1, 0), (2, 0), (10, 10), (11, 10), (50, 50), (51, 50)}
     assert got == want
+
+
+def test_streaming_cc_matches_batch_and_is_split_invariant(spark):
+    import numpy as np
+    from collections import Counter
+
+    from adopt_spark.streaming.graph_stream import streaming_cc_sizes
+
+    rng = np.random.default_rng(23)
+    pairs = sorted({(int(min(a, b)), int(max(a, b)))
+                    for a, b in rng.integers(0, 60, size=(70, 2))
+                    if a != b})
+    e = edge_df(spark, pairs)
+    got4 = {(r.component, r.size)
+            for r in streaming_cc_sizes(spark, e, n_batches=4).collect()}
+    got1 = {(r.component, r.size)
+            for r in streaming_cc_sizes(spark, e, n_batches=1).collect()}
+
+    verts = sorted({x for p in pairs for x in p})
+    parent = {v: v for v in verts}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for v in verts:
+        comp_min.setdefault(find(v), v)
+        comp_min[find(v)] = min(comp_min[find(v)], v)
+    sizes = Counter(comp_min[find(v)] for v in verts)
+    want = set(sizes.items())
+    assert got4 == got1 == want
