@@ -612,3 +612,114 @@ FROM big g
 JOIN bc ON bc.term = g.term AND bc.nxt = g.nxt
 JOIN cc ON cc.term = g.term, vocab
 GROUP BY g.doc_id"""
+
+
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]],
+              text_col: str = "text", k: int = 5) -> DataFrame:
+    """BM25 ranked retrieval -> (query_id, doc_id, score, rn).
+
+    The batch shape of a search backfill: score a (small, broadcast)
+    query set against every document and keep the top-``k`` docs per
+    query. Okapi BM25 with k1=1.2, b=0.75 and the Lucene-style
+    non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``; query
+    terms are deduplicated (query-side tf = 1).
+
+    Cross-engine float discipline: idf is quantized to 6 dp before
+    the tf multiply (absorbs libm ln() ulps, same trick as
+    tfidf_top_terms); each term's contribution is then snapped to the
+    integer micro lattice (floor(x*1e6 + 0.5) — exact BIGINT) so the
+    per-document SUM is order-independent and bit-identical in any
+    engine; ranking sorts the exact lattice sum with doc_id ASC ties.
+
+    Scale shape: two hash aggs (tf, df) + one per-doc agg (dl), a
+    broadcast join against the query terms, one final (query, doc)
+    aggregation, and a per-query top-k window over candidates that
+    matched at least one query term — never all docs. The only
+    driver-side values are the two corpus scalars (N, total tokens).
+    """
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(list(queries), "query_id int, qtext string")
+    qterms = (qdf.select(
+        "query_id",
+        F.explode(F.split(F.trim(F.lower("qtext")), r"\s+")).alias("term"))
+        .where(F.col("term") != "").distinct())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+         .alias("term")).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.select("doc_id").distinct().count()
+    total_tokens = toks.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf6 = F.round(F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))), 6)
+    ratio = ((F.col("dl") * F.lit(int(n_docs))).cast("double")
+             / F.lit(float(total_tokens)))
+    denom = (F.col("tf").cast("double")
+             + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * ratio))
+    contrib = idf6 * (F.col("tf").cast("double") * F.lit(2.2) / denom)
+    micro = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .join(dfreq, "term").join(dl, "doc_id")
+              .select("query_id", "doc_id", micro.alias("micro"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("micro").alias("sm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sm"), F.asc("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("query_id", "doc_id",
+                    F.round(F.col("sm").cast("double") / 1000000.0, 6)
+                    .alias("score"),
+                    F.col("rn").cast("int").alias("rn")))
+
+
+def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 5) -> str:
+    """DuckDB twin of :func:`bm25_topk` (same lattice, same ties)."""
+    values = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    return f"""
+WITH q(query_id, qtext) AS (VALUES {values}),
+qterms AS (
+    SELECT DISTINCT query_id,
+           unnest(regexp_split_to_array(trim(lower(qtext)), '\\s+')) AS term
+    FROM q
+), toks AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), toks2 AS (SELECT * FROM toks WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+tt AS (SELECT count(*) AS t FROM toks2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+    SELECT qterms.query_id, tf.doc_id,
+           CAST(floor(
+               round(ln(1.0 + (CAST(n.n AS DOUBLE) - dfreq.df + 0.5)
+                              / (dfreq.df + 0.5)), 6)
+               * (CAST(tf.tf AS DOUBLE) * 2.2
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl * n.n AS DOUBLE)
+                                             / CAST(tt.t AS DOUBLE)))))
+               * 1000000.0 + 0.5) AS BIGINT) AS micro
+    FROM tf
+    JOIN qterms USING (term)
+    JOIN dfreq USING (term)
+    JOIN dl USING (doc_id)
+    CROSS JOIN n CROSS JOIN tt
+), scored AS (
+    SELECT query_id, doc_id, sum(micro) AS sm
+    FROM contrib GROUP BY 1, 2
+), ranked AS (
+    SELECT query_id, doc_id, sm,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sm DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT CAST(query_id AS INT) AS query_id, doc_id,
+       round(CAST(sm AS DOUBLE) / 1000000.0, 6) AS score,
+       CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {int(k)}
+""".strip()

@@ -6554,6 +6554,82 @@ WHERE event_type = 'purchase' AND prev IS NOT NULL
 GROUP BY first_touch, prev"""
 
 
+# ---------------------------------------------------------------
+# round-3 session-5: table maintenance planners, Bloom semi join,
+# BM25 retrieval (functions/maintenance.py, bloomjoin.py, text.py)
+# ---------------------------------------------------------------
+
+_BM25_QUERIES = [(1, "hash join"), (2, "window agg stream"),
+                 (3, "fast scan filter")]
+_COMPACT_TARGET = 4096  # bytes per output bin at test scale
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style small-file compaction plan over the documents
+    table treated as a file catalog (lang = table partition, n_chars
+    = file bytes): greedy window-cumsum binpack to 4 KiB bins."""
+    from adopt_spark.functions.maintenance import compaction_plan
+
+    files = _t(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars")
+    return compaction_plan(files, "lang", "doc_id", "n_chars",
+                           _COMPACT_TARGET)
+
+
+def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition skew report for orders keyed by o_custkey into
+    32 buckets (shared exact multiplicative hash, so the bucket
+    assignment is engine-replicable)."""
+    from adopt_spark.functions.maintenance import partition_skew
+
+    return partition_skew(_t(spark, sf_dir, "orders"), "o_custkey", 32)
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem SEMI JOIN urgent orders through a Bloom pre-filter
+    (pre-shuffle row pruning; exact join re-verifies survivors, so
+    the oracle is the plain semi join), aggregated by return flag."""
+    from adopt_spark.functions.bloomjoin import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    out = bloom_semi_join(li, "l_orderkey", urgent, "o_orderkey")
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+              .cast("long")).alias("price_cents"))
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 documents for a fixed 3-query set (Lucene-style
+    non-negative idf, exact micro-lattice score sum)."""
+    from adopt_spark.functions.text import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
+
+
+from adopt_spark.functions.maintenance import (  # noqa: E402
+    compaction_plan_sql as _compaction_plan_sql,
+    partition_skew_sql as _partition_skew_sql,
+)
+from adopt_spark.functions.text import bm25_topk_sql as _bm25_sql  # noqa: E402
+
+ORACLES["r_compaction_plan"] = _compaction_plan_sql(
+    "documents", "lang", "doc_id", "n_chars", _COMPACT_TARGET)
+ORACLES["r_partition_skew"] = _partition_skew_sql("orders", "o_custkey", 32)
+ORACLES["r_bloom_semijoin"] = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS price_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""".strip()
+ORACLES["t_bm25_topk"] = _bm25_sql(_BM25_QUERIES, k=5)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -6582,6 +6658,11 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0c) round-3 session-5: maintenance planners + bloom + BM25
+        "r_compaction_plan": q_compaction_plan,
+        "r_partition_skew": q_partition_skew,
+        "r_bloom_semijoin": q_bloom_semijoin,
+        "t_bm25_topk": q_bm25_topk,
         # -- (0b) round-3 session-4: community detection + temporal
         "a_louvain_sizes": q_louvain_sizes,
         "e_temporal_reach": q_temporal_reach,
