@@ -56,7 +56,7 @@ def contract_weight(src: Column, dst: Column) -> Column:
 def shortest_paths(
     spark: SparkSession,
     edges: DataFrame,
-    source: int | list[int],
+    source: int | list[int] | DataFrame,
     weighted: bool = False,
     directed: bool = True,
     max_iter: int = 64,
@@ -100,11 +100,21 @@ def shortest_paths(
 
     cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="sssp_ckpt_"))
     start_iter = 0
-    seeds = [int(source)] if isinstance(source, int) else \
-        sorted({int(s) for s in source})
-    dist = spark.createDataFrame([(s, 0) for s in seeds],
-                                 "v long, dist long") \
-                .repartition(dist_parts, "v")
+    if isinstance(source, DataFrame):
+        # seed SET as a DataFrame (first column = vertex ids) — the
+        # distributed form of the seed-list variant, for seed sets
+        # computed by another job (e.g. per-component roots) that must
+        # never round-trip through the driver.
+        dist = source.select(
+            F.col(source.columns[0]).cast("long").alias("v"),
+            F.lit(0).cast("long").alias("dist"),
+        ).distinct().repartition(dist_parts, "v")
+    else:
+        seeds = [int(source)] if isinstance(source, int) else \
+            sorted({int(s) for s in source})
+        dist = spark.createDataFrame([(s, 0) for s in seeds],
+                                     "v long, dist long") \
+                    .repartition(dist_parts, "v")
     frontier = dist
     if resume and cm.latest() is not None:
         start_iter = cm.latest() + 1

@@ -723,3 +723,112 @@ SELECT CAST(query_id AS INT) AS query_id, doc_id,
        CAST(rn AS INT) AS rn
 FROM ranked WHERE rn <= {int(k)}
 """.strip()
+
+
+def dup_span_stats(docs: DataFrame, n: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """Maximal duplicated-substring spans per document -> (doc_id,
+    n_spans, dup_tokens, n_tokens, dup_frac 6dp).
+
+    The ExactSubstr signal (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): a token position is duplicated if
+    it lies inside a word ``n``-gram that occurs more than once in
+    the whole corpus; overlapping/contiguous duplicated shingles
+    merge into MAXIMAL spans (stride-1 shingles, unlike
+    dup_block_stats' disjoint blocks), so ``dup_tokens`` is the exact
+    number of tokens inside verbatim-repeated regions of length >= n.
+
+    Scale shape: one shingle explode (corpus-tokens rows), one
+    gram-keyed count (map-side partial agg; boilerplate grams are the
+    hot keys being measured), one gram equi-join back, then a per-doc
+    window interval-merge — never doc x doc, never a suffix array.
+    At 100 TB the gram key would be hashed (xxhash64) instead of the
+    string itself to shrink the shuffle; the string key keeps the
+    fixture oracle-identical.
+    """
+    arr = _token_array(text_col)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(arr, n, step=1)).alias("i", "g"))
+    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    starts = (grams.join(cnt, "g").where(F.col("c") > 1)
+              .select("doc_id", "i"))
+    w_prev = (Window.partitionBy("doc_id").orderBy("i")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("i")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    flagged = starts.withColumn(
+        "new_span",
+        F.when(F.col("i") > F.coalesce(F.max(F.col("i") + n - 1).over(w_prev),
+                                       F.lit(-2)) + 1, 1).otherwise(0))
+    spans = (flagged.withColumn("span_id", F.sum("new_span").over(w_run))
+             .groupBy("doc_id", "span_id")
+             .agg(F.min("i").alias("s"),
+                  (F.max("i") + n - 1).alias("e")))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"))
+    base = docs.select("doc_id", F.size(arr).cast("long").alias("n_tokens"))
+    ns = F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+    dt = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return (base.join(per_doc, "doc_id", "left")
+            .select("doc_id", ns.alias("n_spans"), dt.alias("dup_tokens"),
+                    "n_tokens",
+                    F.when(F.col("n_tokens") > 0,
+                           F.round(dt.cast("double") / F.col("n_tokens"), 6))
+                     .otherwise(F.lit(0.0)).alias("dup_frac")))
+
+
+def dup_span_stats_sql(n: int = 8) -> str:
+    """DuckDB twin of :func:`dup_span_stats` (same merge convention:
+    spans merge when overlapping or contiguous)."""
+    return f"""
+WITH arr AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS a
+    FROM documents
+), pos AS (
+    SELECT doc_id, a,
+           unnest(generate_series(1, len(a) - {n - 1})) AS i
+    FROM arr WHERE len(a) >= {n}
+), grams AS (
+    SELECT doc_id, i, array_to_string(a[i : i + {n - 1}], ' ') AS g
+    FROM pos
+), cnt AS (
+    SELECT g, count(*) AS c FROM grams GROUP BY 1
+), starts AS (
+    SELECT doc_id, i FROM grams JOIN cnt USING (g) WHERE cnt.c > 1
+), flagged AS (
+    SELECT doc_id, i,
+           CASE WHEN i > coalesce(max(i + {n - 1}) OVER (
+                    PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), -2) + 1 THEN 1 ELSE 0 END AS new_span
+    FROM starts
+), spans AS (
+    SELECT doc_id,
+           sum(new_span) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS span_id,
+           i
+    FROM flagged
+), merged AS (
+    SELECT doc_id, span_id, min(i) AS s, max(i) + {n - 1} AS e
+    FROM spans GROUP BY 1, 2
+), per_doc AS (
+    SELECT doc_id, count(*) AS n_spans,
+           sum(e - s + 1) AS dup_tokens
+    FROM merged GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(len(d.a) AS BIGINT) AS n_tokens,
+       CASE WHEN len(d.a) > 0
+            THEN round(CAST(coalesce(p.dup_tokens, 0) AS DOUBLE)
+                       / len(d.a), 6)
+            ELSE 0.0 END AS dup_frac
+FROM arr d LEFT JOIN per_doc p USING (doc_id)
+""".strip()

@@ -6609,6 +6609,50 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_QUERIES, k=5)
 
 
+# deterministic thinning of the derived graph: splits the one dense
+# blob into several components with a bipartite/odd-cycle mix, and
+# keeps the recursive-CTE oracle ~10x cheaper than the full graph.
+_BIP_THIN = "(sid * 31 + tid) % 13 = 0"
+
+
+def q_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component bipartiteness / odd-cycle report over the
+    thinned derived graph (CC roots + multi-source parity BFS)."""
+    from adopt_spark.algos.bipartite import bipartite_check
+
+    e = derived_edges(spark, sf_dir).where(
+        F.expr(f"{_BIP_THIN}"))
+    return bipartite_check(spark, e)
+
+
+_JOIN_SPECS_SQL = [
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-join output cardinalities + hot-key share for the
+    three TPC-H FK joins, computed from key-count tables without
+    running the joins (the ADOPT-premise planner statistic)."""
+    from adopt_spark.functions.cardinality import join_size_profile
+
+    specs = [
+        (name, _t(spark, sf_dir, lt), lk, _t(spark, sf_dir, rt), rk)
+        for name, lt, lk, rt, rk in _JOIN_SPECS_SQL
+    ]
+    return join_size_profile(specs)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring spans per document (ExactSubstr
+    signal: stride-1 8-gram duplicates merged into maximal spans)."""
+    from adopt_spark.functions.text import dup_span_stats
+
+    return dup_span_stats(_t(spark, sf_dir, "documents"), n=8)
+
+
 from adopt_spark.functions.maintenance import (  # noqa: E402
     compaction_plan_sql as _compaction_plan_sql,
     partition_skew_sql as _partition_skew_sql,
@@ -6628,6 +6672,21 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 GROUP BY l_returnflag
 """.strip()
 ORACLES["t_bm25_topk"] = _bm25_sql(_BM25_QUERIES, k=5)
+
+from adopt_spark.algos.bipartite import (  # noqa: E402
+    bipartite_check_sql as _bipartite_sql,
+)
+from adopt_spark.functions.cardinality import (  # noqa: E402
+    join_size_profile_sql as _join_profile_sql,
+)
+from adopt_spark.functions.text import (  # noqa: E402
+    dup_span_stats_sql as _dup_span_sql,
+)
+
+ORACLES["a_bipartite"] = _bipartite_sql(
+    f"SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) WHERE {_BIP_THIN}")
+ORACLES["r_join_size_profile"] = _join_profile_sql(_JOIN_SPECS_SQL)
+ORACLES["t_dup_spans"] = _dup_span_sql(n=8)
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -6659,10 +6718,14 @@ def all_queries() -> dict[str, QueryFn]:
     """
     return {
         # -- (0c) round-3 session-5: maintenance planners + bloom + BM25
+        #    + bipartiteness + join-size profiling + dup spans
         "r_compaction_plan": q_compaction_plan,
         "r_partition_skew": q_partition_skew,
         "r_bloom_semijoin": q_bloom_semijoin,
         "t_bm25_topk": q_bm25_topk,
+        "a_bipartite": q_bipartite,
+        "r_join_size_profile": q_join_size_profile,
+        "t_dup_spans": q_dup_spans,
         # -- (0b) round-3 session-4: community detection + temporal
         "a_louvain_sizes": q_louvain_sizes,
         "e_temporal_reach": q_temporal_reach,
