@@ -6645,6 +6645,26 @@ def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_profile(specs)
 
 
+_DQ_SPEC = [
+    ("not_null", "o_custkey"),
+    ("unique", "o_orderkey"),
+    ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+    ("range", "o_totalprice", 0, 600000),
+    ("regex", "o_orderpriority", "^[1-5]-"),
+]
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint report over orders: five row-local
+    constraints fused into one scan plus an FK anti-join against
+    customer."""
+    from adopt_spark.functions.quality_checks import dq_report
+
+    cons = list(_DQ_SPEC) + [
+        ("fk", "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey")]
+    return dq_report(_t(spark, sf_dir, "orders"), cons)
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated-substring spans per document (ExactSubstr
     signal: stride-1 8-gram duplicates merged into maximal spans)."""
@@ -6688,6 +6708,13 @@ ORACLES["a_bipartite"] = _bipartite_sql(
 ORACLES["r_join_size_profile"] = _join_profile_sql(_JOIN_SPECS_SQL)
 ORACLES["t_dup_spans"] = _dup_span_sql(n=8)
 
+from adopt_spark.functions.quality_checks import (  # noqa: E402
+    dq_report_sql as _dq_sql,
+)
+
+ORACLES["r_dq_report"] = _dq_sql(
+    "orders", list(_DQ_SPEC) + [("fk", "o_custkey", "customer", "c_custkey")])
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -6726,6 +6753,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_bipartite": q_bipartite,
         "r_join_size_profile": q_join_size_profile,
         "t_dup_spans": q_dup_spans,
+        "r_dq_report": q_dq_report,
         # -- (0b) round-3 session-4: community detection + temporal
         "a_louvain_sizes": q_louvain_sizes,
         "e_temporal_reach": q_temporal_reach,
