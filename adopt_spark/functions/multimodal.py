@@ -300,3 +300,116 @@ def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
                 F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1,
                                      F.lit(every))).alias("frame_idx"))
     )
+
+
+def synthetic_png_neardup_media(keys: DataFrame,
+                                id_col: str = "media_id") -> DataFrame:
+    """Near-duplicate PNG fixture: 7 base images + per-key perturbation.
+
+    Every image is 16x16 grayscale; pixel i of image ``k`` is
+    ``((k % 7) * 31 + i * 7) % 256`` — the BASE depends only on
+    ``k % 7``, so keys in the same residue class are near-identical —
+    plus a per-key perturbation ``+16 (mod 256)`` at positions with
+    ``i % 61 == k % 61`` (~4 of 256 pixels). Scanline filter ``k % 5``
+    keeps the whole unfilter surface in play. The law is closed-form,
+    so the perceptual-hash dedup built on the DECODED pixels has a
+    value-level SQL oracle.
+    """
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            payloads = []
+            i = np.arange(256, dtype=np.int64)
+            for k in ids:
+                px = ((int(k) % 7) * 31 + i * 7) % 256
+                px = np.where(i % 61 == int(k) % 61, (px + 16) % 256, px)
+                payloads.append(png_encode(
+                    px.astype(np.uint8).reshape(16, 16),
+                    filter_type=int(k % 5)))
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["image"] * len(ids),
+                "payload": payloads,
+                "meta": [{"width": 16, "height": 16, "sample_rate": 0,
+                          "n_frames": 1}] * len(ids),
+            })
+
+    return keys.select(F.col(id_col)).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def image_ahash(media: DataFrame,
+                decoder: Callable[[bytes, int, int], np.ndarray] | None = None,
+                ) -> DataFrame:
+    """Perceptual average-hash over DECODED pixels -> (media_id, ahash).
+
+    aHash: bin the image into an 8x8 block grid (integer binning, any
+    w x h), set bit j when block j's mean exceeds the global mean.
+    The threshold is evaluated as the integer cross-multiplication
+    ``s_j * N > S * n_j`` (block sum x total count vs total sum x
+    block count) — exact, so Spark and the closed-form SQL oracle
+    compute the identical 63-bit hash (bit 63 is dropped to keep the
+    BIGINT non-negative: band extraction then needs no unsigned-shift
+    semantics on either engine). Exactness bound: s_j * N fits int64
+    for images up to ~2^27 pixels.
+    """
+    decode = decoder or default_image_decode
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for x, (p, m) in enumerate(zip(pdf["payload"], pdf["meta"])):
+                img = decode(bytes(p), int(m["width"]), int(m["height"]))
+                h, w = img.shape
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                bins = ((r * 8 // h) * 8 + (c * 8 // w)).ravel()
+                flat = img.ravel().astype(np.int64)
+                s = np.bincount(bins, weights=flat, minlength=64).astype(np.int64)
+                n = np.bincount(bins, minlength=64).astype(np.int64)
+                bits = (s * flat.size) > (int(flat.sum()) * n)
+                out[x] = int(np.sum(
+                    (1 << np.arange(63, dtype=np.uint64))[bits[:63]]))
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(), "ahash": out})
+
+    return media.mapInPandas(kernel, schema="media_id long, ahash long")
+
+
+# 4 bands over the 63-bit hash: [0..15], [16..31], [32..47], [48..62].
+_AHASH_BANDS = ((0, 0xFFFF), (16, 0xFFFF), (32, 0xFFFF), (48, 0x7FFF))
+
+
+def image_near_dup(media: DataFrame, max_hamming: int = 3,
+                   decoder: Callable[[bytes, int, int], np.ndarray] | None = None,
+                   ) -> DataFrame:
+    """Perceptual near-duplicate image pairs -> (a, b, hamming).
+
+    Candidates come from banded-LSH equi-joins on the aHash (4 x
+    16-bit bands — by pigeonhole, any pair within Hamming distance
+    < 4 shares at least one exact band, so ``max_hamming <= 3`` is
+    COMPLETE, not approximate); survivors are verified with the exact
+    ``bit_count(xor)`` distance. Same shape as the simhash text dedup
+    (functions/dedup.py): bounded-key equi-join candidates, never
+    all-pairs — the 100-TB plan.
+    """
+    if max_hamming >= len(_AHASH_BANDS):
+        raise ValueError("max_hamming must be < number of bands (4) "
+                         "for the band join to be complete")
+    hashes = image_ahash(media, decoder=decoder)
+    bands = []
+    for bi, (shift, mask) in enumerate(_AHASH_BANDS):
+        bands.append(hashes.select(
+            "media_id", "ahash", F.lit(bi).alias("band"),
+            F.shiftrightunsigned("ahash", shift).bitwiseAND(F.lit(mask))
+             .alias("bval")))
+    from functools import reduce
+    banded = reduce(DataFrame.unionAll, bands)
+    left = banded.select(F.col("media_id").alias("a"),
+                         F.col("ahash").alias("ha"), "band", "bval")
+    right = banded.select(F.col("media_id").alias("b"),
+                          F.col("ahash").alias("hb"), "band", "bval")
+    cand = (left.join(right, ["band", "bval"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "ha", "hb").distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.select("a", "b", ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

@@ -6645,6 +6645,20 @@ def q_join_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_size_profile(specs)
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs over the REAL PNG
+    decode path: banded-LSH candidates on the 63-bit aHash of the
+    decoded pixels, exact bit_count(xor) verify; the fixture's pixel
+    law is closed-form so the whole decode→hash→dedup pipeline has a
+    value-level SQL oracle."""
+    from adopt_spark.functions.multimodal import (
+        image_near_dup, synthetic_png_neardup_media,
+    )
+
+    media = synthetic_png_neardup_media(_media_keys(spark, sf_dir))
+    return image_near_dup(media, max_hamming=3)
+
+
 _DQ_SPEC = [
     ("not_null", "o_custkey"),
     ("unique", "o_orderkey"),
@@ -6715,6 +6729,39 @@ from adopt_spark.functions.quality_checks import (  # noqa: E402
 ORACLES["r_dq_report"] = _dq_sql(
     "orders", list(_DQ_SPEC) + [("fk", "o_custkey", "customer", "c_custkey")])
 
+# closed-form twin of the decode -> aHash -> banded-dedup pipeline:
+# same pixel law as synthetic_png_neardup_media, same integer
+# cross-multiplied threshold, same 63-bit packing; all-pairs in SQL
+# (complete because max_hamming=3 < 4 bands, pigeonhole).
+ORACLES["m_image_near_dup"] = """
+WITH m AS (
+    SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 100 < 2
+), px AS (
+    SELECT k, i,
+           ((k % 7) * 31 + i * 7
+            + CASE WHEN i % 61 = k % 61 THEN 16 ELSE 0 END) % 256 AS p,
+           ((i // 16) // 2) * 8 + ((i % 16) // 2) AS j
+    FROM (SELECT k, unnest(range(0, 256)) AS i FROM m)
+), blk AS (
+    SELECT k, j, sum(p) AS s, count(*) AS n FROM px GROUP BY 1, 2
+), tot AS (
+    SELECT k, sum(p) AS st, count(*) AS nt FROM px GROUP BY 1
+), bits AS (
+    SELECT b.k, b.j,
+           CASE WHEN b.s * t.nt > t.st * b.n THEN 1 ELSE 0 END AS bit
+    FROM blk b JOIN tot t USING (k)
+), hashes AS (
+    SELECT k, CAST(sum(CASE WHEN j < 63 AND bit = 1
+                            THEN (1::BIGINT << CAST(j AS INTEGER))
+                            ELSE 0 END) AS BIGINT) AS ahash
+    FROM bits GROUP BY k
+)
+SELECT x.k AS a, y.k AS b,
+       CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
+FROM hashes x JOIN hashes y ON x.k < y.k
+WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
+""".strip()
+
 
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
@@ -6754,6 +6801,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_join_size_profile": q_join_size_profile,
         "t_dup_spans": q_dup_spans,
         "r_dq_report": q_dq_report,
+        "m_image_near_dup": q_image_near_dup,
         # -- (0b) round-3 session-4: community detection + temporal
         "a_louvain_sizes": q_louvain_sizes,
         "e_temporal_reach": q_temporal_reach,
