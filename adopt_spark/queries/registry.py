@@ -6659,6 +6659,106 @@ def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup(media, max_hamming=3)
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's per-type
+    event count with the count from 7 days earlier, report per-type
+    MAE / MAPE over the evaluable span — the standard QA loop run
+    before trusting any fancier forecaster. Exact integer errors; the
+    two summary divisions are 6 dp-rounded doubles."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("event_type"),
+                        F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    pred = daily.select("event_type",
+                        F.date_add(F.col("d"), 7).alias("d"),
+                        F.col("n").alias("p"))
+    j = daily.join(pred, ["event_type", "d"])
+    err = F.abs(F.col("n") - F.col("p"))
+    return (j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_eval"),
+        F.sum(err).alias("abs_err_total"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6)
+         .alias("mae"),
+        F.round(F.avg(err.cast("double") / F.col("n")), 6).alias("mape")))
+
+
+ORACLES_FORECAST = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+    FROM events GROUP BY 1, 2
+), j AS (
+    SELECT a.event_type, a.n, b.n AS p
+    FROM daily a
+    JOIN daily b ON b.event_type = a.event_type
+                AND b.d + INTERVAL 7 DAY = a.d
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days_eval,
+       CAST(sum(abs(n - p)) AS BIGINT) AS abs_err_total,
+       round(CAST(sum(abs(n - p)) AS DOUBLE) / count(*), 6) AS mae,
+       round(avg(CAST(abs(n - p) AS DOUBLE) / n), 6) AS mape
+FROM j GROUP BY 1
+""".strip()
+
+
+def q_lang_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive terms per language by smoothed log-odds vs
+    the rest of the corpus (Monroe et al.'s "Fightin' Words" shape
+    with +1 smoothing): the corpus-drift probe that tells you WHAT a
+    partition over-represents, not just that it drifts. The ranking
+    statistic is ln of a ratio of exact integers, 6 dp-quantized
+    before the rank; ties break on term ASC."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+         .alias("term")).where(F.col("term") != "")
+    per = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    lang_tot = per.groupBy("lang").agg(F.sum("c").alias("nl"))
+    term_tot = per.groupBy("term").agg(F.sum("c").alias("ct"))
+    tot = toks.count()
+    j = per.join(lang_tot, "lang").join(term_tot, "term")
+    rest_c = F.col("ct") - F.col("c")
+    rest_n = F.lit(int(tot)) - F.col("nl")
+    log_odds = F.round(F.log(
+        ((F.col("c") + 1).cast("double") / (F.col("nl") - F.col("c") + 1))
+        / ((rest_c + 1).cast("double") / (rest_n - rest_c + 1))), 6)
+    w = Window.partitionBy("lang").orderBy(F.desc("log_odds"),
+                                           F.asc("term"))
+    return (j.select("lang", "term", log_odds.alias("log_odds"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 10)
+            .select("lang", "term", "log_odds",
+                    F.col("rn").cast("int").alias("rn")))
+
+
+ORACLES_LANG_KEYWORDS = """
+WITH toks AS (
+    SELECT lang,
+           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), t2 AS (SELECT * FROM toks WHERE term <> ''),
+per AS (SELECT lang, term, count(*) AS c FROM t2 GROUP BY 1, 2),
+lt AS (SELECT lang, sum(c) AS nl FROM per GROUP BY 1),
+tt AS (SELECT term, sum(c) AS ct FROM per GROUP BY 1),
+n AS (SELECT count(*) AS tot FROM t2),
+scored AS (
+    SELECT per.lang, per.term,
+           round(ln(
+               (CAST(per.c + 1 AS DOUBLE) / (lt.nl - per.c + 1))
+               / (CAST(tt.ct - per.c + 1 AS DOUBLE)
+                  / (n.tot - lt.nl - (tt.ct - per.c) + 1))), 6) AS log_odds
+    FROM per JOIN lt USING (lang) JOIN tt USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT lang, term, log_odds,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY log_odds DESC, term ASC) AS rn
+    FROM scored
+)
+SELECT lang, term, log_odds, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= 10
+""".strip()
+
+
 _DQ_SPEC = [
     ("not_null", "o_custkey"),
     ("unique", "o_orderkey"),
@@ -6761,6 +6861,8 @@ SELECT x.k AS a, y.k AS b,
 FROM hashes x JOIN hashes y ON x.k < y.k
 WHERE bit_count(xor(x.ahash, y.ahash)) <= 3
 """.strip()
+ORACLES["e_forecast_backtest"] = ORACLES_FORECAST
+ORACLES["t_lang_keywords"] = ORACLES_LANG_KEYWORDS
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -6802,6 +6904,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_dup_spans": q_dup_spans,
         "r_dq_report": q_dq_report,
         "m_image_near_dup": q_image_near_dup,
+        "e_forecast_backtest": q_forecast_backtest,
+        "t_lang_keywords": q_lang_keywords,
         # -- (0b) round-3 session-4: community detection + temporal
         "a_louvain_sizes": q_louvain_sizes,
         "e_temporal_reach": q_temporal_reach,
