@@ -6865,6 +6865,32 @@ ORACLES["e_forecast_backtest"] = ORACLES_FORECAST
 ORACLES["t_lang_keywords"] = ORACLES_LANG_KEYWORDS
 
 
+def q_uct_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count with the join-variable order LEARNED AT RUNTIME
+    by the UCT episode learner (algos/uct.py) — the reference's
+    namesake adaptive mechanism (ParallelUctNodeLFTJ.java), recast as
+    hash-sliced distributed episodes with per-level budgets. The count
+    is exact and order-independent (each slice evaluated exactly once
+    by a completed episode), so the static motif SQL is its oracle."""
+    from adopt_spark.algos.uct import clique_query, uct_motif_count
+    total, _ = uct_motif_count(spark, derived_edges(spark, sf_dir),
+                               clique_query(3), n_slices=8, seed=7)
+    return spark.createDataFrame([(total,)], "n bigint")
+
+
+def q_uct_4cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Increasing 4-cycle count (reference closing-alias convention)
+    under the UCT-learned variable order — see q_uct_triangle."""
+    from adopt_spark.algos.uct import cycle_query, uct_motif_count
+    total, _ = uct_motif_count(spark, derived_edges(spark, sf_dir),
+                               cycle_query(4), n_slices=8, seed=7)
+    return spark.createDataFrame([(total,)], "n bigint")
+
+
+ORACLES["g_uct_triangle"] = f"{_EDGE_CTE}\n{clique_sql(3)}"
+ORACLES["g_uct_4cycle"] = f"{_EDGE_CTE}\n{cycle_sql(4)}"
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -6893,6 +6919,10 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0d) round-3 session-6: UCT join-order learning (the
+        #    reference's namesake adaptive mechanism, now actually RL)
+        "g_uct_triangle": q_uct_triangle,
+        "g_uct_4cycle": q_uct_4cycle,
         # -- (0c) round-3 session-5: maintenance planners + bloom + BM25
         #    + bipartiteness + join-size profiling + dup spans
         "r_compaction_plan": q_compaction_plan,
