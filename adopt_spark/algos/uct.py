@@ -81,8 +81,14 @@ class Atom:
 
 @dataclass(frozen=True)
 class MotifQuery:
+    """``var_upper`` holds (var, upper_bound) pairs — the
+    graph_selectivity_query encoding's per-variable ``< K`` predicates,
+    replicated onto every atom occurrence of the variable so they push
+    into every scan (motifs._directed_sql does the same on the SQL
+    side)."""
     n_vars: int
     atoms: tuple[Atom, ...]
+    var_upper: tuple[tuple[int, int], ...] = ()
 
     def connects(self, v: int, bound: frozenset[int]) -> bool:
         for a in self.atoms:
@@ -114,6 +120,25 @@ def cycle_query(n: int) -> MotifQuery:
     return MotifQuery(n, tuple(atoms))
 
 
+def selectivity_clique_uct(n: int, bounds: dict[int, int]) -> MotifQuery:
+    """Same semantics as motifs.selectivity_clique_sql(n, bounds):
+    DIRECTED motif (no lt filters), chain + lexicographic chords,
+    per-variable upper bounds."""
+    from itertools import combinations
+    chain = [(i, i + 1) for i in range(1, n)]
+    chords = sorted(p for p in combinations(range(1, n + 1), 2)
+                    if p not in set(chain))
+    return MotifQuery(n, tuple(Atom(i, j, lt=False) for i, j in chain + chords),
+                      tuple(sorted(bounds.items())))
+
+
+def selectivity_cycle_uct(n: int, bounds: dict[int, int]) -> MotifQuery:
+    """Same semantics as motifs.selectivity_cycle_sql(n, bounds)."""
+    pairs = [(i, i + 1) for i in range(1, n)] + [(1, n)]
+    return MotifQuery(n, tuple(Atom(i, j, lt=False) for i, j in pairs),
+                      tuple(sorted(bounds.items())))
+
+
 @dataclass
 class EpisodeResult:
     completed: bool
@@ -134,10 +159,16 @@ def _run_order(edges: DataFrame, query: MotifQuery, order: list[int],
     filter, then budget-probe the intermediate. Returns exact slice
     count on completion.
     """
+    upper = dict(query.var_upper)
+
     def atom_df(a: Atom) -> DataFrame:
         d = edges
         if a.lt:
             d = d.where(F.col("sid") < F.col("tid"))
+        if a.sv in upper:
+            d = d.where(F.col("sid") < F.lit(upper[a.sv]))
+        if a.tv in upper:
+            d = d.where(F.col("tid") < F.lit(upper[a.tv]))
         if a.sv == slice_var:
             d = d.where(F.pmod(F.xxhash64("sid"), F.lit(n_slices))
                         == F.lit(slice_id))

@@ -6887,8 +6887,22 @@ def q_uct_4cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(total,)], "n bigint")
 
 
+def q_uct_sel_4cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed selectivity-encoding 4-cycle (per-variable upper
+    bounds replicated onto every occurrence) under the UCT-learned
+    variable order — the query family where order learning has real
+    signal: bounded variables are the cheap ones to bind early."""
+    from adopt_spark.algos.uct import selectivity_cycle_uct, uct_motif_count
+    total, _ = uct_motif_count(
+        spark, derived_edges(spark, sf_dir),
+        selectivity_cycle_uct(4, _SEL_4CYCLE), n_slices=8, seed=7)
+    return spark.createDataFrame([(total,)], "n bigint")
+
+
 ORACLES["g_uct_triangle"] = f"{_EDGE_CTE}\n{clique_sql(3)}"
 ORACLES["g_uct_4cycle"] = f"{_EDGE_CTE}\n{cycle_sql(4)}"
+ORACLES["g_uct_sel_4cycle"] = (
+    f"{_EDGE_CTE}\n{selectivity_cycle_sql(4, bounds=_SEL_4CYCLE)}")
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -6923,6 +6937,7 @@ def all_queries() -> dict[str, QueryFn]:
         #    reference's namesake adaptive mechanism, now actually RL)
         "g_uct_triangle": q_uct_triangle,
         "g_uct_4cycle": q_uct_4cycle,
+        "g_uct_sel_4cycle": q_uct_sel_4cycle,
         # -- (0c) round-3 session-5: maintenance planners + bloom + BM25
         #    + bipartiteness + join-size profiling + dup spans
         "r_compaction_plan": q_compaction_plan,

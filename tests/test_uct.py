@@ -105,6 +105,25 @@ def test_rewards_rank_orders_by_work(spark):
     assert all(0.0 < r <= 1.0 for r in rewards)
 
 
+@pytest.mark.parametrize("bounds", [
+    {},
+    {1: 500, 2: 1000, 4: 1500},
+    {1: 50},
+])
+def test_uct_selectivity_encoding(spark, bounds):
+    """Directed selectivity encoding with per-variable upper bounds —
+    UCT count must equal the generated SQL for every bound shape."""
+    from adopt_spark.algos.motifs import selectivity_cycle_sql
+    from adopt_spark.algos.uct import selectivity_cycle_uct
+
+    edges = derived_edges(spark, SF_TINY)
+    want = _sql_count(spark, edges,
+                      selectivity_cycle_sql(4, bounds=bounds or None))
+    got, _ = uct_motif_count(spark, edges, selectivity_cycle_uct(4, bounds),
+                             n_slices=4, seed=17)
+    assert got == want
+
+
 def test_disconnected_playout_cartesian_path(spark):
     """A two-atom query over disjoint variable pairs forces the
     Cartesian branch (no connected action exists at level 2 from some
