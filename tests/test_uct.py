@@ -124,6 +124,24 @@ def test_uct_selectivity_encoding(spark, bounds):
     assert got == want
 
 
+def test_learner_exploits_selectivity_skew(spark):
+    """With a tight bound on v1, orders that bind v1 (or its
+    bounded-atom neighbor v2) early are strictly cheaper; the exploit
+    phase must run such an order and do less work than the worst
+    completed exploration episode. Deterministic given the seed."""
+    from adopt_spark.algos.uct import selectivity_cycle_uct
+
+    edges = derived_edges(spark, SF_TINY)
+    q = selectivity_cycle_uct(4, {1: 50})
+    total, info = uct_motif_count(spark, edges, q, n_slices=6,
+                                  explore_frac=0.67, seed=23)
+    assert info.optimal_order[0] in (1, 2)
+    explored = info.episodes[:len(info.episodes) - 2]
+    exploit = info.episodes[-2:]
+    worst = max(e.work for e in explored if e.completed)
+    assert all(e.completed and e.work < worst for e in exploit)
+
+
 def test_disconnected_playout_cartesian_path(spark):
     """A two-atom query over disjoint variable pairs forces the
     Cartesian branch (no connected action exists at level 2 from some
