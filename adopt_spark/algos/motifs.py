@@ -179,6 +179,98 @@ def selectivity_cycle_sql(n: int, bounds: dict[int, int] | None = None,
     return _directed_sql(aliases, bounds, edge_view)
 
 
+# ---------------------------------------------------------------------------
+# Generic conjunctive patterns — the reference engine is not a
+# clique/cycle library but a WCOJ evaluator for ARBITRARY conjunctive
+# queries over edge(sid, tid) (any .sql file a user drops into
+# graph_query/ runs through the same QueryInfo → LFTJ path,
+# query/QueryInfo.java:346-373 derives the join variables from whatever
+# equalities the text contains). pattern_sql is that generality for
+# this engine: any edge pattern, expressed as (sv, tv, lt) atoms,
+# compiles to the same ANSI SQL Catalyst and the DuckDB oracle both
+# run. Per-variable upper bounds are replicated onto every occurrence
+# (the selectivity-suite encoding) so they push into every scan.
+
+Pattern = list[tuple[int, int, bool]]
+
+# Named patterns in the reference suite's id-ordered style (every lt
+# atom constrains sid < tid on its occurrence):
+#   diamond         = increasing 4-cycle + (v1, v3) chord
+#   tailed triangle = id-ordered triangle + lt tail off its max vertex
+#   house           = increasing 5-cycle (all-lt closing, the n>=6
+#                     cycle-file convention) + (v2, v5) chord
+DIAMOND: Pattern = [(1, 2, True), (2, 3, True), (3, 4, True),
+                    (1, 4, True), (1, 3, True)]
+TAILED_TRIANGLE: Pattern = [(1, 2, True), (1, 3, True), (2, 3, True),
+                            (3, 4, True)]
+HOUSE: Pattern = [(1, 2, True), (2, 3, True), (3, 4, True), (4, 5, True),
+                  (1, 5, True), (2, 5, True)]
+
+
+def _validate_pattern(atoms: Pattern) -> int:
+    """Vars must be 1..n contiguous and the pattern graph connected
+    (disconnected patterns are Cartesian products — reject them the
+    way the reference's avoid-Cartesian heuristic never proposes
+    them)."""
+    if not atoms:
+        raise ValueError("pattern needs at least one atom")
+    vs = {v for sv, tv, _ in atoms for v in (sv, tv)}
+    n = max(vs)
+    if vs != set(range(1, n + 1)):
+        raise ValueError(f"pattern variables must be 1..{n} contiguous, "
+                         f"got {sorted(vs)}")
+    for sv, tv, _ in atoms:
+        if sv == tv:
+            raise ValueError(f"self-loop atom ({sv},{tv}) not supported")
+    seen = {atoms[0][0]}
+    frontier = True
+    while frontier:
+        frontier = False
+        for sv, tv, _ in atoms:
+            if (sv in seen) != (tv in seen):
+                seen.update((sv, tv))
+                frontier = True
+    if seen != vs:
+        raise ValueError(f"pattern is disconnected: {sorted(vs - seen)} "
+                         "unreachable (would be a Cartesian product)")
+    return n
+
+
+def pattern_sql(atoms: Pattern, bounds: dict[int, int] | None = None,
+                edge_view: str = "edge") -> str:
+    """COUNT(*) SQL for an arbitrary connected edge pattern.
+
+    ``atoms``: one ``(sv, tv, lt)`` triple per edge-relation occurrence
+    — variable ``sv`` at the sid endpoint, ``tv`` at tid, and ``lt``
+    adding the per-alias ``sid < tid`` filter the reference's
+    graph_query files use for symmetry breaking. ``bounds`` maps
+    variable → exclusive upper bound, replicated per occurrence.
+    """
+    n = _validate_pattern(atoms)
+    aliases = [(f"e{k + 1}", sv, tv) for k, (sv, tv, _) in enumerate(atoms)]
+    conds = _alias_conditions(aliases)
+    conds += [f"e{k + 1}.sid < e{k + 1}.tid"
+              for k, (_, _, lt) in enumerate(atoms) if lt]
+    if bounds:
+        if not set(bounds) <= set(range(1, n + 1)):
+            raise ValueError(f"bounds on unknown variables: "
+                             f"{sorted(set(bounds) - set(range(1, n + 1)))}")
+        occ: dict[int, list[str]] = {}
+        for a, sv, tv in aliases:
+            occ.setdefault(sv, []).append(f"{a}.sid")
+            occ.setdefault(tv, []).append(f"{a}.tid")
+        for var, ub in sorted(bounds.items()):
+            for col in occ[var]:
+                conds.append(f"{col} < {ub}")
+    froms = ", ".join(f"{edge_view} {a}" for a, _, _ in aliases)
+    return f"SELECT count(*) AS n FROM {froms} WHERE {' AND '.join(conds)}"
+
+
+def count_pattern(spark: SparkSession, edges: DataFrame, atoms: Pattern,
+                  bounds: dict[int, int] | None = None) -> DataFrame:
+    return run_motif(spark, edges, pattern_sql(atoms, bounds=bounds))
+
+
 def selectivity_bounds(fracs: dict[int, float], id_domain: int) -> dict[int, int]:
     """Linear frac-of-domain → integer upper bound (synthetic grids)."""
     return {var: int(frac * id_domain) for var, frac in fracs.items()}

@@ -120,6 +120,20 @@ def cycle_query(n: int) -> MotifQuery:
     return MotifQuery(n, tuple(atoms))
 
 
+def pattern_query(atoms: list[tuple[int, int, bool]],
+                  bounds: dict[int, int] | None = None) -> MotifQuery:
+    """Arbitrary connected edge pattern → MotifQuery for the UCT
+    executor — the learner and the sliced-episode evaluator are already
+    pattern-generic (they only read atoms/var_upper), this is the
+    public constructor. Same (sv, tv, lt) encoding and validation as
+    motifs.pattern_sql, so the generated SQL is the exact oracle of the
+    UCT-executed count."""
+    from adopt_spark.algos.motifs import _validate_pattern
+    n = _validate_pattern(atoms)
+    return MotifQuery(n, tuple(Atom(sv, tv, lt) for sv, tv, lt in atoms),
+                      tuple(sorted((bounds or {}).items())))
+
+
 def selectivity_clique_uct(n: int, bounds: dict[int, int]) -> MotifQuery:
     """Same semantics as motifs.selectivity_clique_sql(n, bounds):
     DIRECTED motif (no lt filters), chain + lexicographic chords,

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from adopt_spark.algos.cc import connected_components
 from adopt_spark.algos.lpa import label_propagation
 from adopt_spark.algos.motifs import (
-    clique_sql, cycle_sql, selectivity_clique_sql, selectivity_cycle_sql,
+    DIAMOND, HOUSE, TAILED_TRIANGLE, clique_sql, cycle_sql, pattern_sql,
+    selectivity_clique_sql, selectivity_cycle_sql,
 )
 from adopt_spark.algos.pagerank import pagerank
 from adopt_spark.algos.triangles import triangle_count_csr
@@ -6899,6 +6900,33 @@ def q_uct_sel_4cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(total,)], "n bigint")
 
 
+# Generic conjunctive patterns (motifs.pattern_sql): the reference is a
+# WCOJ engine for ANY conjunctive query over edge(sid,tid), not just the
+# shipped clique/cycle files — these rows prove the same generality.
+# Catalyst plans the declarative multi-join; the oracle is the identical
+# generated SQL in DuckDB.
+q_pattern_diamond = _motif(pattern_sql(DIAMOND))
+q_pattern_tailed_tri = _motif(pattern_sql(TAILED_TRIANGLE))
+q_pattern_house = _motif(pattern_sql(HOUSE))
+ORACLES["g_pattern_diamond"] = f"{_EDGE_CTE}\n{pattern_sql(DIAMOND)}"
+ORACLES["g_pattern_tailed_tri"] = f"{_EDGE_CTE}\n{pattern_sql(TAILED_TRIANGLE)}"
+ORACLES["g_pattern_house"] = f"{_EDGE_CTE}\n{pattern_sql(HOUSE)}"
+
+
+def q_uct_diamond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diamond pattern (increasing 4-cycle + (v1,v3) chord) counted by
+    the UCT episode learner over the GENERIC pattern constructor
+    (uct.pattern_query) — order learning is not specific to the
+    clique/cycle factories, exactly as the reference evaluates any
+    conjunctive query dropped into graph_query/."""
+    from adopt_spark.algos.uct import pattern_query, uct_motif_count
+    total, _ = uct_motif_count(spark, derived_edges(spark, sf_dir),
+                               pattern_query(DIAMOND), n_slices=8, seed=7)
+    return spark.createDataFrame([(total,)], "n bigint")
+
+
+ORACLES["g_uct_diamond"] = f"{_EDGE_CTE}\n{pattern_sql(DIAMOND)}"
+
 ORACLES["g_uct_triangle"] = f"{_EDGE_CTE}\n{clique_sql(3)}"
 ORACLES["g_uct_4cycle"] = f"{_EDGE_CTE}\n{cycle_sql(4)}"
 ORACLES["g_uct_sel_4cycle"] = (
@@ -6933,6 +6961,12 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0e) round-3 session-7: generic conjunctive patterns (the
+        #    reference's any-query generality) + UCT over them
+        "g_pattern_diamond": q_pattern_diamond,
+        "g_pattern_tailed_tri": q_pattern_tailed_tri,
+        "g_pattern_house": q_pattern_house,
+        "g_uct_diamond": q_uct_diamond,
         # -- (0d) round-3 session-6: UCT join-order learning (the
         #    reference's namesake adaptive mechanism, now actually RL)
         "g_uct_triangle": q_uct_triangle,
