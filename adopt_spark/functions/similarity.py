@@ -566,3 +566,100 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(q_id_col, id_col, "cos", "rank"))
+
+
+def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+               n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+               sample_size: int = 4096,
+               m_sub: int = PQ_M, k_cent: int = PQ_K) -> DataFrame:
+    """IVF-PQ: coarse cells prune candidates, PQ/ADC scores them —
+    the standard billion-scale ANN composition (FAISS IndexIVFPQ).
+
+    Stage 1 (coarse): spherical-k-means centroids on a hash-ranked
+    driver sample (identical to ``ivf_topk``); corpus rows land in one
+    cell each, queries fan out to ``n_probe`` cells, and the cell-key
+    equi-join yields the candidate (q_id, vec_id) set — never a cross
+    join. Stage 2 (fine): the corpus is PQ-encoded ONCE (same
+    deterministic codebook as ``pq_topk``, so at full probe the result
+    is bit-identical to ``pq_topk`` and the static PQ oracle pins the
+    whole composition); ADC partial products are aggregated only for
+    candidate pairs.
+
+    Scale shape: encode is one pass over the corpus (the persisted
+    form is m_sub codes/vector, 32-64x compression); scoring joins
+    candidates (cell-bounded) against the encoded corpus on vec_id
+    and broadcasts the exploded queries — per-query cost is
+    |probed cells| x cell size, not corpus size.
+    """
+    first = embeddings.select(vec_col).head()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, cos double, rank int")
+    dim = len(first[0])
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d_sub = dim // m_sub
+
+    # ---- coarse quantizer (shared construction with ivf_topk)
+    sample = (embeddings
+              .select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+              .orderBy("_h").limit(sample_size)
+              .select(vec_col).toPandas())
+    try:
+        x = np.array(sample[vec_col].tolist(), dtype=np.float64)
+    except ValueError as exc:
+        raise ValueError(
+            "ivfpq_topk: embedding column has ragged dimensions") from exc
+    if x.ndim != 2:
+        raise ValueError("ivfpq_topk: embedding column has ragged dimensions")
+    centroids = _spherical_kmeans(x, n_centroids, seed)
+    e_cells = _assign_cells(embeddings.select(id_col, vec_col), vec_col,
+                            centroids, n_probe=1).select(id_col, "cid")
+    q_cells = _assign_cells(queries.select(q_id_col, q_vec_col), q_vec_col,
+                            centroids, n_probe=n_probe).select(q_id_col, "cid")
+    # corpus rows sit in exactly one cell, so a candidate pair appears
+    # at most once — no dedup needed
+    cand = e_cells.join(q_cells, "cid").select(q_id_col, id_col)
+
+    # ---- PQ encode (identical to pq_topk) + ADC over candidates only
+    cb = pq_codebook(dim, m_sub, k_cent)
+    spark = embeddings.sparkSession
+    cb_df = spark.createDataFrame(
+        [(mi, ki, [float(v) for v in cb[mi, ki]])
+         for mi in range(m_sub) for ki in range(k_cent)],
+        "m int, j int, cent array<double>")
+
+    def subspaces(col_name):
+        vd = F.transform(F.col(col_name), lambda v: v.cast("double"))
+        return F.posexplode(F.array(
+            *[F.slice(vd, mi * d_sub + 1, d_sub) for mi in range(m_sub)]))
+
+    sub = embeddings.select(F.col(id_col), subspaces(vec_col).alias("m", "sv"))
+    dist2 = (_dot_raw(F.col("sv"), F.col("sv"))
+             - F.lit(2.0) * _dot_raw(F.col("sv"), F.col("cent"))
+             + _dot_raw(F.col("cent"), F.col("cent")))
+    enc = (sub.join(F.broadcast(cb_df), "m")
+           .groupBy(id_col, "m")
+           .agg(F.min_by(F.col("cent"), F.struct(dist2.alias("d"),
+                                                 F.col("j"))).alias("cent"))
+           .withColumn("c2", _dot_raw(F.col("cent"), F.col("cent"))))
+
+    qn = queries.select(F.col(q_id_col), _norm_col(q_vec_col).alias("_n2"))
+    qsub = queries.select(F.col(q_id_col),
+                          subspaces(q_vec_col).alias("m", "qsv"))
+    pairs = (cand.join(enc, id_col)
+             .join(F.broadcast(qsub), [q_id_col, "m"])
+             .groupBy(q_id_col, id_col)
+             .agg(F.sum(_dot_raw(F.col("qsv"), F.col("cent"))).alias("dot"),
+                  F.sqrt(F.sum("c2")).alias("_n1")))
+    scored = (pairs.join(F.broadcast(qn), q_id_col)
+              .select(q_id_col, id_col,
+                      F.round(F.col("dot") / (F.col("_n1") * F.col("_n2")),
+                              6).alias("cos"))
+              .where(~F.isnan("cos")))
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "cos", "rank"))

@@ -969,6 +969,20 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, _queries_from_embeddings(emb), k=5)
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (FAISS IndexIVFPQ shape: coarse cells prune,
+    ADC scores) at full probe — with every cell probed the candidate
+    set is the full corpus, so the result is bit-identical to pq_topk
+    and the static PQ oracle pins the whole two-stage pipeline.
+    Partial-probe recall and the cells-only candidate invariant are
+    pytest-covered (test_similarity.py)."""
+    from adopt_spark.functions.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, _queries_from_embeddings(emb), k=5,
+                      n_centroids=8, n_probe=8)
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
     lattice subset)."""
@@ -4183,6 +4197,8 @@ FROM part""",
     "a_anf_diameter": _og.anf_sql(DERIVED_EDGE_SQL),
     "g_motif_census4": _og.census_sql(SPARSE_EDGE_SQL),
     "s_knn_pq": _og.knn_pq_sql(),
+    # full-probe IVF-PQ ≡ PQ (see q_knn_ivfpq): same ADC oracle
+    "s_knn_ivfpq": _og.knn_pq_sql(),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
@@ -6967,6 +6983,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_pattern_tailed_tri": q_pattern_tailed_tri,
         "g_pattern_house": q_pattern_house,
         "g_uct_diamond": q_uct_diamond,
+        "s_knn_ivfpq": q_knn_ivfpq,
         # -- (0d) round-3 session-6: UCT join-order learning (the
         #    reference's namesake adaptive mechanism, now actually RL)
         "g_uct_triangle": q_uct_triangle,

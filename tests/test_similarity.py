@@ -281,3 +281,73 @@ def test_knn_graph_clusters_empty_and_union_mode(spark):
     b = {(r.component, r.size) for r in
          knn_graph_clusters(spark, emb, k=1, mutual=False).collect()}
     assert a == b == {(0, 2), (2, 2)}
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With every cell probed the coarse stage prunes nothing, so
+    IVF-PQ must be bit-identical to plain PQ (same codebook, same
+    rounding, same tie order) — the property the contract oracle
+    relies on (s_knn_ivfpq reuses the PQ SQL)."""
+    from pyspark.sql import functions as F
+
+    from adopt_spark.functions.similarity import ivfpq_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    pq = {(r.q_id, r.vec_id, r.cos, r.rank)
+          for r in pq_topk(emb, q, k=5).collect()}
+    ivfpq = {(r.q_id, r.vec_id, r.cos, r.rank)
+             for r in ivfpq_topk(emb, q, k=5, n_centroids=4,
+                                 n_probe=4).collect()}
+    assert ivfpq == pq
+
+
+def test_ivfpq_partial_probe_candidates_and_recall(spark):
+    """Partial probe: every returned candidate must come from a probed
+    cell (the pruning invariant), and recall vs plain PQ (the same
+    scorer without pruning) must clear a measured floor."""
+    from pyspark.sql import functions as F
+
+    from adopt_spark.functions.similarity import (
+        _assign_cells, _spherical_kmeans, ivfpq_topk, pq_topk,
+    )
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = ivfpq_topk(emb, q, k=10, n_centroids=8, n_probe=4,
+                     seed=42).collect()
+
+    # recompute the coarse assignment exactly as ivfpq_topk does
+    sample = (emb.select(F.col("embedding"),
+                         F.xxhash64(F.col("vec_id")).alias("_h"))
+              .orderBy("_h").limit(4096).select("embedding").toPandas())
+    cents = _spherical_kmeans(
+        np.array(sample["embedding"].tolist(), dtype=np.float64), 8, 42)
+    e_cell = {r.vec_id: r.cid for r in _assign_cells(
+        emb.select("vec_id", "embedding"), "embedding", cents, 1).collect()}
+    q_cells = {}
+    for r in _assign_cells(q, "q_vec", cents, 4).collect():
+        q_cells.setdefault(r.q_id, set()).add(r.cid)
+    assert got, "partial probe returned nothing"
+    for r in got:
+        assert e_cell[r.vec_id] in q_cells[r.q_id]
+
+    pq = {(r.q_id, r.vec_id) for r in pq_topk(emb, q, k=10).collect()}
+    hit = {(r.q_id, r.vec_id) for r in got}
+    assert len(pq & hit) / len(pq) >= 0.3  # measured ~0.5+; floor w/ margin
+
+
+def test_ivfpq_empty_and_ragged(spark):
+    from adopt_spark.functions.similarity import ivfpq_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([(0, [0.1] * 64)], "q_id long, q_vec array<float>")
+    assert ivfpq_topk(empty, q, k=3).count() == 0
+    bad = spark.createDataFrame([(0, [0.1] * 64), (1, [0.1] * 32)],
+                                "vec_id long, embedding array<float>")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="ragged|dimension"):
+        ivfpq_topk(bad, q, k=3).count()
