@@ -1,0 +1,104 @@
+"""Training-data export sharding — the last step of the LLM-corpus
+pipeline (dedup → quality-gate → split → SHARD → write).
+
+A trainer consumes the corpus as N shard files whose assignment and
+within-shard order must be (a) deterministic at any parallelism so a
+re-run produces byte-identical shards, (b) pseudo-random so no shard
+is biased by ingestion order, source, or language, and (c) balanced so
+data-parallel readers finish together. ``shard_plan`` computes the
+assignment + per-shard manifest; ``sharded_docs`` returns the assigned
+rows themselves, ordered, ready for a partitioned write
+(``df.repartition(n, "shard")`` then ``sortWithinPartitions``).
+
+Determinism: the order key is a multiplicative-LCG permutation of the
+doc id, ``okey = (A*doc_id + B) mod M`` with M prime — a pure function
+of the id, exactly reproducible in ANSI SQL by the DuckDB oracle (the
+same device the dataset-split operator uses; Spark's xxhash64 cannot
+be replayed on the oracle side). In production the key can be swapped
+for ``F.xxhash64`` without touching the plan shape.
+
+Scale shape: one projection + one 32-way (n_shards-way) hash
+aggregation for the manifest — a single shuffle of manifest-width
+rows, map-side combined. The integrity checksum is an
+order-independent SUM of per-doc key values in decimal(38,0)
+(distributive — no sorted fold, no collect_list of the shard), so a
+1000-executor run aggregates it map-side like any other sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Same prime-modulus LCG family as the dataset-split operator; distinct
+# constants so shard assignment and split assignment are independent.
+SHARD_A, SHARD_B, SHARD_M = 2654435789, 94906249, 2147483647
+
+
+def _order_key(id_col: str):
+    # decimal(38,0) intermediate: A*id overflows int64 once ids pass
+    # ~2^33 (ANSI mode throws, it doesn't wrap) — the oracle side uses
+    # HUGEINT for the same reason
+    a = F.lit(SHARD_A).cast("decimal(38,0)")
+    return (a * F.col(id_col) + F.lit(SHARD_B)) % F.lit(SHARD_M)
+
+
+def sharded_docs(docs: DataFrame, n_shards: int = 16,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Rows + (shard, okey): shard = okey mod n_shards; within-shard
+    order = okey ascending (ties impossible: the LCG is a bijection on
+    [0, M) and ids are unique upstream of export)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    okey = _order_key(id_col)
+    return (docs.withColumn("okey", okey.cast("long"))
+            .withColumn("shard", (F.col("okey") % n_shards).cast("int")))
+
+
+def shard_plan(docs: DataFrame, n_shards: int = 16, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-shard export manifest:
+
+    [shard, n_docs, n_tokens, n_bytes, min_okey, max_okey, key_checksum]
+
+    n_tokens is the whitespace token count (the split operator's
+    convention), n_bytes the text length; min/max okey bound the
+    shard's order-key range and key_checksum = SUM(okey) as
+    decimal(38,0) — an order-independent, distributive integrity
+    digest a consumer can recompute shard-by-shard.
+    """
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    return (sharded_docs(docs, n_shards, id_col)
+            .select("shard", "okey", toks.alias("t"),
+                    F.length(text_col).alias("b"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("t").alias("n_tokens"),
+                 F.sum("b").alias("n_bytes"),
+                 F.min("okey").alias("min_okey"),
+                 F.max("okey").alias("max_okey"),
+                 F.sum(F.col("okey").cast("decimal(38,0)"))
+                  .cast("decimal(38,0)").alias("key_checksum")))
+
+
+def shard_plan_sql(n_shards: int = 16) -> str:
+    """DuckDB replica of shard_plan over the ``documents`` view."""
+    return f"""
+WITH s AS (
+    SELECT ({SHARD_A}::HUGEINT * doc_id + {SHARD_B}) % {SHARD_M} AS okey,
+           CAST((({SHARD_A}::HUGEINT * doc_id + {SHARD_B}) % {SHARD_M})
+                % {n_shards} AS INTEGER) AS shard,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS t,
+           length(text) AS b
+    FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(sum(b) AS BIGINT) AS n_bytes,
+       CAST(min(okey) AS BIGINT) AS min_okey,
+       CAST(max(okey) AS BIGINT) AS max_okey,
+       CAST(sum(okey) AS HUGEINT) AS key_checksum
+FROM s GROUP BY shard
+""".strip()

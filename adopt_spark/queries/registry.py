@@ -45,6 +45,7 @@ from adopt_spark.edges import (
 from adopt_spark.functions.dedup import (
     exact_dedup, minhash_near_dup_pairs, simhash_pairs,
 )
+from adopt_spark.functions.export import shard_plan_sql as _export_shard_plan_sql
 from adopt_spark.functions.similarity import brute_force_topk, lsh_topk
 from adopt_spark.functions.text import (
     doc_fingerprint, lang_id, quality_score, token_count,
@@ -967,6 +968,17 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_topk(emb, _queries_from_embeddings(emb), k=5)
+
+
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest (functions/export.py): LCG
+    order-key permutation of doc ids → 16 shards; per-shard docs /
+    tokens / bytes / key-range / order-independent decimal checksum.
+    One projection + one 16-way hash agg — the export step of the
+    dedup → gate → split → shard pipeline."""
+    from adopt_spark.functions.export import shard_plan
+
+    return shard_plan(_t(spark, sf_dir, "documents"), n_shards=16)
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4199,6 +4211,7 @@ FROM part""",
     "s_knn_pq": _og.knn_pq_sql(),
     # full-probe IVF-PQ ≡ PQ (see q_knn_ivfpq): same ADC oracle
     "s_knn_ivfpq": _og.knn_pq_sql(),
+    "t_export_shards": _export_shard_plan_sql(16),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
@@ -6984,6 +6997,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_pattern_house": q_pattern_house,
         "g_uct_diamond": q_uct_diamond,
         "s_knn_ivfpq": q_knn_ivfpq,
+        "t_export_shards": q_export_shards,
         # -- (0d) round-3 session-6: UCT join-order learning (the
         #    reference's namesake adaptive mechanism, now actually RL)
         "g_uct_triangle": q_uct_triangle,
