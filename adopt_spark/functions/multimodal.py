@@ -290,6 +290,95 @@ def audio_features(media: DataFrame,
         kernel, schema=AUDIO_FEATURE_SCHEMA)
 
 
+def audio_frame_energy(media: DataFrame, frame: int = 16,
+                       decoder: Callable[[bytes, int], np.ndarray] | None = None
+                       ) -> DataFrame:
+    """Decode → per-frame INTEGER energy rows:
+    ``[media_id, frame_idx, n_samples, sum_sq]``.
+
+    The Arrow kernel only decodes and blocks the waveform; everything
+    downstream (silence classification, run analysis) stays relational
+    so it composes with joins/windows. Integer sum-of-squares instead
+    of float RMS makes the frame rows EXACT — the DuckDB oracle
+    replays them digit-for-digit with no rounding discipline needed.
+    The last frame may be partial; its own ``n_samples`` rides along
+    so thresholds compare per-sample energy, not per-frame.
+    """
+    if frame < 1:
+        raise ValueError(f"frame must be >= 1, got {frame}")
+    decode = decoder or default_audio_decode
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_id, out_fi, out_ns, out_ss = [], [], [], []
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                sr = max(int(m["sample_rate"]), 1)
+                wave = decode(bytes(p), sr)
+                if isinstance(wave, tuple):
+                    wave = wave[0]
+                if wave.size == 0:
+                    continue
+                sq = wave.astype(np.int64) ** 2
+                n_fr = (wave.size + frame - 1) // frame
+                idx = np.arange(wave.size) // frame
+                ss = np.bincount(idx, weights=sq).astype(np.int64)
+                ns = np.bincount(idx).astype(np.int64)
+                out_id.extend([int(mid)] * n_fr)
+                out_fi.extend(range(n_fr))
+                out_ns.extend(ns.tolist())
+                out_ss.extend(ss.tolist())
+            yield pd.DataFrame({"media_id": np.array(out_id, np.int64),
+                                "frame_idx": np.array(out_fi, np.int64),
+                                "n_samples": np.array(out_ns, np.int64),
+                                "sum_sq": np.array(out_ss, np.int64)})
+
+    return media.where(F.col("kind") == "audio").mapInPandas(
+        kernel, schema="media_id long, frame_idx long, n_samples long, "
+                       "sum_sq long")
+
+
+def silence_report(frames: DataFrame, threshold: int = 64) -> DataFrame:
+    """Per-clip silence segmentation over frame-energy rows:
+    ``[media_id, n_frames, n_silent, n_runs, longest_run,
+    lead_silence, trail_silence]``.
+
+    A frame is silent iff ``sum_sq <= n_samples * threshold²`` (mean
+    square ≤ threshold² — all-integer, exact). Runs come from the
+    gaps-and-islands window trick (island id = frame_idx − rank among
+    the clip's silent frames); the report is two hash aggs + one
+    left join, no Python. Clips with no silent frames report zeros.
+    """
+    from pyspark.sql import Window
+
+    t2 = int(threshold) * int(threshold)
+    silent = F.col("sum_sq") <= F.col("n_samples") * F.lit(t2)
+    tot = (frames.groupBy("media_id")
+           .agg(F.count(F.lit(1)).alias("n_frames"),
+                F.sum(silent.cast("long")).alias("n_silent")))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = (frames.where(silent)
+            .withColumn("isl", F.col("frame_idx") - F.row_number().over(w))
+            .groupBy("media_id", "isl")
+            .agg(F.count(F.lit(1)).alias("len"),
+                 F.min("frame_idx").alias("f0"),
+                 F.max("frame_idx").alias("f1")))
+    per = (runs.groupBy("media_id")
+           .agg(F.count(F.lit(1)).alias("n_runs"),
+                F.max("len").alias("longest_run"),
+                F.max(F.when(F.col("f0") == 0, F.col("len"))
+                      .otherwise(F.lit(0))).alias("lead_silence"),
+                F.max(F.struct(F.col("f1"), F.col("len"))).alias("_last")))
+    return (tot.join(per, "media_id", "left")
+            .select("media_id", "n_frames", "n_silent",
+                    F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+                    F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+                    F.coalesce("lead_silence", F.lit(0)).alias("lead_silence"),
+                    F.coalesce(
+                        F.when(F.col("_last.f1") == F.col("n_frames") - 1,
+                               F.col("_last.len")).otherwise(F.lit(0)),
+                        F.lit(0)).alias("trail_silence")))
+
+
 def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
     """Video frame sampling stub: emits (media_id, frame_idx) rows for
     every ``every``-th frame per the metadata — the explode-side

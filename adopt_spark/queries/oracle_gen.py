@@ -454,6 +454,57 @@ SELECT media_id,
 FROM st
 """.strip()
 
+def audio_silence_sql(frame: int = 16, threshold: int = 64) -> str:
+    """Replica of multimodal.audio_frame_energy + silence_report over
+    the synthetic WAV law (same m/s CTEs as AUDIO_FEATURES_SQL):
+    per-frame integer sum-of-squares, silent iff ss <= ns*threshold²,
+    runs via gaps-and-islands. All-integer — no rounding discipline."""
+    t2 = threshold * threshold
+    return f"""
+WITH m AS (
+    SELECT o_orderkey AS media_id,
+           CAST(o_orderkey % 512 + 256 AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 100 < 2
+), s AS (
+    SELECT media_id, i, (media_id * 13 + i * 11) % 256 - 128 AS v
+    FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM m)
+), fr AS (
+    SELECT media_id, i // {frame} AS frame_idx,
+           count(*) AS ns, sum(v * v) AS ss
+    FROM s GROUP BY 1, 2
+), sil AS (
+    SELECT media_id, frame_idx FROM fr WHERE ss <= ns * {t2}
+), isl AS (
+    SELECT media_id, frame_idx,
+           frame_idx - row_number() OVER (PARTITION BY media_id
+                                          ORDER BY frame_idx) AS g
+    FROM sil
+), runs AS (
+    SELECT media_id, g, count(*) AS len,
+           min(frame_idx) AS f0, max(frame_idx) AS f1
+    FROM isl GROUP BY 1, 2
+), tot AS (
+    SELECT media_id, count(*) AS n_frames,
+           sum(CASE WHEN ss <= ns * {t2} THEN 1 ELSE 0 END) AS n_silent
+    FROM fr GROUP BY 1
+), agg AS (
+    SELECT r.media_id, count(*) AS n_runs, max(r.len) AS longest_run,
+           max(CASE WHEN r.f0 = 0 THEN r.len ELSE 0 END) AS lead_silence,
+           max(CASE WHEN r.f1 = t.n_frames - 1 THEN r.len ELSE 0 END)
+               AS trail_silence
+    FROM runs r JOIN tot t USING (media_id) GROUP BY 1
+)
+SELECT t.media_id,
+       CAST(t.n_frames AS BIGINT) AS n_frames,
+       CAST(t.n_silent AS BIGINT) AS n_silent,
+       CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs,
+       CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run,
+       CAST(coalesce(a.lead_silence, 0) AS BIGINT) AS lead_silence,
+       CAST(coalesce(a.trail_silence, 0) AS BIGINT) AS trail_silence
+FROM tot t LEFT JOIN agg a USING (media_id)
+""".strip()
+
+
 AUDIO_FEATURES_SQL = """
 WITH m AS (
     SELECT o_orderkey AS media_id,

@@ -970,6 +970,20 @@ def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, _queries_from_embeddings(emb), k=5)
 
 
+def q_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over REAL RIFF/WAVE payloads: container
+    parse + 8-bit PCM decode → per-frame integer energies (Arrow
+    kernel) → relational gaps-and-islands run report. All-integer
+    output; the oracle replays the waveform law + frame math exactly
+    (oracle_gen.audio_silence_sql)."""
+    from adopt_spark.functions.multimodal import (
+        audio_frame_energy, silence_report, synthetic_wav_media,
+    )
+
+    media = synthetic_wav_media(_media_keys(spark, sf_dir))
+    return silence_report(audio_frame_energy(media, frame=16), threshold=64)
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-export shard manifest (functions/export.py): LCG
     order-key permutation of doc ids → 16 shards; per-shard docs /
@@ -4212,6 +4226,7 @@ FROM part""",
     # full-probe IVF-PQ ≡ PQ (see q_knn_ivfpq): same ADC oracle
     "s_knn_ivfpq": _og.knn_pq_sql(),
     "t_export_shards": _export_shard_plan_sql(16),
+    "m_audio_silence": _og.audio_silence_sql(16, 64),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
@@ -6998,6 +7013,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_uct_diamond": q_uct_diamond,
         "s_knn_ivfpq": q_knn_ivfpq,
         "t_export_shards": q_export_shards,
+        "m_audio_silence": q_audio_silence,
         # -- (0d) round-3 session-6: UCT join-order learning (the
         #    reference's namesake adaptive mechanism, now actually RL)
         "g_uct_triangle": q_uct_triangle,

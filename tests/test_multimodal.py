@@ -80,3 +80,78 @@ def test_audio_features_injectable_decoder(spark):
     silent = lambda payload, sr: __import__("numpy").zeros(4, dtype="int16")
     rows = audio_features(media, decoder=silent).collect()
     assert all(r["rms"] == 0.0 and r["peak"] == 0 for r in rows)
+
+
+def test_audio_silence_python_twin(spark):
+    """Frame energies + run report vs a numpy/python twin on the
+    synthetic WAV law."""
+    import numpy as np
+
+    from adopt_spark.functions.multimodal import (
+        audio_frame_energy, silence_report, synthetic_wav_media,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in (0, 1, 2, 7, 100, 511)],
+                                 "media_id long")
+    media = synthetic_wav_media(keys)
+    got = {r.media_id: (r.n_frames, r.n_silent, r.n_runs, r.longest_run,
+                        r.lead_silence, r.trail_silence)
+           for r in silence_report(audio_frame_energy(media, frame=16),
+                                   threshold=64).collect()}
+
+    for k in (0, 1, 2, 7, 100, 511):
+        n = k % 512 + 256
+        i = np.arange(n)
+        v = (k * 13 + i * 11) % 256 - 128
+        n_fr = (n + 15) // 16
+        sil = []
+        for f in range(n_fr):
+            blk = v[f * 16:(f + 1) * 16].astype(np.int64)
+            sil.append(int((blk ** 2).sum()) <= len(blk) * 64 * 64)
+        runs = []
+        j = 0
+        while j < n_fr:
+            if sil[j]:
+                j0 = j
+                while j < n_fr and sil[j]:
+                    j += 1
+                runs.append((j0, j - j0))
+            else:
+                j += 1
+        exp = (n_fr, sum(sil), len(runs),
+               max((ln for _, ln in runs), default=0),
+               next((ln for f0, ln in runs if f0 == 0), 0),
+               next((ln for f0, ln in runs if f0 + ln == n_fr), 0))
+        assert got[k] == exp, k
+
+
+def test_audio_silence_crafted_lead_trail(spark):
+    """Injectable decoder: silence–loud–silence must report lead and
+    trail runs exactly; an all-loud clip reports zeros."""
+    import numpy as np
+
+    from adopt_spark.functions.multimodal import (
+        audio_frame_energy, silence_report,
+    )
+
+    def decoder(payload, sr):
+        k = payload[0]
+        if k == 1:   # 4 silent frames, 4 loud, 2 silent (frame=4)
+            return np.concatenate([np.zeros(16), np.full(16, 100),
+                                   np.zeros(8)]).astype(np.int16)
+        return np.full(40, 100, dtype=np.int16)  # all loud
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytes([1]), {"sample_rate": 8000}),
+         (2, "audio", bytes([2]), {"sample_rate": 8000})],
+        "media_id long, kind string, payload binary, "
+        "meta map<string,int>")
+    rep = {r.media_id: r for r in silence_report(
+        audio_frame_energy(media, frame=4, decoder=decoder),
+        threshold=10).collect()}
+    r1 = rep[1]
+    assert (r1.n_frames, r1.n_silent, r1.n_runs) == (10, 6, 2)
+    assert (r1.longest_run, r1.lead_silence, r1.trail_silence) == (4, 4, 2)
+    r2 = rep[2]
+    assert (r2.n_silent, r2.n_runs, r2.lead_silence, r2.trail_silence) \
+        == (0, 0, 0, 0)
