@@ -53,6 +53,54 @@ def contract_weight(src: Column, dst: Column) -> Column:
     return F.lit(1) + F.pmod(src * F.lit(7) + dst * F.lit(13), F.lit(10))
 
 
+def _weighted_links(edges: DataFrame, weighted: bool,
+                    directed: bool) -> DataFrame:
+    """(src, dst, w) relation shared by the distance iteration and the
+    parent derivation — one definition so they can never diverge."""
+    e = edges.select(F.col("sid").cast("long").alias("src"),
+                     F.col("tid").cast("long").alias("dst"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    e = e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    w = (contract_weight(F.col("src"), F.col("dst")) if weighted
+         else F.lit(1)).cast("long")
+    return e.select("src", "dst", w.alias("w"))
+
+
+def shortest_path_tree(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int | list[int] | DataFrame,
+    weighted: bool = False,
+    directed: bool = True,
+    **kwargs,
+) -> tuple[DataFrame, list[dict]]:
+    """Shortest-path TREE — path reconstruction, not just distances:
+    ``(DataFrame[v, dist, parent], metrics)``.
+
+    ``parent(v)`` = the smallest u with ``dist(u) + w(u, v) == dist(v)``
+    (deterministic tie-break), derived AFTER convergence by one
+    dist⋈links⋈dist relaxation-equality join — no parent bookkeeping
+    inside the superstep loop, so the iteration stays the lean
+    distance-only shuffle. Seeds have no parent (NULL): weights are
+    ≥ 1, so no relaxation edge can land on dist 0. Following parents
+    from any reached v walks a shortest path back to its seed; the
+    parent rows ARE the tree, one row per reached non-seed vertex.
+    """
+    dist, metrics = shortest_paths(spark, edges, source,
+                                   weighted=weighted, directed=directed,
+                                   **kwargs)
+    links = _weighted_links(edges, weighted, directed)
+    du = dist.select(F.col("v").alias("src"), F.col("dist").alias("du"))
+    dv = dist.select(F.col("v").alias("dst"), F.col("dist").alias("dv"))
+    parent = (links.join(du, "src").join(dv, "dst")
+              .where(F.col("du") + F.col("w") == F.col("dv"))
+              .groupBy("dst").agg(F.min("src").alias("parent"))
+              .withColumnRenamed("dst", "v"))
+    return dist.join(parent, "v", "left"), metrics
+
+
 def shortest_paths(
     spark: SparkSession,
     edges: DataFrame,
@@ -78,16 +126,8 @@ def shortest_paths(
     """
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    e = edges.select(F.col("sid").cast("long").alias("src"),
-                     F.col("tid").cast("long").alias("dst"))
-    if not directed:
-        e = e.unionAll(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst")))
-    e = e.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
-    w = (contract_weight(F.col("src"), F.col("dst")) if weighted
-         else F.lit(1)).cast("long")
     links = (
-        e.select("src", "dst", w.alias("w"))
+        _weighted_links(edges, weighted, directed)
         .repartition(parts, "src")
         .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)

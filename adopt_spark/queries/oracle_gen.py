@@ -601,6 +601,26 @@ def shortest_path_sql(edge_sql: str, rounds: int, weighted: bool = False,
 SELECT v, dist FROM d{rounds}"""
 
 
+def shortest_path_tree_sql(edge_sql: str, rounds: int, weighted: bool = False,
+                           directed: bool = True) -> str:
+    """shortest_path_sql + parent derivation: parent(v) = min u with
+    dist(u) + w(u,v) = dist(v); seeds get NULL (w >= 1 means nothing
+    relaxes onto dist 0). Mirrors paths.shortest_path_tree exactly."""
+    base = shortest_path_sql(edge_sql, rounds, weighted=weighted,
+                             directed=directed)
+    head, _ = base.rsplit("\nSELECT v, dist FROM", 1)
+    return f"""{head}
+SELECT d.v, d.dist, p.parent
+FROM d{rounds} d LEFT JOIN (
+    SELECT r.dst AS v, min(r.src) AS parent
+    FROM rel r
+    JOIN d{rounds} du ON du.v = r.src
+    JOIN d{rounds} dv ON dv.v = r.dst
+    WHERE du.dist + r.w = dv.dist
+    GROUP BY r.dst
+) p ON p.v = d.v"""
+
+
 # ------------------------------------------------------------- k-truss
 
 # Per-stage peel-round budgets for the unrolled truss oracle,

@@ -4269,10 +4269,26 @@ def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("v", "dist")
 
 
+def q_sssp_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest-path TREE from the min-sid source: (v, dist,
+    parent) with parent = the min-u relaxation witness (dist(u) + w ==
+    dist(v)), NULL at the source — path reconstruction as one
+    post-convergence join, no parent bookkeeping in the superstep
+    loop (algos/paths.py:shortest_path_tree)."""
+    from adopt_spark.algos.paths import shortest_path_tree
+
+    e = derived_edges(spark, sf_dir)
+    src = int(e.agg(F.min("sid")).collect()[0][0])
+    tree, _ = shortest_path_tree(spark, e, src, weighted=True, directed=True)
+    return tree.select("v", "dist", "parent")
+
+
 ORACLES.update({
     "a_bfs_hops": _og.shortest_path_sql(
         SPARSE_EDGE_SQL, _og.BFS_ROUNDS, weighted=False, directed=False),
     "a_sssp_weighted": _og.shortest_path_sql(
+        DERIVED_EDGE_SQL, _og.SSSP_ROUNDS, weighted=True, directed=True),
+    "a_sssp_tree": _og.shortest_path_tree_sql(
         DERIVED_EDGE_SQL, _og.SSSP_ROUNDS, weighted=True, directed=True),
 })
 
@@ -7014,6 +7030,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_knn_ivfpq": q_knn_ivfpq,
         "t_export_shards": q_export_shards,
         "m_audio_silence": q_audio_silence,
+        "a_sssp_tree": q_sssp_tree,
         # -- (0d) round-3 session-6: UCT join-order learning (the
         #    reference's namesake adaptive mechanism, now actually RL)
         "g_uct_triangle": q_uct_triangle,

@@ -126,6 +126,50 @@ def test_multi_source_equals_single_when_one_seed(spark, powerlaw_small):
     assert _got(a) == _got(b)
 
 
+def test_sssp_tree_parents_walk_back_to_seed(spark, powerlaw_small):
+    from adopt_spark.algos.paths import shortest_path_tree
+
+    edges, pairs = powerlaw_small
+    tree, _ = shortest_path_tree(spark, edges, 0, weighted=True,
+                                 directed=False)
+    rows = {int(r["v"]): (int(r["dist"]),
+                          None if r["parent"] is None else int(r["parent"]))
+            for r in tree.collect()}
+    dpairs = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    expected = py_dijkstra(dpairs, 0, weight=contract_w, directed=True)
+    assert {v: d for v, (d, _) in rows.items()} == expected
+    # seed has no parent; every other parent is the MIN relaxation
+    # witness, and walking parents accumulates exactly dist(v)
+    assert rows[0][1] is None
+    for v, (d, p) in rows.items():
+        if v == 0:
+            continue
+        witnesses = [u for u, (du, _) in rows.items()
+                     if (u, v) in {(a, b) for a, b in dpairs}
+                     and du + contract_w(u, v) == d]
+        assert p == min(witnesses)
+    # parent chains terminate at the seed (acyclic tree)
+    for v in rows:
+        hops, cur = 0, v
+        while rows[cur][1] is not None:
+            cur = rows[cur][1]
+            hops += 1
+            assert hops <= len(rows)
+        assert cur == 0
+
+
+def test_sssp_tree_partition_invariance(spark):
+    from adopt_spark.algos.paths import shortest_path_tree
+
+    pairs = [(0, 3), (0, 10), (10, 11), (11, 3), (3, 7), (10, 7)]
+    e1 = spark.createDataFrame(pairs, "sid long, tid long").repartition(1)
+    ek = spark.createDataFrame(pairs, "sid long, tid long").repartition(7)
+    a, _ = shortest_path_tree(spark, e1, 0, weighted=True, directed=True)
+    b, _ = shortest_path_tree(spark, ek, 0, weighted=True, directed=True)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(a) == key(b)
+
+
 def py_pivot_bfs(pairs, n_pivots, directed=True):
     verts = sorted({a for a, _ in pairs} | {b for _, b in pairs})
     adj: dict[int, set[int]] = {}
