@@ -6848,6 +6848,57 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q_winnow_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint report (MOSS selection,
+    k=5 token grams, window w=4): density near 2/(w+1) flags normal
+    text, outliers flag boilerplate (functions/code.py)."""
+    from adopt_spark.functions.code import winnow_stats
+
+    return winnow_stats(_t(spark, sf_dir, "documents"), k=5, w=4)
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style clone pairs: documents sharing >= 2 winnowing
+    fingerprints after a df<=50 boilerplate cap — the code-clone
+    detection report (functions/code.py)."""
+    from adopt_spark.functions.code import winnow_matches
+
+    return winnow_matches(_t(spark, sf_dir, "documents"),
+                          k=5, w=4, min_shared=2, max_df=50)
+
+
+def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential-pattern scan rollup over the deterministic
+    synthetic code content (planted AWS keys / hex tokens /
+    private-key headers keyed off doc_id — functions/code.py)."""
+    from adopt_spark.functions.code import secret_scan
+
+    return secret_scan(_t(spark, sf_dir, "documents"))
+
+
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPDX license stratification by language over the synthetic
+    code content (functions/code.py) — the include/exclude partition
+    for license-filtered training exports."""
+    from adopt_spark.functions.code import license_scan
+
+    return license_scan(_t(spark, sf_dir, "documents"))
+
+
+from adopt_spark.functions.code import (  # noqa: E402
+    license_scan_sql as _license_scan_sql,
+    secret_scan_sql as _secret_scan_sql,
+    winnow_matches_sql as _winnow_matches_sql,
+    winnow_stats_sql as _winnow_stats_sql,
+)
+
+ORACLES["t_winnow_stats"] = _winnow_stats_sql(k=5, w=4)
+ORACLES["t_winnow_matches"] = _winnow_matches_sql(
+    k=5, w=4, min_shared=2, max_df=50)
+ORACLES["t_secret_scan"] = _secret_scan_sql()
+ORACLES["t_license_scan"] = _license_scan_sql()
+
+
 from adopt_spark.functions.maintenance import (  # noqa: E402
     compaction_plan_sql as _compaction_plan_sql,
     partition_skew_sql as _partition_skew_sql,
@@ -7021,6 +7072,13 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0f) round-3 session-8: code-corpus QA (the payload is
+        #    source code) — winnowing/MOSS clone detection, secret
+        #    scan, SPDX license stratification
+        "t_winnow_stats": q_winnow_stats,
+        "t_winnow_matches": q_winnow_matches,
+        "t_secret_scan": q_secret_scan,
+        "t_license_scan": q_license_scan,
         # -- (0e) round-3 session-7: generic conjunctive patterns (the
         #    reference's any-query generality) + UCT over them
         "g_pattern_diamond": q_pattern_diamond,
