@@ -719,6 +719,63 @@ SELECT v, CAST(round(auth, 6) AS DOUBLE) AS auth,
 FROM s{k_iters}"""
 
 
+# --------------------------------------------------------------- SALSA
+
+SALSA_ITERS = 12
+
+
+def salsa_fixed_sql(edge_sql: str, k_iters: int = SALSA_ITERS) -> str:
+    """Fixed-iteration SALSA with L1 normalization — the exact twin of
+    algos/salsa.py: auth ← Σ hub(u)/outdeg(u) over in-edges then /Σ,
+    hub ← Σ auth(v)/indeg(v) over out-edges then /Σ. Output
+    (v, auth, hub) rounded to 6 dp."""
+    steps = []
+    for i in range(1, k_iters + 1):
+        prev = f"s{i-1}"
+        steps.append(f"""ar{i} AS MATERIALIZED (
+    SELECT verts.v, coalesce(x.raw, 0.0) AS raw FROM verts
+    LEFT JOIN (
+        SELECT e.tid AS v, sum(p.hub / od.d) AS raw
+        FROM edge e
+        JOIN {prev} p ON p.v = e.sid
+        JOIN outdeg od ON od.v = e.sid
+        GROUP BY e.tid
+    ) x ON x.v = verts.v
+), a{i} AS MATERIALIZED (
+    SELECT v, raw / greatest((SELECT sum(raw) FROM ar{i}), 1e-300) AS auth
+    FROM ar{i}
+), hr{i} AS MATERIALIZED (
+    SELECT verts.v, coalesce(x.raw, 0.0) AS raw FROM verts
+    LEFT JOIN (
+        SELECT e.sid AS v, sum(a.auth / idg.d) AS raw
+        FROM edge e
+        JOIN a{i} a ON a.v = e.tid
+        JOIN indeg idg ON idg.v = e.tid
+        GROUP BY e.sid
+    ) x ON x.v = verts.v
+), s{i} AS MATERIALIZED (
+    SELECT a{i}.v, a{i}.auth,
+           hr{i}.raw / greatest((SELECT sum(raw) FROM hr{i}), 1e-300) AS hub
+    FROM a{i} JOIN hr{i} ON hr{i}.v = a{i}.v
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), verts AS MATERIALIZED (
+    SELECT sid AS v FROM edge UNION SELECT tid FROM edge
+), outdeg AS MATERIALIZED (
+    SELECT sid AS v, count(*) AS d FROM edge GROUP BY 1
+), indeg AS MATERIALIZED (
+    SELECT tid AS v, count(*) AS d FROM edge GROUP BY 1
+), s0 AS MATERIALIZED (
+    SELECT v, 1.0 / (SELECT count(*) FROM verts) AS auth,
+           1.0 / (SELECT count(*) FROM verts) AS hub
+    FROM verts
+), {', '.join(steps)}
+SELECT v, CAST(round(auth, 6) AS DOUBLE) AS auth,
+       CAST(round(hub, 6) AS DOUBLE) AS hub
+FROM s{k_iters}"""
+
+
 # ------------------------------------------------- betweenness (Brandes)
 
 # Forward-level budget for the unrolled Brandes oracle: the dense

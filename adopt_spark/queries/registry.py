@@ -4385,6 +4385,19 @@ def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("hub", 6).alias("hub"))
 
 
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA (degree-normalized HITS — the who-to-follow ranking) at
+    SALSA_ITERS fixed iterations, L1-normalized; full per-vertex
+    (auth, hub) vector vs the unrolled oracle (algos/salsa.py)."""
+    from adopt_spark.algos.salsa import salsa
+    from adopt_spark.queries.oracle_gen import SALSA_ITERS
+
+    state, _ = salsa(spark, derived_edges(spark, sf_dir),
+                     max_iter=SALSA_ITERS)
+    return state.select("v", F.round("auth", 6).alias("auth"),
+                        F.round("hub", 6).alias("hub"))
+
+
 def q_msbfs_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS (min hop distance to a 5-vertex seed set)
     over the UNDIRECTED sparse graph — the distance-to-seed-set
@@ -5803,6 +5816,7 @@ LEFT JOIN g3 g USING (doc_id)
 """.strip()
 
 ORACLES["a_hits_scores"] = _og.hits_fixed_sql(DERIVED_EDGE_SQL)
+ORACLES["a_salsa_scores"] = _og.salsa_fixed_sql(DERIVED_EDGE_SQL)
 
 from adopt_spark.algos.walks import random_walks_sql as _walks_sql  # noqa: E402
 
@@ -7076,6 +7090,7 @@ def all_queries() -> dict[str, QueryFn]:
         #    source code) — winnowing/MOSS clone detection, secret
         #    scan, SPDX license stratification
         "t_winnow_stats": q_winnow_stats,
+        "a_salsa_scores": q_salsa_scores,
         "t_winnow_matches": q_winnow_matches,
         "t_secret_scan": q_secret_scan,
         "t_license_scan": q_license_scan,

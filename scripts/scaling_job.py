@@ -24,7 +24,14 @@ import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# Under the north-rule deploy path (spark-submit --py-files
+# dist/adopt_spark.zip, launched from a NEUTRAL cwd) the package must
+# import from the shipped zip — only fall back to the repo checkout
+# when the artifact is absent (plain `python scripts/scaling_job.py`).
+try:
+    import adopt_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, "/root/repo")
 
 FIXED_SUPERSTEPS = 10    # median over 10: robust to this VM's bursty CPU
                          # AND to JVM/JIT warmup, which otherwise inflates
