@@ -362,3 +362,75 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM c GROUP BY 1, 2
 """.strip()
+
+
+# ------------------------------------------------ directory rollup
+
+
+def synthetic_path(doc_id: str = "doc_id", lang: str = "lang") -> Column:
+    """Deterministic repo-relative file path for each document:
+    ``src/<lang>/m<doc_id%23>/f_<doc_id>.txt`` — a 4-level tree so the
+    rollup has real fan-in at every depth. The expression is the
+    fixture contract; :func:`_synthetic_path_sql` is its DuckDB
+    twin."""
+    did = F.col(doc_id)
+    return F.concat(F.lit("src/"), F.col(lang), F.lit("/m"),
+                    (did % 23).cast("string"),
+                    F.lit("/f_"), did.cast("string"), F.lit(".txt"))
+
+
+def _synthetic_path_sql() -> str:
+    return ("'src/' || lang || '/m' || CAST(doc_id % 23 AS VARCHAR)"
+            " || '/f_' || CAST(doc_id AS VARCHAR) || '.txt'")
+
+
+def path_rollup(docs: DataFrame, size_col: str = "n_chars") -> DataFrame:
+    """Per-directory corpus rollup -> (dir, depth, n_files,
+    total_chars): every ANCESTOR directory of every file path gets the
+    file counted into it (the `du`-style recursive aggregate a corpus
+    browser shows), at every depth.
+
+    Shape: one generate-prefixes explode (fan-out = path depth, a
+    small constant for real repos) + one partially-aggregated
+    group-by — a single shuffle keyed on (dir, depth). At 100 TB the
+    key space is the directory tree (
+    much smaller than the file table) and hot top-level prefixes
+    ('src', 'src/python') partial-aggregate map-side before the
+    shuffle, so hub directories cost no skew."""
+    parts = F.split(F.col("path"), "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, F.lit(1), i), "/"))
+    return (docs
+            .withColumn("path", synthetic_path())
+            .select(F.col(size_col).alias("_sz"),
+                    F.posexplode(prefixes).alias("_d0", "dir"))
+            .groupBy("dir")
+            .agg((F.first("_d0") + 1).cast("long").alias("depth"),
+                 F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum("_sz").cast("long").alias("total_chars")))
+
+
+def path_rollup_sql(size_col: str = "n_chars") -> str:
+    """DuckDB twin of :func:`path_rollup` (lateral generate_series
+    over the split-path length builds the same prefix set)."""
+    return f"""
+WITH p AS (
+    SELECT {_synthetic_path_sql()} AS path, {size_col} AS sz
+    FROM documents
+), x AS (
+    SELECT path, sz,
+           unnest(generate_series(
+               1, len(string_split(path, '/')) - 1)) AS i
+    FROM p
+), e AS (
+    SELECT array_to_string(list_slice(string_split(path, '/'), 1,
+                                      CAST(i AS INTEGER)), '/') AS dir,
+           i AS depth, sz
+    FROM x
+)
+SELECT dir, CAST(min(depth) AS BIGINT) AS depth,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(sz) AS BIGINT) AS total_chars
+FROM e GROUP BY dir
+""".strip()

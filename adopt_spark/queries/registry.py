@@ -6901,10 +6901,42 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from adopt_spark.functions.code import (  # noqa: E402
     license_scan_sql as _license_scan_sql,
+    path_rollup_sql as _path_rollup_sql,
     secret_scan_sql as _secret_scan_sql,
     winnow_matches_sql as _winnow_matches_sql,
     winnow_stats_sql as _winnow_stats_sql,
 )
+from adopt_spark.functions.deps import (  # noqa: E402
+    semver_resolve_sql as _semver_resolve_sql,
+)
+
+
+def q_semver_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """npm-style semver range resolution: the deterministic synthetic
+    manifest (orders) resolved against the synthetic release table
+    (part) — highest satisfying version per (repo, dep, spec), NULL
+    when unresolvable (functions/deps.py; full grammar: * exact ^ ~
+    >= M.x)."""
+    from adopt_spark.functions.deps import (
+        semver_resolve, synthetic_releases, synthetic_requirements)
+
+    return semver_resolve(
+        synthetic_requirements(_t(spark, sf_dir, "orders")),
+        synthetic_releases(_t(spark, sf_dir, "part")))
+
+
+def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-directory recursive corpus rollup (`du` over the synthetic
+    repo tree): every ancestor dir x (depth, n_files, total_chars) —
+    one bounded prefix explode + one partial-aggregated shuffle
+    (functions/code.py:path_rollup)."""
+    from adopt_spark.functions.code import path_rollup
+
+    return path_rollup(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["t_semver_resolve"] = _semver_resolve_sql()
+ORACLES["t_path_rollup"] = _path_rollup_sql()
 
 ORACLES["t_winnow_stats"] = _winnow_stats_sql(k=5, w=4)
 ORACLES["t_winnow_matches"] = _winnow_matches_sql(
@@ -7086,6 +7118,10 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0g) round-3 session-9: manifest semver resolution (range
+        #    -> pinned lockfile edge) + per-directory corpus rollup
+        "t_semver_resolve": q_semver_resolve,
+        "t_path_rollup": q_path_rollup,
         # -- (0f) round-3 session-8: code-corpus QA (the payload is
         #    source code) — winnowing/MOSS clone detection, secret
         #    scan, SPDX license stratification
