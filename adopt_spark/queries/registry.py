@@ -6925,6 +6925,53 @@ def q_semver_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthetic_releases(_t(spark, sf_dir, "part")))
 
 
+def _resolved_lockfile(spark: SparkSession, sf_dir: str, thin: int = 1):
+    from adopt_spark.functions.deps import (
+        semver_resolve, synthetic_releases, synthetic_requirements)
+
+    return semver_resolve(
+        synthetic_requirements(_t(spark, sf_dir, "orders"), thin=thin),
+        synthetic_releases(_t(spark, sf_dir, "part")))
+
+
+def q_dep_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dependency footprint within 3 hops on the SPARSE
+    manifest (thin=13, ~5 deps/repo): per repo, how many repos it
+    transitively depends on and how many depend on it (blast
+    radius). Composition: semver resolve -> dep_edges (ownership
+    map) -> frontier-delta k-hop closure -> two group-bys over ONE
+    pair set (functions/deps.py:dep_impact)."""
+    from adopt_spark.functions.deps import dep_edges, dep_impact
+
+    return dep_impact(
+        dep_edges(_resolved_lockfile(spark, sf_dir, thin=13)), max_hops=3)
+
+
+def q_dep_outdated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo version-drift report (`npm outdated`): every
+    requirement classified current / patch / minor / major behind
+    the dep's latest release, or unresolved; counts rolled up per
+    repo (functions/deps.py:dep_outdated). Runs on the DENSE
+    manifest — drift is per-requirement, not graph-shaped."""
+    from adopt_spark.functions.deps import dep_outdated, synthetic_releases
+
+    return dep_outdated(
+        _resolved_lockfile(spark, sf_dir),
+        synthetic_releases(_t(spark, sf_dir, "part")))
+
+
+def q_dep_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diamond version conflicts within each root repo's 3-hop
+    transitive closure on the sparse manifest: packages pinned to
+    >1 distinct version across the closure, with the lowest/highest
+    pinned versions compared on the int64 version key
+    (functions/deps.py:dep_conflicts)."""
+    from adopt_spark.functions.deps import dep_conflicts
+
+    return dep_conflicts(
+        _resolved_lockfile(spark, sf_dir, thin=13), max_hops=3)
+
+
 def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-directory recursive corpus rollup (`du` over the synthetic
     repo tree): every ancestor dir x (depth, n_files, total_chars) —
@@ -6937,6 +6984,16 @@ def q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLES["t_semver_resolve"] = _semver_resolve_sql()
 ORACLES["t_path_rollup"] = _path_rollup_sql()
+
+from adopt_spark.functions.deps import (  # noqa: E402
+    dep_conflicts_sql as _dep_conflicts_sql,
+    dep_impact_sql as _dep_impact_sql,
+    dep_outdated_sql as _dep_outdated_sql,
+)
+
+ORACLES["t_dep_impact"] = _dep_impact_sql(max_hops=3, thin=13)
+ORACLES["t_dep_outdated"] = _dep_outdated_sql()
+ORACLES["t_dep_conflicts"] = _dep_conflicts_sql(max_hops=3, thin=13)
 
 ORACLES["t_winnow_stats"] = _winnow_stats_sql(k=5, w=4)
 ORACLES["t_winnow_matches"] = _winnow_matches_sql(
@@ -7118,6 +7175,12 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0h) round-3 session-10: dependency-graph analytics over
+        #    the resolved lockfile — transitive impact (blast radius),
+        #    version drift vs latest, diamond version conflicts
+        "t_dep_impact": q_dep_impact,
+        "t_dep_outdated": q_dep_outdated,
+        "t_dep_conflicts": q_dep_conflicts,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

@@ -173,3 +173,138 @@ def test_path_rollup_vs_counter(spark):
         depth = pre.count("/") + 1
         assert got[pre] == (depth, files[pre], chars[pre]), pre
     assert got["src"] == (1, 200, sum(10 + i for i in range(200)))
+
+
+# ---------------------------------- dependency-graph analytics
+
+
+def _py_khop(edges, k):
+    """Independent bounded-hop reachability: distinct (root, v),
+    1 <= hops <= k, v != root (plain BFS per root)."""
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    verts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    pairs = set()
+    for root in verts:
+        frontier = {root}
+        seen = set()
+        for _ in range(k):
+            frontier = {t for v in frontier for t in adj.get(v, ())} \
+                - seen - {root}
+            if not frontier:
+                break
+            seen |= frontier
+        pairs |= {(root, v) for v in seen}
+    return verts, pairs
+
+
+def _edge_str_df(spark, edges):
+    return spark.createDataFrame(
+        [(s, t) for s, t in edges], "src string, dst string")
+
+
+def test_dep_impact_vs_python_bfs(spark):
+    from adopt_spark.functions.deps import dep_impact
+
+    rng = np.random.default_rng(11)
+    edges = sorted({(f"n{int(rng.integers(0, 30))}",
+                     f"n{int(rng.integers(0, 30))}")
+                    for _ in range(70)})
+    edges = [(s, t) for s, t in edges if s != t]
+    for k in (1, 2, 3):
+        got = {r.repo: (r.n_deps, r.n_dependents)
+               for r in dep_impact(_edge_str_df(spark, edges), k).collect()}
+        verts, pairs = _py_khop(edges, k)
+        want = {v: (sum(1 for r, _ in pairs if r == v),
+                    sum(1 for _, w in pairs if w == v)) for v in verts}
+        assert got == want, f"k={k}"
+
+
+def test_dep_impact_hop_boundary(spark):
+    """Chain a->b->c->d: at k=2 a reaches {b,c} only; d's dependents
+    at k=2 are {b,c} only."""
+    from adopt_spark.functions.deps import dep_impact
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = {r.repo: (r.n_deps, r.n_dependents)
+           for r in dep_impact(_edge_str_df(spark, edges), 2).collect()}
+    assert got == {"a": (2, 0), "b": (2, 1), "c": (1, 2), "d": (0, 2)}
+
+
+def test_dep_impact_cycle_terminates(spark):
+    """A 3-cycle: every vertex reaches the other two (never itself),
+    even with max_hops far beyond the cycle length."""
+    from adopt_spark.functions.deps import dep_impact
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    got = {r.repo: (r.n_deps, r.n_dependents)
+           for r in dep_impact(_edge_str_df(spark, edges), 10).collect()}
+    assert got == {v: (2, 2) for v in "abc"}
+
+
+def test_dep_outdated_classification(spark):
+    from adopt_spark.functions.deps import dep_outdated
+
+    rels = [("d", 2, 3, 4), ("d", 1, 0, 0), ("e", 0, 1, 1)]
+    resolved = [
+        ("r1", "d", "x", "2.3.4", 1),   # current
+        ("r1", "d", "x2", "2.3.1", 1),  # patch_behind
+        ("r1", "d", "x3", "2.1.0", 1),  # minor_behind
+        ("r1", "d", "x4", "1.0.0", 1),  # major_behind
+        ("r1", "e", "x5", None, 0),     # unresolved
+        ("r2", "e", "x6", "0.1.1", 1),  # current
+    ]
+    rdf = spark.createDataFrame(
+        resolved,
+        "repo string, dep string, spec string, resolved string, "
+        "n_candidates long")
+    reldf = spark.createDataFrame(
+        rels, "dep string, maj long, minor long, patch long")
+    got = {r.repo: r.asDict() for r in dep_outdated(rdf, reldf).collect()}
+    assert got["r1"] == {
+        "repo": "r1", "n_reqs": 5, "n_current": 1, "n_patch_behind": 1,
+        "n_minor_behind": 1, "n_major_behind": 1, "n_unresolved": 1}
+    assert got["r2"]["n_current"] == 1 and got["r2"]["n_reqs"] == 1
+
+
+def test_dep_conflicts_diamond(spark):
+    """root -> a, root -> b; a pins libX 1.0.0, b pins libX 2.0.0:
+    the classic diamond. Also checks version-key ordering (10.0.0
+    must beat 2.0.0 as 'highest')."""
+    from adopt_spark.functions.deps import dep_conflicts
+
+    # ownership map: libJ -> repo((J*53+17) % 211); choose libs owned
+    # by distinct repos: lib1 -> repo70, lib2 -> repo123
+    resolved = [
+        ("root", "lib1", "s", "1.0.0", 1),   # edge root -> repo70
+        ("root", "lib2", "s", "1.0.0", 1),   # edge root -> repo123
+        ("repo70", "lib9", "s", "2.0.0", 1),
+        ("repo123", "lib9", "s", "10.0.0", 1),
+    ]
+    rdf = spark.createDataFrame(
+        resolved,
+        "repo string, dep string, spec string, resolved string, "
+        "n_candidates long")
+    rows = dep_conflicts(rdf, max_hops=2).collect()
+    by_key = {(r.repo, r.dep): r for r in rows}
+    diamond = by_key[("root", "lib9")]
+    assert diamond.n_versions == 2
+    assert diamond.lowest == "2.0.0" and diamond.highest == "10.0.0"
+    # the two mid repos only see their own pin — no conflict rows
+    assert not any(r.repo in ("repo70", "repo123") for r in rows)
+
+
+def test_dep_conflicts_none_when_consistent(spark):
+    from adopt_spark.functions.deps import dep_conflicts
+
+    resolved = [
+        ("root", "lib1", "s", "1.0.0", 1),
+        ("repo70", "lib2", "s", "1.0.0", 1),   # same version everywhere
+        ("root", "lib2", "s", "1.0.0", 1),
+    ]
+    rdf = spark.createDataFrame(
+        resolved,
+        "repo string, dep string, spec string, resolved string, "
+        "n_candidates long")
+    assert dep_conflicts(rdf, max_hops=3).count() == 0
