@@ -102,3 +102,86 @@ SELECT shard,
        CAST(sum(okey) AS HUGEINT) AS key_checksum
 FROM s GROUP BY shard
 """.strip()
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Fixed-length token-window chunking with overlap — the standard
+    LLM-pretraining prep that turns variable-length documents into
+    training sequences of at most ``chunk_tokens`` whitespace tokens,
+    sliding by ``stride`` (stride < chunk_tokens => overlapping
+    context windows; stride == chunk_tokens => disjoint).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``;
+    ``n_chunks = 1`` when ``n <= chunk_tokens`` else
+    ``ceil((n - chunk_tokens) / stride) + 1`` — every token lands in
+    at least one chunk, no empty trailing chunk is emitted, and blank
+    documents contribute no rows. Output: (id, chunk_idx, n_tokens,
+    chunk_text).
+
+    Plan shape: one projection (split + size), one ``sequence``
+    explode (fan-out = chunks per doc, bounded by max doc length /
+    stride), one slice + concat per row — all JVM codegen, zero
+    Python, no shuffle at all (chunking is row-local). At 100 TB the
+    operator is a pure map stage; the follow-on shard/pack step
+    (shard_plan) owns the one shuffle.
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError(
+            f"chunk_tokens and stride must be >= 1, got "
+            f"{chunk_tokens}/{stride}")
+    t = F.trim(F.col(text_col))
+    toks = F.split(t, r"\s+")
+    n = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1
+    ).cast("int")
+    base = (docs
+            .select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                    n_chunks.alias("_nc"))
+            .where(F.col("_n") > 0))
+    idx = F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+        "chunk_idx")
+    out = base.select(id_col, "_toks", "_n", idx)
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1,
+                    chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"))
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, stride: int = 48) -> str:
+    """DuckDB replica of chunk_documents over the ``documents`` view
+    (same whitespace tokenizer as the token_count twin; DuckDB lists
+    are 1-indexed, list_slice bounds are inclusive)."""
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS n
+    FROM documents
+), sized AS (
+    SELECT doc_id, toks, n,
+           CASE WHEN n <= {chunk_tokens} THEN 1
+                ELSE CAST(ceil((n - {chunk_tokens}) * 1.0 / {stride})
+                          AS BIGINT) + 1 END AS nc
+    FROM base WHERE n > 0
+), exploded AS (
+    SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS ci
+    FROM sized
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, ci * {stride} + 1,
+                           least(ci * {stride} + {chunk_tokens}, n)))
+            AS BIGINT) AS n_tokens,
+       list_aggregate(list_slice(toks, ci * {stride} + 1,
+                                 least(ci * {stride} + {chunk_tokens}, n)),
+                      'string_agg', ' ') AS chunk_text
+FROM exploded
+""".strip()

@@ -45,7 +45,10 @@ from adopt_spark.edges import (
 from adopt_spark.functions.dedup import (
     exact_dedup, minhash_near_dup_pairs, simhash_pairs,
 )
-from adopt_spark.functions.export import shard_plan_sql as _export_shard_plan_sql
+from adopt_spark.functions.export import (
+    chunk_documents_sql as _chunk_documents_sql,
+    shard_plan_sql as _export_shard_plan_sql,
+)
 from adopt_spark.functions.similarity import brute_force_topk, lsh_topk
 from adopt_spark.functions.text import (
     doc_fingerprint, lang_id, quality_score, token_count,
@@ -993,6 +996,17 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adopt_spark.functions.export import shard_plan
 
     return shard_plan(_t(spark, sf_dir, "documents"), n_shards=16)
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length token-window chunking with overlap (chunk=32,
+    stride=24): documents exploded into training sequences — one
+    row-local map stage, zero shuffle (functions/export.py:
+    chunk_documents). Values exact incl. the chunk text itself."""
+    from adopt_spark.functions.export import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_tokens=32, stride=24)
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4226,6 +4240,7 @@ FROM part""",
     # full-probe IVF-PQ ≡ PQ (see q_knn_ivfpq): same ADC oracle
     "s_knn_ivfpq": _og.knn_pq_sql(),
     "t_export_shards": _export_shard_plan_sql(16),
+    "t_chunk_docs": _chunk_documents_sql(32, 24),
     "m_audio_silence": _og.audio_silence_sql(16, 64),
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
@@ -7181,6 +7196,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_dep_impact": q_dep_impact,
         "t_dep_outdated": q_dep_outdated,
         "t_dep_conflicts": q_dep_conflicts,
+        "t_chunk_docs": q_chunk_docs,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

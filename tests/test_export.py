@@ -63,3 +63,63 @@ def test_degenerates(spark, docs):
                                           "doc_id long, text string"), 1
     ).collect()[0]
     assert e.n_tokens == 2
+
+
+def _py_chunks(text, chunk, stride):
+    toks = text.split()
+    if not toks:
+        return []
+    n = len(toks)
+    nc = 1 if n <= chunk else -((n - chunk) // -stride) + 1
+    return [(i, toks[i * stride:i * stride + chunk]) for i in range(nc)]
+
+
+def test_chunk_documents_vs_python(spark):
+    import numpy as np
+
+    from adopt_spark.functions.export import chunk_documents
+
+    rng = np.random.default_rng(3)
+    rows = [(i, " ".join(f"w{int(rng.integers(0, 50))}"
+                         for _ in range(int(rng.integers(0, 40)))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for chunk, stride in ((8, 8), (8, 5), (4, 1), (64, 48)):
+        got = {(r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk_text)
+               for r in chunk_documents(df, chunk, stride).collect()}
+        want = {}
+        for i, text in rows:
+            for ci, toks in _py_chunks(text, chunk, stride):
+                want[(i, ci)] = (len(toks), " ".join(toks))
+        assert got == want, (chunk, stride)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token of every doc appears in >= 1 chunk; consecutive
+    chunks overlap by exactly chunk - stride tokens (except the
+    tail)."""
+    from adopt_spark.functions.export import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(23))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, 8, 6).collect(),
+                  key=lambda r: r.chunk_idx)
+    seen = []
+    for r in rows:
+        seen += r.chunk_text.split()
+    assert set(seen) == {f"t{i}" for i in range(23)}
+    for a, b in zip(rows, rows[1:]):
+        overlap = set(a.chunk_text.split()) & set(b.chunk_text.split())
+        assert len(overlap) == 2  # chunk 8 - stride 6
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from adopt_spark.functions.export import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 0, 1)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 4, 0)
