@@ -97,3 +97,56 @@ def core_numbers(spark: SparkSession, edges: DataFrame,
             f"core_numbers did not converge within max_rounds={max_rounds}; "
             "raise max_rounds for this graph")
     return result
+
+
+def onion_layers(spark: SparkSession, edges: DataFrame,
+                 max_rounds: int = 10_000) -> DataFrame:
+    """Onion decomposition (core-periphery structure): every peel
+    BATCH of the k-core cascade is one layer — vertices removed
+    together (same stage k, same simultaneous round) share a layer,
+    and the layer index increases from the graph's periphery to its
+    densest core (Hebert-Dufresne et al.'s refinement of the k-core
+    number). Output: DataFrame[v: long, core: int, layer: int].
+
+    Same incremental-peel plan as :func:`core_numbers` (two
+    partial-aggregated shuffles + one counting action per round,
+    checkpointed survivors); the layer counter advances only on
+    non-empty batches, which the SQL oracle reproduces with a
+    dense_rank over non-empty unrolled rounds."""
+    e = _sym(edges).localCheckpoint(eager=True)
+    alive = (e.select(F.col("u").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+    result = spark.createDataFrame([], "v long, core int, layer int")
+    k = 1
+    layer = 0
+    done = False
+    for _ in range(max_rounds):
+        deg = (e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+               .withColumnRenamed("u", "v"))
+        degf = alive.join(deg, "v", "left").select(
+            "v", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+        low = (degf.where(F.col("deg") < k).select("v")
+               .localCheckpoint(eager=True))
+        n_low = low.count()
+        if n_low == 0:
+            if alive.isEmpty():
+                done = True
+                break
+            k += 1
+            continue
+        layer += 1
+        result = result.unionByName(
+            low.select("v", F.lit(k - 1).cast("int").alias("core"),
+                       F.lit(layer).cast("int").alias("layer"))
+        ).localCheckpoint(eager=True)
+        alive = alive.join(low, "v", "left_anti").localCheckpoint(eager=True)
+        e = (
+            e.join(low.withColumnRenamed("v", "u"), "u", "left_anti")
+            .join(low, "v", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not done and not alive.isEmpty():
+        raise RuntimeError(
+            f"onion_layers did not converge within max_rounds="
+            f"{max_rounds}; raise max_rounds for this graph")
+    return result

@@ -203,6 +203,56 @@ SELECT CAST(core AS INTEGER) AS core, count(*) AS n_vertices FROM (
 ) GROUP BY core"""
 
 
+def onion_layers_sql(edge_sql: str, k_max: int = KCORE_K_MAX,
+                     rounds: dict | None = None,
+                     default_rounds: int = KCORE_DEFAULT_ROUNDS) -> str:
+    """Bounded-depth onion decomposition twin of core_numbers_sql:
+    every unrolled peel round's REMOVED set (prev EXCEPT cur) is one
+    batch; the layer index is a dense_rank over the non-empty batches
+    in (k, round) order — exactly the engine's counter, which only
+    advances on non-empty simultaneous removals. Output: per-vertex
+    (v, core, layer)."""
+    parts = []
+    removed = []
+    prev = "a0"
+    for k in range(1, k_max + 1):
+        budget = (rounds if rounds is not None
+                  else KCORE_ROUNDS).get(k, default_rounds)
+        for r in range(1, budget + 1):
+            name = f"p{k}_{r}"
+            parts.append(f"""{name} AS MATERIALIZED (
+    SELECT v FROM (
+        SELECT s.v, count(*) AS c FROM sym s
+        JOIN {prev} a ON a.v = s.v
+        JOIN {prev} b ON b.v = s.nbr
+        GROUP BY s.v
+    ) WHERE c >= {k}
+)""")
+            removed.append(
+                f"SELECT v, {k} AS k, {r} AS r FROM "
+                f"(SELECT v FROM {prev} EXCEPT SELECT v FROM {name})")
+            prev = name
+    removed_union = "\nUNION ALL\n".join(removed)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT sid AS v, tid AS nbr FROM edge
+    UNION
+    SELECT tid, sid FROM edge
+), a0 AS MATERIALIZED (
+    SELECT DISTINCT v FROM sym
+), {', '.join(parts)},
+removed AS MATERIALIZED (
+{removed_union}
+), batches AS (
+    SELECT k, r,
+           CAST(dense_rank() OVER (ORDER BY k, r) AS INTEGER) AS layer
+    FROM (SELECT DISTINCT k, r FROM removed)
+)
+SELECT m.v, CAST(m.k - 1 AS INTEGER) AS core, b.layer
+FROM removed m JOIN batches b ON b.k = m.k AND b.r = m.r"""
+
+
 # ------------------------------------------------------- text fingerprint
 
 FINGERPRINT_GROUPS_SQL = """

@@ -2531,6 +2531,18 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cores.groupBy("core").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def q_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Onion decomposition (core-periphery): per-vertex (core, layer)
+    where each simultaneous peel batch of the k-core cascade is one
+    layer (algos/kcore.py:onion_layers — same incremental-peel plan
+    as core_numbers, plus the batch counter). Oracle = the unrolled
+    peel with removed-per-round EXCEPTs and a dense_rank over
+    non-empty batches (oracle_gen.onion_layers_sql)."""
+    from adopt_spark.algos.kcore import onion_layers
+
+    return onion_layers(spark, derived_edges_sparse(spark, sf_dir))
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov over event values (click vs
     purchase) — the distribution-drift gate; exact integer-lattice
@@ -4245,6 +4257,7 @@ FROM part""",
     "a_pagerank_fixed": _og.pagerank_fixed_sql(DERIVED_EDGE_SQL),
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
+    "a_onion_layers": _og.onion_layers_sql(SPARSE_EDGE_SQL),
     "t_lang_id": _og.lang_id_sql(),
     "t_fingerprint": _og.FINGERPRINT_GROUPS_SQL,
     "t_minhash_near_dup": _og.MINHASH_ASCII_JACCARD_SQL,
@@ -7197,6 +7210,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_dep_outdated": q_dep_outdated,
         "t_dep_conflicts": q_dep_conflicts,
         "t_chunk_docs": q_chunk_docs,
+        "a_onion_layers": q_onion_layers,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

@@ -50,3 +50,78 @@ def test_k_core_triangle(spark, tri6):
     got2 = {r["v"] for r in k_core(spark, df, 2).collect()}
     expected2 = {v for v, c in py_core_numbers(pairs).items() if c >= 2}
     assert got2 == expected2
+
+
+def _py_onion(pairs):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    out = {}
+    k, layer = 1, 0
+    while alive:
+        low = {v for v in alive if len(adj[v] & alive) < k}
+        if not low:
+            k += 1
+            continue
+        layer += 1
+        for v in low:
+            out[v] = (k - 1, layer)
+        alive -= low
+    return out
+
+
+def test_onion_layers_vs_python_peel(spark):
+    import itertools
+
+    import numpy as np
+
+    from adopt_spark.algos.kcore import onion_layers
+
+    rng = np.random.default_rng(5)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 40, size=(160, 2))
+                    if a != b})
+    pairs += list(itertools.combinations(range(100, 106), 2))  # planted K6
+    pairs = sorted(set(pairs))
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    got = {r.v: (r.core, r.layer) for r in onion_layers(spark, df).collect()}
+    assert got == _py_onion(pairs)
+
+
+def test_onion_layers_refine_core_numbers(spark):
+    """Onion layers must be consistent with core numbers (same core
+    per vertex) and strictly increase across batches of the same
+    stage."""
+    import numpy as np
+
+    from adopt_spark.algos.kcore import core_numbers, onion_layers
+
+    rng = np.random.default_rng(9)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 30, size=(90, 2))
+                    if a != b})
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    on = {r.v: (r.core, r.layer) for r in onion_layers(spark, df).collect()}
+    cn = {r.v: r.core for r in core_numbers(spark, df).collect()}
+    assert {v: c for v, (c, _) in on.items()} == cn
+    # layers are 1..L with no gaps
+    layers = sorted({l for _, l in on.values()})
+    assert layers == list(range(1, len(layers) + 1))
+
+
+def test_onion_layers_path_and_clique(spark):
+    """Path a-b-c-d: endpoints are layer 1 (deg 1 at k=1... actually
+    deg>=1 so stage 2 peels ends first); K4: single batch."""
+    import itertools
+
+    from adopt_spark.algos.kcore import onion_layers
+
+    k4 = list(itertools.combinations(range(4), 2))
+    df = spark.createDataFrame(k4, "sid long, tid long")
+    rows = onion_layers(spark, df).collect()
+    assert {(r.core, r.layer) for r in rows} == {(3, 1)}
+    assert len(rows) == 4
