@@ -45,6 +45,7 @@ from adopt_spark.edges import (
 from adopt_spark.functions.dedup import (
     exact_dedup, minhash_near_dup_pairs, simhash_pairs,
 )
+from adopt_spark.functions.bom import bom_explode_sql as _bom_explode_sql
 from adopt_spark.functions.export import (
     chunk_documents_sql as _chunk_documents_sql,
     shard_plan_sql as _export_shard_plan_sql,
@@ -2531,6 +2532,18 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cores.groupBy("core").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def q_bom_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel bill-of-materials explosion: total quantity + path
+    count per (root, transitive part) over the deterministic acyclic
+    BOM fixture — the weighted-transitive-closure DP where each level
+    is one pair-aggregated equi-join, never a path materialization
+    (functions/bom.py:bom_explode)."""
+    from adopt_spark.functions.bom import bom_explode, synthetic_bom
+
+    return bom_explode(synthetic_bom(_t(spark, sf_dir, "part")),
+                       max_levels=16)
+
+
 def q_onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Onion decomposition (core-periphery): per-vertex (core, layer)
     where each simultaneous peel batch of the k-core cascade is one
@@ -4258,6 +4271,7 @@ FROM part""",
     "a_lpa_communities": _og.lpa_fixed_sql(DERIVED_EDGE_SQL),
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
     "a_onion_layers": _og.onion_layers_sql(SPARSE_EDGE_SQL),
+    "r_bom_explode": _bom_explode_sql(16),
     "t_lang_id": _og.lang_id_sql(),
     "t_fingerprint": _og.FINGERPRINT_GROUPS_SQL,
     "t_minhash_near_dup": _og.MINHASH_ASCII_JACCARD_SQL,
@@ -7211,6 +7225,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_dep_conflicts": q_dep_conflicts,
         "t_chunk_docs": q_chunk_docs,
         "a_onion_layers": q_onion_layers,
+        "r_bom_explode": q_bom_explode,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,
