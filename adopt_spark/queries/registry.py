@@ -46,6 +46,7 @@ from adopt_spark.functions.dedup import (
     exact_dedup, minhash_near_dup_pairs, simhash_pairs,
 )
 from adopt_spark.functions.bom import bom_explode_sql as _bom_explode_sql
+from adopt_spark.functions.bpe import bpe_train_sql as _bpe_train_sql
 from adopt_spark.functions.export import (
     chunk_documents_sql as _chunk_documents_sql,
     shard_plan_sql as _export_shard_plan_sql,
@@ -2532,6 +2533,17 @@ def q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cores.groupBy("core").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING: 8 merge rules learned from
+    the documents corpus — vocab built in one pass, each round one
+    pair-count aggregate + deterministic argmax + literal replace
+    (functions/bpe.py; the repeated-replace merge convention is
+    shared with the oracle). Output = the merge table itself."""
+    from adopt_spark.functions.bpe import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_bom_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilevel bill-of-materials explosion: total quantity + path
     count per (root, transitive part) over the deterministic acyclic
@@ -4272,6 +4284,7 @@ FROM part""",
     "a_core_numbers": _og.core_numbers_sql(SPARSE_EDGE_SQL),
     "a_onion_layers": _og.onion_layers_sql(SPARSE_EDGE_SQL),
     "r_bom_explode": _bom_explode_sql(16),
+    "t_bpe_merges": _bpe_train_sql(8),
     "t_lang_id": _og.lang_id_sql(),
     "t_fingerprint": _og.FINGERPRINT_GROUPS_SQL,
     "t_minhash_near_dup": _og.MINHASH_ASCII_JACCARD_SQL,
@@ -7226,6 +7239,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_chunk_docs": q_chunk_docs,
         "a_onion_layers": q_onion_layers,
         "r_bom_explode": q_bom_explode,
+        "t_bpe_merges": q_bpe_merges,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

@@ -1,0 +1,90 @@
+"""BPE trainer (functions/bpe.py) vs an independent pure-python
+trainer implementing the same documented merge convention."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from adopt_spark.functions.bpe import bpe_train
+
+
+def _replace_passes(repr_: str, a: str, b: str, passes: int = 3) -> str:
+    """Literal left-to-right non-overlapping replace, `passes` times —
+    the module's documented merge-application convention."""
+    pat, rep = f" {a} {b} ", f" {a}{b} "
+    for _ in range(passes):
+        repr_ = repr_.replace(pat, rep)
+    return repr_
+
+
+def py_bpe(texts: list[str], n_merges: int, passes: int = 3):
+    from collections import Counter
+
+    vocab = Counter(w for t in texts for w in t.split()
+                    if re.fullmatch("[a-z]+", w))
+    reprs = {w: " " + " ".join(w) + " " for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, f in vocab.items():
+            syms = reprs[w].split()
+            for x, y in zip(syms, syms[1:]):
+                pairs[(x, y)] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, a + b, cnt))
+        reprs = {w: _replace_passes(r, a, b, passes)
+                 for w, r in reprs.items()}
+    return merges
+
+
+def _run(spark, texts, n_merges):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return [(r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in bpe_train(df, n_merges).orderBy("rank").collect()]
+
+
+def test_bpe_vs_python_random_corpus(spark):
+    rng = np.random.default_rng(21)
+    words = ["spark", "shark", "sparse", "parse", "spar", "park",
+             "hash", "shash", "mash", "partition", "part", "sharded"]
+    texts = [" ".join(words[int(i)] for i in rng.integers(0, len(words), 30))
+             for _ in range(40)]
+    assert _run(spark, texts, 10) == py_bpe(texts, 10)
+
+
+def test_bpe_learns_composed_symbols(spark):
+    """'abab abab' style corpus: after (a,b) -> ab, the next merge
+    must be the composed pair (ab, ab)."""
+    texts = ["abab " * 20] * 5
+    got = _run(spark, texts, 2)
+    assert got[0][1:4] == ("a", "b", "ab")
+    assert got[1][1:4] == ("ab", "ab", "abab")
+
+
+def test_bpe_early_stop_when_exhausted(spark):
+    """Single-char words have no adjacent pairs — trainer returns
+    fewer merges than asked, not an error."""
+    texts = ["a b c a b"] * 3
+    assert _run(spark, texts, 5) == []
+
+
+def test_bpe_filters_non_alpha(spark):
+    texts = ["hello hello WORLD 123 he!lo", "hello hel"]
+    got = _run(spark, texts, 3)
+    want = py_bpe(texts, 3)
+    assert got == want
+    # every learned symbol is lowercase alpha
+    assert all(re.fullmatch("[a-z]+", m[3]) for m in got)
+
+
+def test_bpe_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_train(df, 0)
