@@ -132,3 +132,88 @@ def bpe_train_sql(n_merges: int = 8, passes: int = 3) -> str:
         f"cnt AS pair_count FROM m{r}"
         for r in range(1, n_merges + 1))
     return f"WITH {', '.join(parts)}\n{union}"
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame,
+               text_col: str = "text", passes: int = 3) -> DataFrame:
+    """Tokenize every document with a learned merge table: per doc,
+    the BPE token count under the merges vs the raw character count —
+    the compression-ratio signal a tokenizer sweep optimizes.
+
+    The merge table is tiny (one row per rule) and collected to the
+    driver ONCE to build a single Column expression: char-spaced words
+    -> the rank-ordered replace chain (same ``passes`` convention as
+    training) -> symbol count. The per-doc transformation is one pure
+    JVM projection — no join, no shuffle, no Python; at 100 TB this is
+    a map stage exactly like chunk_documents.
+
+    Output: (doc_id, n_words, n_chars, n_bpe_tokens) over the
+    lowercase-alpha words of each doc (the trainer's vocabulary
+    universe)."""
+    rules = [(r.lhs, r.rhs) for r in
+             merges.orderBy("rank").select("rank", "lhs", "rhs").collect()]
+    word = F.col("w")
+    spaced = F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
+    expr = spaced
+    for a, b in rules:
+        for _ in range(passes):
+            expr = F.replace(expr, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+    alpha = words.where(F.col("w").rlike("^[a-z]+$"))
+    per_word = alpha.select(
+        "doc_id",
+        F.length(word).alias("chars"),
+        F.size(F.split(F.trim(expr), " ")).alias("toks"))
+    return (docs.select("doc_id")
+            .join(per_word.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                       F.sum("chars").cast("long").alias("n_chars"),
+                       F.sum("toks").cast("long").alias("n_bpe_tokens")),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+                    F.coalesce("n_bpe_tokens", F.lit(0))
+                    .alias("n_bpe_tokens")))
+
+
+def bpe_encode_sql(n_merges: int = 8, passes: int = 3) -> str:
+    """DuckDB twin: trains the same merges (bpe_train_sql's CTE chain)
+    and applies the identical rank-ordered replace chain to every doc
+    word — the m{r} scalar subqueries supply the learned rules, so the
+    oracle re-derives the tokenizer rather than trusting the engine's."""
+    train = bpe_train_sql(n_merges, passes)
+    # reuse the training CTE chain: cut at the final union (its first
+    # branch is "SELECT 1 AS rank"), keep the WITH body, and append
+    # the encoding stage
+    cte_end = train.index("\nSELECT 1 AS rank")
+    ctes = train[:cte_end]  # "WITH w AS ... )"
+    expr = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for r in range(1, n_merges + 1):
+        for _ in range(passes):
+            expr = (f"replace({expr}, "
+                    f"(SELECT ' ' || a || ' ' || b || ' ' FROM m{r}), "
+                    f"(SELECT ' ' || a || b || ' ' FROM m{r}))")
+    return f"""{ctes},
+docw AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+), alpha AS MATERIALIZED (
+    SELECT doc_id, w FROM docw WHERE regexp_matches(w, '^[a-z]+$')
+), perword AS MATERIALIZED (
+    SELECT doc_id, length(w) AS chars,
+           len(string_split(trim({expr}), ' ')) AS toks
+    FROM alpha
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS n_words, sum(chars) AS n_chars,
+                  sum(toks) AS n_bpe_tokens
+           FROM perword GROUP BY doc_id) p
+       ON p.doc_id = d.doc_id
+""".strip()

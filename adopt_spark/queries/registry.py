@@ -46,7 +46,10 @@ from adopt_spark.functions.dedup import (
     exact_dedup, minhash_near_dup_pairs, simhash_pairs,
 )
 from adopt_spark.functions.bom import bom_explode_sql as _bom_explode_sql
-from adopt_spark.functions.bpe import bpe_train_sql as _bpe_train_sql
+from adopt_spark.functions.bpe import (
+    bpe_encode_sql as _bpe_encode_sql,
+    bpe_train_sql as _bpe_train_sql,
+)
 from adopt_spark.functions.export import (
     chunk_documents_sql as _chunk_documents_sql,
     shard_plan_sql as _export_shard_plan_sql,
@@ -2544,6 +2547,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train -> encode roundtrip: every document tokenized with
+    the 8 learned merges — per-doc word/char/BPE-token counts, one
+    pure JVM projection (the merge table becomes a replace chain).
+    The oracle RE-DERIVES the tokenizer from the same corpus rather
+    than trusting the engine's merges (functions/bpe.py)."""
+    from adopt_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs, n_merges=8))
+
+
 def q_bom_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilevel bill-of-materials explosion: total quantity + path
     count per (root, transitive part) over the deterministic acyclic
@@ -4285,6 +4300,7 @@ FROM part""",
     "a_onion_layers": _og.onion_layers_sql(SPARSE_EDGE_SQL),
     "r_bom_explode": _bom_explode_sql(16),
     "t_bpe_merges": _bpe_train_sql(8),
+    "t_bpe_encode": _bpe_encode_sql(8),
     "t_lang_id": _og.lang_id_sql(),
     "t_fingerprint": _og.FINGERPRINT_GROUPS_SQL,
     "t_minhash_near_dup": _og.MINHASH_ASCII_JACCARD_SQL,
@@ -7240,6 +7256,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_onion_layers": q_onion_layers,
         "r_bom_explode": q_bom_explode,
         "t_bpe_merges": q_bpe_merges,
+        "t_bpe_encode": q_bpe_encode,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

@@ -88,3 +88,41 @@ def test_bpe_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bpe_train(df, 0)
+
+
+def _py_encode(texts, merges, passes=3):
+    out = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split() if re.fullmatch("[a-z]+", w)]
+        chars = sum(len(w) for w in words)
+        toks = 0
+        for w in words:
+            r = " " + " ".join(w) + " "
+            for _, a, b, _, _ in merges:
+                r = _replace_passes(r, a, b, passes)
+            toks += len(r.split())
+        out[i] = (len(words), chars, toks)
+    return out
+
+
+def test_bpe_encode_vs_python(spark):
+    from adopt_spark.functions.bpe import bpe_encode
+
+    rng = np.random.default_rng(8)
+    words = ["merge", "merging", "merged", "spark", "sparking", "park"]
+    texts = [" ".join(words[int(i)]
+                      for i in rng.integers(0, len(words), 25))
+             for _ in range(20)] + ["", "  ", "ONLY UPPER 99"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges_df = bpe_train(df, 6)
+    merges = [(r.rank, r.lhs, r.rhs, r.merged, r.pair_count)
+              for r in merges_df.orderBy("rank").collect()]
+    got = {r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+           for r in bpe_encode(df, merges_df).collect()}
+    want = _py_encode(texts, merges)
+    assert got == want
+    # docs with no alpha words report zeros, not missing rows
+    assert got[len(texts) - 1] == (0, 0, 0)
+    # BPE never produces MORE tokens than characters
+    assert all(t <= c for _, c, t in got.values())
