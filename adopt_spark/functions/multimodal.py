@@ -502,3 +502,46 @@ def image_near_dup(media: DataFrame, max_hamming: int = 3,
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (cand.select("a", "b", ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def image_thumbnails(media: DataFrame, size: int = 4,
+                     decoder: Callable[[bytes, int, int],
+                                       np.ndarray] | None = None
+                     ) -> DataFrame:
+    """Nearest-neighbor thumbnails THROUGH the real decode path, with
+    the re-encode roundtrip asserted in-kernel: decode the payload,
+    sample thumbnail pixel (r, c) from source (r*h//size, c*w//size),
+    re-encode the thumbnail as PNG and decode it back — any
+    encode/decode asymmetry raises inside the batch instead of
+    emitting silently wrong pixels. Output: one row per thumbnail
+    pixel (media_id, r, c, px) — value-level checkable against the
+    fixture's closed pixel law. One Arrow map stage, rows out =
+    size² per image (never the full frame)."""
+    decode = decoder or default_image_decode
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from adopt_spark.functions.png_codec import png_decode, png_encode
+        for pdf in it:
+            ids, rs, cs, pxs = [], [], [], []
+            for p, m, mid in zip(pdf["payload"], pdf["meta"],
+                                 pdf["media_id"]):
+                img = decode(bytes(p), int(m["width"]), int(m["height"]))
+                h, w = img.shape
+                sr = (np.arange(size, dtype=np.int64) * h) // size
+                sc = (np.arange(size, dtype=np.int64) * w) // size
+                thumb = img[np.ix_(sr, sc)]
+                back = png_decode(png_encode(thumb.astype(np.uint8)))
+                if not np.array_equal(back, thumb):
+                    raise ValueError(
+                        f"PNG roundtrip mismatch for media {mid}")
+                ids.extend([int(mid)] * (size * size))
+                rr, cc = np.meshgrid(np.arange(size), np.arange(size),
+                                     indexing="ij")
+                rs.extend(rr.ravel().tolist())
+                cs.extend(cc.ravel().tolist())
+                pxs.extend(thumb.ravel().astype(np.int64).tolist())
+            yield pd.DataFrame({"media_id": ids, "r": rs, "c": cs,
+                                "px": pxs})
+
+    return media.mapInPandas(
+        kernel, schema="media_id long, r int, c int, px long")

@@ -2547,6 +2547,18 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 4x4 thumbnails through the REAL PNG decode
+    path, with the re-encode roundtrip asserted in-kernel; one row
+    per thumbnail pixel, value-checked against the fixture's closed
+    pixel law (functions/multimodal.py:image_thumbnails)."""
+    from adopt_spark.functions.multimodal import (
+        image_thumbnails, synthetic_png_media)
+
+    return image_thumbnails(
+        synthetic_png_media(_media_keys(spark, sf_dir)), size=4)
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train -> encode roundtrip: every document tokenized with
     the 8 learned merges — per-doc word/char/BPE-token counts, one
@@ -4301,6 +4313,19 @@ FROM part""",
     "r_bom_explode": _bom_explode_sql(16),
     "t_bpe_merges": _bpe_train_sql(8),
     "t_bpe_encode": _bpe_encode_sql(8),
+    "m_image_thumbs": """
+WITH m AS (
+    SELECT o_orderkey AS media_id,
+           CAST(o_orderkey % 23 + 8 AS BIGINT) AS w,
+           CAST(o_orderkey % 17 + 8 AS BIGINT) AS h
+    FROM orders WHERE o_orderkey % 100 < 2
+)
+SELECT media_id, CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+       CAST((media_id * 31 + ((r * h // 4) * w + (c * w // 4)) * 7) % 256
+            AS BIGINT) AS px
+FROM m, unnest(generate_series(0, 3)) AS tr(r),
+        unnest(generate_series(0, 3)) AS tc(c)
+""".strip(),
     "t_lang_id": _og.lang_id_sql(),
     "t_fingerprint": _og.FINGERPRINT_GROUPS_SQL,
     "t_minhash_near_dup": _og.MINHASH_ASCII_JACCARD_SQL,
@@ -7257,6 +7282,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_bom_explode": q_bom_explode,
         "t_bpe_merges": q_bpe_merges,
         "t_bpe_encode": q_bpe_encode,
+        "m_image_thumbs": q_image_thumbs,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

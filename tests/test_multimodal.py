@@ -155,3 +155,52 @@ def test_audio_silence_crafted_lead_trail(spark):
     r2 = rep[2]
     assert (r2.n_silent, r2.n_runs, r2.lead_silence, r2.trail_silence) \
         == (0, 0, 0, 0)
+
+
+def test_image_thumbnails_law_and_roundtrip(spark):
+    """Thumbnail pixels equal the nearest-neighbor sample of the
+    closed-form source law; the in-kernel PNG re-encode roundtrip
+    ran for every image (a mismatch raises)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from adopt_spark.functions.multimodal import (
+        image_thumbnails, synthetic_png_media)
+
+    keys = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    got = {(r.media_id, r.r, r.c): r.px
+           for r in image_thumbnails(synthetic_png_media(keys),
+                                     size=4).collect()}
+    assert len(got) == 40 * 16
+    for k in range(40):
+        w, h = k % 23 + 8, k % 17 + 8
+        for r in range(4):
+            for c in range(4):
+                src = (r * h // 4) * w + (c * w // 4)
+                assert got[(k, r, c)] == (k * 31 + src * 7) % 256
+
+
+def test_image_thumbnails_detects_broken_decoder(spark):
+    """A decoder that lies about pixels still roundtrips (encode of
+    the wrong pixels decodes to the same wrong pixels), so the LAW
+    check is what catches it — pin that the output actually differs
+    under a corrupted decoder."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from adopt_spark.functions.multimodal import (
+        image_thumbnails, synthetic_png_media)
+
+    def bad(payload, width, height):
+        from adopt_spark.functions.multimodal import default_image_decode
+        img = default_image_decode(payload, width, height)
+        return (img + 1) % 256
+
+    keys = spark.range(0, 5).select(F.col("id").alias("media_id"))
+    media = synthetic_png_media(keys)
+    good = {(r.media_id, r.r, r.c): r.px
+            for r in image_thumbnails(media, size=4).collect()}
+    off = {(r.media_id, r.r, r.c): r.px
+           for r in image_thumbnails(media, size=4,
+                                     decoder=bad).collect()}
+    assert all(off[k] == (good[k] + 1) % 256 for k in good)
