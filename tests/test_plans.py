@@ -204,3 +204,32 @@ def test_corr_matrix_single_scan(spark):
 
     plan = physical_plan(q_corr_matrix(spark, SF))
     assert plan.count("FileScan parquet") == 1
+
+
+def test_session10_ops_plan_shape(spark):
+    """Session-10 plan claims, asserted on the physical plan:
+    chunk_documents is shuffle-free (pure map stage); dep_impact and
+    bom_explode aggregate with map-side partial agg and never plan a
+    Cartesian product or Python eval in the hot path."""
+    from adopt_spark.functions.bom import bom_explode, synthetic_bom
+    from adopt_spark.functions.deps import (
+        dep_edges, dep_impact, semver_resolve, synthetic_releases,
+        synthetic_requirements)
+    from adopt_spark.functions.export import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    chunk_plan = physical_plan(chunk_documents(docs, 32, 24))
+    assert "Exchange" not in chunk_plan           # zero shuffle
+    assert "BatchEvalPython" not in chunk_plan
+    assert "ArrowEvalPython" not in chunk_plan
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    res = semver_resolve(synthetic_requirements(orders, thin=13),
+                         synthetic_releases(part))
+    for df in (dep_impact(dep_edges(res), 2),
+               bom_explode(synthetic_bom(part), 4)):
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
