@@ -2547,6 +2547,27 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_nested_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type / higher-order-function surface (the reference's
+    type system has no arrays at all, SURVEY §1.2): per-order sorted
+    quantity arrays folded with aggregate(), filtered with a lambda,
+    and reduced with array_max/min — all inside whole-stage codegen;
+    DuckDB twins via list_sort/list_aggregate/list_filter."""
+    l = (_t(spark, sf_dir, "lineitem")
+         .where(F.col("l_orderkey") % 7 == 0)
+         .select("l_orderkey", F.col("l_quantity").cast("long").alias("q")))
+    arr = (l.groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_list("q")).alias("qs")))
+    return arr.select(
+        "l_orderkey",
+        F.size("qs").alias("n_items"),
+        F.aggregate("qs", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("qty_sum"),
+        F.size(F.filter("qs", lambda x: x > 25)).alias("n_big"),
+        (F.array_max("qs") - F.array_min("qs")).cast("long")
+        .alias("spread"))
+
+
 def q_image_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor 4x4 thumbnails through the REAL PNG decode
     path, with the re-encode roundtrip asserted in-kernel; one row
@@ -4313,6 +4334,21 @@ FROM part""",
     "r_bom_explode": _bom_explode_sql(16),
     "t_bpe_merges": _bpe_train_sql(8),
     "t_bpe_encode": _bpe_encode_sql(8),
+    "r_nested_hof": """
+WITH a AS (
+    SELECT l_orderkey,
+           list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+    FROM lineitem WHERE l_orderkey % 7 = 0
+    GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(qs) AS INTEGER) AS n_items,
+       CAST(list_aggregate(qs, 'sum') AS BIGINT) AS qty_sum,
+       CAST(len(list_filter(qs, x -> x > 25)) AS INTEGER) AS n_big,
+       CAST(list_aggregate(qs, 'max') - list_aggregate(qs, 'min')
+            AS BIGINT) AS spread
+FROM a
+""".strip(),
     "m_image_thumbs": """
 WITH m AS (
     SELECT o_orderkey AS media_id,
@@ -7283,6 +7319,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_bpe_merges": q_bpe_merges,
         "t_bpe_encode": q_bpe_encode,
         "m_image_thumbs": q_image_thumbs,
+        "r_nested_hof": q_nested_hof,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,
