@@ -153,10 +153,12 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
         F.concat_ws(" ", piece).alias("chunk_text"))
 
 
-def chunk_documents_sql(chunk_tokens: int = 64, stride: int = 48) -> str:
-    """DuckDB replica of chunk_documents over the ``documents`` view
-    (same whitespace tokenizer as the token_count twin; DuckDB lists
-    are 1-indexed, list_slice bounds are inclusive)."""
+def chunk_documents_sql(chunk_tokens: int = 64, stride: int = 48,
+                        source: str = "documents") -> str:
+    """DuckDB replica of chunk_documents over ``source`` (a view name
+    or parenthesized subquery with doc_id/text; same whitespace
+    tokenizer as the token_count twin; DuckDB lists are 1-indexed,
+    list_slice bounds are inclusive)."""
     return f"""
 WITH base AS (
     SELECT doc_id,
@@ -164,7 +166,7 @@ WITH base AS (
            CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+'))
            END AS n
-    FROM documents
+    FROM {source}
 ), sized AS (
     SELECT doc_id, toks, n,
            CASE WHEN n <= {chunk_tokens} THEN 1

@@ -2547,6 +2547,47 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END TO END as one declarative chain:
+    quality gate (top-half per lang) -> exact dedup on the normalized
+    text (keep min doc_id) -> deterministic 80/10/10 split -> token
+    chunking (32/24) -> per (split, lang) docs/chunks/tokens report.
+    Every stage is individually oracle-green; this entry checks the
+    COMPOSITION (the oracle recomposes the same four SQL stages)."""
+    from pyspark.sql import Window
+
+    from adopt_spark.functions.export import chunk_documents
+    from adopt_spark.functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        F.round(quality_score("text"), 4).alias("q"))
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    kept = (d.withColumn("pr", F.percent_rank().over(w))
+            .where(F.col("pr") <= 0.5)
+            .select("doc_id", "lang", "text"))
+    norm = kept.withColumn(
+        "k", F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    keep_ids = norm.groupBy("k").agg(F.min("doc_id").alias("doc_id"))
+    docs2 = norm.join(keep_ids.select("doc_id"), "doc_id", "left_semi")
+    bucket = ((F.lit(SPLIT_A) * F.col("doc_id") + F.lit(SPLIT_B))
+              % F.lit(SPLIT_M)) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    tagged = docs2.select("doc_id", "lang", "text", split.alias("split"))
+    chunks = chunk_documents(tagged.select("doc_id", "text"), 32, 24)
+    per_doc = (chunks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("nc"),
+                    F.sum("n_tokens").alias("nt")))
+    return (tagged.join(per_doc, "doc_id", "left")
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.coalesce("nc", F.lit(0))).cast("long")
+                 .alias("n_chunks"),
+                 F.sum(F.coalesce("nt", F.lit(0))).cast("long")
+                 .alias("n_tokens")))
+
+
 def q_nested_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-type / higher-order-function surface (the reference's
     type system has no arrays at all, SURVEY §1.2): per-order sorted
@@ -5822,6 +5863,47 @@ SELECT doc_id, lang, q, round(pr, 6) AS pr
 FROM ranked WHERE pr <= 0.5
 """.strip()
 
+ORACLES["t_pipeline_e2e"] = f"""
+WITH scored AS (
+    SELECT doc_id, lang, text, {_QUALITY_SQL} AS q FROM documents
+), ranked AS (
+    SELECT doc_id, lang, text,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY q DESC, doc_id ASC) AS pr
+    FROM scored
+), kept AS (
+    SELECT doc_id, lang, text FROM ranked WHERE pr <= 0.5
+), norm AS (
+    SELECT doc_id, lang, text,
+           regexp_replace(trim(text), '\\s+', ' ', 'g') AS k
+    FROM kept
+), keepids AS (
+    SELECT min(doc_id) AS doc_id FROM norm GROUP BY k
+), docs2 AS (
+    SELECT n.doc_id, n.lang, n.text FROM norm n
+    JOIN keepids ki ON ki.doc_id = n.doc_id
+), tagged AS (
+    SELECT doc_id, lang,
+           CASE WHEN (({SPLIT_A} * doc_id + {SPLIT_B})
+                      % {SPLIT_M}) % 100 < 80 THEN 'train'
+                WHEN (({SPLIT_A} * doc_id + {SPLIT_B})
+                      % {SPLIT_M}) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM docs2
+), perdoc AS (
+    SELECT doc_id, count(*) AS nc, sum(n_tokens) AS nt
+    FROM ({{CHUNK_SQL}}) c
+    GROUP BY doc_id
+)
+SELECT t.split, t.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(p.nc, 0)) AS BIGINT) AS n_chunks,
+       CAST(sum(coalesce(p.nt, 0)) AS BIGINT) AS n_tokens
+FROM tagged t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+GROUP BY t.split, t.lang
+""".strip().replace("{CHUNK_SQL}", _chunk_documents_sql(
+    32, 24, "(SELECT doc_id, text FROM docs2)"))
+
 ORACLES["a_mean_pivot_dist"] = f"""
 SELECT pivot_id, round(avg(dist), 6) AS mean_dist,
        max(dist) AS max_dist, count(*) AS n_reached
@@ -7320,6 +7402,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_bpe_encode": q_bpe_encode,
         "m_image_thumbs": q_image_thumbs,
         "r_nested_hof": q_nested_hof,
+        "t_pipeline_e2e": q_pipeline_e2e,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,
