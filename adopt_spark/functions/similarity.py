@@ -663,3 +663,67 @@ def ivfpq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select(q_id_col, id_col, "cos", "rank"))
+
+
+def maxsim_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                n_sub: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id", q_vec_col: str = "q_vec"
+                ) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): each vector
+    is treated as ``n_sub`` contiguous sub-vectors ("token
+    embeddings"); score(q, d) = sum over query tokens of the MAX
+    cosine against any document token. Captures partial/aspect matches
+    a single pooled cosine dilutes.
+
+    Plan shape: broadcast the (small) query side against the streaming
+    corpus — identical to brute_force_topk — with the whole
+    sum-of-max-of-cosines computed as ONE nested higher-order-function
+    Column (sequence/slice/zip_with/aggregate/array_max), entirely in
+    the JVM; the only shuffle is the final per-query top-k window. At
+    100-TB corpus scale the candidate stage swaps for the LSH/IVF
+    generators, re-ranked with this exact expression.
+    """
+    dim_probe = embeddings.select(
+        F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_probe:
+        return embeddings.sparkSession.createDataFrame(
+            [], f"{q_id_col} long, {id_col} long, score double, rank int")
+    dim = int(dim_probe[0].d)
+    if dim % n_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    w = dim // n_sub
+
+    def sub(v, i):
+        return F.slice(v, i * w + 1, w)
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def nrm(a):
+        return F.sqrt(dot(a, a))
+
+    idx = F.sequence(F.lit(0), F.lit(n_sub - 1))
+    qv, dv = F.col(q_vec_col), F.col(vec_col)
+
+    def tok_cos(i, j):
+        # zero-norm tokens (padding) contribute 0, never NaN/ANSI
+        # divide-by-zero
+        den = nrm(sub(qv, i)) * nrm(sub(dv, j))
+        return F.when(den > 0,
+                      dot(sub(qv, i), sub(dv, j)) / den).otherwise(
+            F.lit(0.0))
+
+    score = F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc + F.array_max(F.transform(
+            idx, lambda j: tok_cos(i, j))))
+    pairs = embeddings.crossJoin(F.broadcast(queries))
+    scored = (pairs.select(q_id_col, id_col, score.alias("score"))
+              .where(~F.isnan("score")))
+    win = Window.partitionBy(q_id_col).orderBy(F.desc("score"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select(q_id_col, id_col, "score", "rank"))

@@ -2547,6 +2547,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): vectors as
+    8 sub-vector "tokens", score = sum over query tokens of the max
+    cosine against any document token, computed as ONE nested
+    higher-order-function Column (functions/similarity.py:
+    maxsim_topk); broadcast query side, top-5 per query."""
+    from adopt_spark.functions.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = maxsim_topk(emb, _queries_from_embeddings(emb), k=5)
+    return out.select("q_id", "vec_id",
+                      F.round("score", 6).alias("score"), "rank")
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-data pipeline END TO END as one declarative chain:
     quality gate (top-half per lang) -> exact dedup on the normalized
@@ -4375,6 +4389,40 @@ FROM part""",
     "r_bom_explode": _bom_explode_sql(16),
     "t_bpe_merges": _bpe_train_sql(8),
     "t_bpe_encode": _bpe_encode_sql(8),
+    "s_maxsim_topk": """
+WITH ex AS MATERIALIZED (
+  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // 8 AS s,
+         (generate_subscripts(embedding, 1) - 1) % 8 AS o,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), subnorms AS MATERIALIZED (
+  SELECT vec_id, s, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY vec_id, s
+), dots AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, q.s AS qs, e.vec_id AS vec_id, e.s AS ds,
+         sum(q.x * e.x) AS dot
+  FROM ex q JOIN ex e ON q.o = e.o
+  WHERE q.vec_id < 3
+  GROUP BY q.vec_id, q.s, e.vec_id, e.s
+), percos AS (
+  SELECT d.q_id, d.qs, d.vec_id,
+         d.dot / (nq.nrm * ne.nrm) AS cos
+  FROM dots d
+  JOIN subnorms nq ON nq.vec_id = d.q_id AND nq.s = d.qs
+  JOIN subnorms ne ON ne.vec_id = d.vec_id AND ne.s = d.ds
+), best AS (
+  SELECT q_id, vec_id, qs, max(cos) AS m
+  FROM percos GROUP BY q_id, vec_id, qs
+), sc AS (
+  SELECT q_id, vec_id, sum(m) AS score_raw FROM best GROUP BY q_id, vec_id
+)
+SELECT q_id, vec_id, CAST(round(score_raw, 6) AS DOUBLE) AS score,
+       CAST(rnk AS INTEGER) AS rank
+FROM (SELECT q_id, vec_id, score_raw,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score_raw DESC, vec_id) AS rnk
+      FROM sc)
+WHERE rnk <= 5
+""".strip(),
     "r_nested_hof": """
 WITH a AS (
     SELECT l_orderkey,
@@ -7403,6 +7451,7 @@ def all_queries() -> dict[str, QueryFn]:
         "m_image_thumbs": q_image_thumbs,
         "r_nested_hof": q_nested_hof,
         "t_pipeline_e2e": q_pipeline_e2e,
+        "s_maxsim_topk": q_maxsim_topk,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

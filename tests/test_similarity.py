@@ -351,3 +351,63 @@ def test_ivfpq_empty_and_ragged(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="ragged|dimension"):
         ivfpq_topk(bad, q, k=3).count()
+
+
+def test_maxsim_vs_numpy(spark):
+    """MaxSim late interaction vs a numpy reference (sum-order ulps
+    tolerated at 2e-6 on the 6dp lattice); structure exact: ranks,
+    ids, and the self-match always ranking first."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from adopt_spark.functions.similarity import maxsim_topk
+
+    rng = np.random.default_rng(17)
+    V = rng.standard_normal((50, 64)).astype(np.float64)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    got = maxsim_topk(emb, q, k=5).collect()
+
+    def score(qv, dv):
+        qs, ds = qv.reshape(8, 8), dv.reshape(8, 8)
+        cos = (qs @ ds.T) / (
+            np.linalg.norm(qs, axis=1)[:, None]
+            * np.linalg.norm(ds, axis=1)[None, :])
+        return float(cos.max(axis=1).sum())
+
+    for qi in range(4):
+        want = sorted(((score(V[qi], V[d]), d) for d in range(50)),
+                      key=lambda t: (-t[0], t[1]))[:5]
+        mine = sorted([r for r in got if r.q_id == qi],
+                      key=lambda r: r.rank)
+        assert [r.vec_id for r in mine] == [d for _, d in want]
+        for r, (s, _) in zip(mine, want):
+            assert abs(r.score - s) < 2e-6
+        # a vector's best match under MaxSim is itself (all cos = 1)
+        assert mine[0].vec_id == qi and abs(mine[0].score - 8.0) < 1e-9
+
+
+def test_maxsim_partial_match_beats_pooled(spark):
+    """The aspect-match property: a doc matching ONE query sub-vector
+    perfectly and orthogonal elsewhere must outscore a doc that is
+    uniformly mediocre — the case single pooled cosine gets wrong."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from adopt_spark.functions.similarity import maxsim_topk
+
+    q = np.zeros(64); q[0:8] = 1.0  # one active "token"
+    exact = np.zeros(64); exact[0:8] = 1.0     # matches that token
+    # alternating signs: orthogonal to the all-ones query token in
+    # EVERY sub-vector (a uniform constant would be parallel, cos=1)
+    mediocre = np.tile([0.1, -0.1], 32)
+    emb = spark.createDataFrame(
+        [(0, [float(x) for x in exact]),
+         (1, [float(x) for x in mediocre])],
+        "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(9, [float(x) for x in q])], "q_id long, q_vec array<double>")
+    rows = {r.vec_id: r for r in maxsim_topk(emb, qdf, k=2).collect()}
+    assert rows[0].rank == 1 and rows[0].score > rows[1].score
