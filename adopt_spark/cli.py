@@ -72,6 +72,26 @@ def run_sql_file(spark: SparkSession, path: str, echo: bool = False) -> list[Dat
         return run_sql(spark, f.read(), echo=echo)
 
 
+def explain_sql(spark: SparkSession, sql_text: str,
+                echo: bool = False) -> list[str]:
+    """Formatted physical plan per statement WITHOUT executing it —
+    the analogue of the reference console's explain mode
+    (SkinnerCmd explain/plot params threaded into QueryInfo,
+    query/QueryInfo.java:49-66); here Catalyst's formatted explain
+    shows the join strategy, pushed filters, and codegen stages the
+    reference would print as its learned join order."""
+    out = []
+    for stmt in split_statements(sql_text):
+        qe = spark.sql(stmt)._jdf.queryExecution()
+        plan = qe.explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        out.append(plan)
+        if echo:
+            print(plan)
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     from adopt_spark.session import get_spark
 
@@ -80,6 +100,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--edge-view", action="store_true",
                    help="also register the derived `edge` view")
+    p.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of "
+                        "executing (the reference console's explain mode)")
     args = p.parse_args(argv)
 
     spark = get_spark("adopt_spark_cli")
@@ -91,7 +114,10 @@ def main(argv: list[str] | None = None) -> int:
             text = f.read()
     except OSError:
         text = args.sql
-    run_sql(spark, text, echo=True)
+    if args.explain:
+        explain_sql(spark, text, echo=True)
+    else:
+        run_sql(spark, text, echo=True)
     return 0
 
 

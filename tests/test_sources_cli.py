@@ -69,3 +69,21 @@ def test_reference_query_files_run_verbatim(spark, kind, n):
     gen = clique_sql(n) if kind == "clique" else cycle_sql(n)
     expected = spark.sql(gen).collect()[0][0]
     assert got == expected, fname
+
+
+def test_explain_mode_formats_plan_without_executing(spark):
+    """The console's explain mode (reference: SkinnerCmd explain
+    params) returns a formatted physical plan — join strategy +
+    pushed filters visible — without collecting any rows."""
+    from adopt_spark.cli import explain_sql, register_edge_view
+
+    register_edge_view(spark, "/root/testdata/sf0.001")
+    plans = explain_sql(
+        spark,
+        "SELECT count(*) FROM edge e1, edge e2 "
+        "WHERE e1.tid = e2.sid AND e1.sid < e1.tid")
+    assert len(plans) == 1
+    p = plans[0]
+    assert "Physical Plan" in p
+    assert "Join" in p            # the join strategy is shown
+    assert "Aggregate" in p or "HashAggregate" in p
