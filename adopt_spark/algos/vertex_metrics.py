@@ -367,3 +367,36 @@ def assortativity(edges: DataFrame) -> DataFrame:
                - F.col("sx") * F.col("sx")).cast("double"),
             6).alias("assortativity"),
     )
+
+
+def orbit_counts_3(edges: DataFrame) -> DataFrame:
+    """Per-vertex 3-node graphlet orbit counts (Przulj GDV, orbits
+    0-3): DataFrame[v, o0, o1, o2, o3] where o0 = degree, o1 = wedges
+    with v as an END (path u-w-v centered elsewhere), o2 = wedges
+    with v as the CENTER, o3 = triangles through v. The 3-node
+    graphlet-degree-vector features graph-ML pipelines attach to
+    vertices.
+
+    All counts derive from two aggregates already in the engine's
+    toolbox — degrees and per-vertex triangles — plus one
+    neighbor-degree join; the closed forms
+    o1 = Σ_{u∈N(v)}(deg(u)-1) - 2·o3 and o2 = C(deg,2) - o3 avoid
+    enumerating wedges entirely. All-integer, exact.
+    """
+    lt = _lt(edges)
+    sym = _sym(lt)
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    tri = vertex_triangle_counts(lt)
+    nbr_deg = (sym.join(deg.select(F.col("v").alias("nbr"),
+                                   F.col("deg").alias("nd")), "nbr")
+               .groupBy("v").agg(F.sum("nd").alias("nds")))
+    return (deg.join(nbr_deg, "v", "left").join(tri, "v", "left")
+            .select(
+                "v",
+                F.col("deg").cast("long").alias("o0"),
+                (F.coalesce("nds", F.lit(0)) - F.col("deg")
+                 - 2 * F.coalesce("tri", F.lit(0))).cast("long")
+                .alias("o1"),
+                (F.col("deg") * (F.col("deg") - 1) / 2
+                 - F.coalesce("tri", F.lit(0))).cast("long").alias("o2"),
+                F.coalesce("tri", F.lit(0)).cast("long").alias("o3")))

@@ -2547,6 +2547,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_orbit3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 3-node graphlet orbit counts (GDV orbits 0-3) on
+    the sparse planted graph: degree, wedge-end, wedge-center,
+    triangle — from two aggregates + one neighbor-degree join via
+    closed forms, no wedge enumeration
+    (algos/vertex_metrics.py:orbit_counts_3)."""
+    from adopt_spark.algos.vertex_metrics import orbit_counts_3
+
+    return orbit_counts_3(derived_edges_sparse(spark, sf_dir))
+
+
 def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ColBERT-style late-interaction retrieval (MaxSim): vectors as
     8 sub-vector "tokens", score = sum over query tokens of the max
@@ -4389,6 +4400,35 @@ FROM part""",
     "r_bom_explode": _bom_explode_sql(16),
     "t_bpe_merges": _bpe_train_sql(8),
     "t_bpe_encode": _bpe_encode_sql(8),
+    "g_orbit3": f"""WITH edge AS MATERIALIZED (
+{SPARSE_EDGE_SQL}
+), lt AS MATERIALIZED (
+    SELECT DISTINCT sid, tid FROM edge WHERE sid < tid
+), sym AS MATERIALIZED (
+    SELECT sid AS v, tid AS nbr FROM lt UNION ALL SELECT tid, sid FROM lt
+), deg AS MATERIALIZED (
+    SELECT v, count(*) AS deg FROM sym GROUP BY v
+), tris AS (
+    SELECT e1.sid AS a, e1.tid AS b, e2.tid AS c
+    FROM lt e1 JOIN lt e2 ON e2.sid = e1.sid AND e1.tid < e2.tid
+    JOIN lt e3 ON e3.sid = e1.tid AND e3.tid = e2.tid
+), vt AS (
+    SELECT v, count(*) AS tri FROM (
+        SELECT a AS v FROM tris UNION ALL
+        SELECT b FROM tris UNION ALL
+        SELECT c FROM tris) GROUP BY v
+), nds AS (
+    SELECT s.v, sum(d.deg) AS nds
+    FROM sym s JOIN deg d ON d.v = s.nbr GROUP BY s.v
+)
+SELECT deg.v,
+       CAST(deg.deg AS BIGINT) AS o0,
+       CAST(coalesce(nds.nds, 0) - deg.deg
+            - 2 * coalesce(vt.tri, 0) AS BIGINT) AS o1,
+       CAST(deg.deg * (deg.deg - 1) // 2
+            - coalesce(vt.tri, 0) AS BIGINT) AS o2,
+       CAST(coalesce(vt.tri, 0) AS BIGINT) AS o3
+FROM deg LEFT JOIN nds USING (v) LEFT JOIN vt USING (v)""",
     "s_maxsim_topk": """
 WITH ex AS MATERIALIZED (
   SELECT vec_id, (generate_subscripts(embedding, 1) - 1) // 8 AS s,
@@ -7452,6 +7492,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_nested_hof": q_nested_hof,
         "t_pipeline_e2e": q_pipeline_e2e,
         "s_maxsim_topk": q_maxsim_topk,
+        "g_orbit3": q_orbit3,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

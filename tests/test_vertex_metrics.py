@@ -170,3 +170,38 @@ def test_assortativity_star_is_degenerate_or_negative(spark):
 
     r = assortativity(df).collect()[0]["assortativity"]
     assert r < -0.8
+
+
+def test_orbit3_vs_brute_force(spark):
+    """GDV orbits 0-3 vs direct wedge/triangle enumeration."""
+    import itertools
+
+    import numpy as np
+
+    from adopt_spark.algos.vertex_metrics import orbit_counts_3
+
+    rng = np.random.default_rng(23)
+    pairs = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, 20, size=(60, 2))
+                    if a != b})
+    adj: dict[int, set] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v in adj:
+        deg = len(adj[v])
+        tri = sum(1 for u, w in itertools.combinations(adj[v], 2)
+                  if w in adj[u])
+        # wedge with v as END: u-w paths through a neighbor w of v
+        o1 = sum(len(adj[w]) - 1 for w in adj[v]) - 2 * tri
+        o2 = deg * (deg - 1) // 2 - tri
+        want[v] = (deg, o1, o2, tri)
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    got = {r.v: (r.o0, r.o1, r.o2, r.o3)
+           for r in orbit_counts_3(spark.createDataFrame(
+               pairs, "sid long, tid long")).collect()}
+    assert got == want
+    # identity: total wedges counted from ends = 2x from centers
+    assert sum(o1 for _, o1, _, _ in got.values()) == \
+        2 * sum(o2 for _, _, o2, _ in got.values())
