@@ -187,3 +187,48 @@ SELECT doc_id,
                       'string_agg', ' ') AS chunk_text
 FROM exploded
 """.strip()
+
+
+def reshard_plan(docs: DataFrame, n_old: int = 16, n_new: int = 24,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Data-migration planner for growing/shrinking the export shard
+    count: per (old_shard, new_shard) cell, how many documents and
+    tokens MOVE under the deterministic LCG assignment — the copy
+    matrix an orchestrator sizes its transfer jobs from (modulo
+    resharding moves most keys; the matrix quantifies exactly which
+    lanes carry what). One projection + one (old, new) hash aggregate
+    with map-side combine; ``moved`` = the shard id changed."""
+    if n_old < 1 or n_new < 1:
+        raise ValueError(
+            f"shard counts must be >= 1, got {n_old}/{n_new}")
+    okey = _order_key(id_col).cast("long")
+    toks = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    return (docs.select((okey % n_old).cast("int").alias("old_shard"),
+                        (okey % n_new).cast("int").alias("new_shard"),
+                        toks.alias("t"))
+            .groupBy("old_shard", "new_shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("t").cast("long").alias("n_tokens"))
+            .withColumn("moved", F.col("old_shard") != F.col("new_shard")))
+
+
+def reshard_plan_sql(n_old: int = 16, n_new: int = 24) -> str:
+    """DuckDB replica of reshard_plan over the ``documents`` view."""
+    okey = f"(({SHARD_A}::HUGEINT * doc_id + {SHARD_B}) % {SHARD_M})"
+    return f"""
+WITH s AS (
+    SELECT CAST({okey} % {n_old} AS INTEGER) AS old_shard,
+           CAST({okey} % {n_new} AS INTEGER) AS new_shard,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+           END AS t
+    FROM documents
+)
+SELECT old_shard, new_shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       old_shard <> new_shard AS moved
+FROM s GROUP BY old_shard, new_shard
+""".strip()

@@ -52,6 +52,7 @@ from adopt_spark.functions.bpe import (
 )
 from adopt_spark.functions.export import (
     chunk_documents_sql as _chunk_documents_sql,
+    reshard_plan_sql as _reshard_plan_sql,
     shard_plan_sql as _export_shard_plan_sql,
 )
 from adopt_spark.functions.similarity import brute_force_topk, lsh_topk
@@ -2547,6 +2548,49 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard move matrix (16 -> 24 shards): per (old, new) cell the
+    docs/tokens that travel under the deterministic LCG assignment —
+    the transfer-job sizing an export orchestrator needs
+    (functions/export.py:reshard_plan)."""
+    from adopt_spark.functions.export import reshard_plan
+
+    return reshard_plan(_t(spark, sf_dir, "documents"),
+                        n_old=16, n_new=24)
+
+
+def q_triangle_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering significance vs the configuration-model null: the
+    observed triangle count against the Chung-Lu closed-form
+    expectation E[tri] = (Σ d(d-1) / Σd)³ / 6 — the one-row
+    network-science stat that says whether the dependency graph is
+    MORE clustered than its degree sequence alone explains. Composes
+    the oracle-green cogroup triangle kernel with two degree
+    aggregates; expectation and ratio at 6 dp."""
+    from adopt_spark.algos.triangles import triangle_count
+
+    e = derived_edges_sparse(spark, sf_dir)
+    lt = (e.where(F.col("sid") < F.col("tid"))
+          .dropDuplicates(["sid", "tid"]))
+    sym = lt.select(F.col("sid").alias("v")).unionAll(
+        lt.select(F.col("tid").alias("v")))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    mom = deg.agg(
+        F.sum("d").cast("double").alias("s1"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("double").alias("s2"))
+    tri = triangle_count(e, "cogroup").select(
+        F.col("n_triangles").cast("double").alias("tri"))
+    # r*r*r, not pow(r, 3): IEEE multiply is bit-deterministic across
+    # engines, libm pow is not
+    r = F.col("s2") / F.col("s1")
+    exp_null = r * r * r / F.lit(6.0)
+    return (tri.crossJoin(mom)
+            .select(
+                F.col("tri").cast("long").alias("n_triangles"),
+                F.round(exp_null, 6).alias("expected_null"),
+                F.round(F.col("tri") / exp_null, 6).alias("ratio")))
+
+
 def q_orbit3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex 3-node graphlet orbit counts (GDV orbits 0-3) on
     the sparse planted graph: degree, wedge-end, wedge-center,
@@ -4400,6 +4444,30 @@ FROM part""",
     "r_bom_explode": _bom_explode_sql(16),
     "t_bpe_merges": _bpe_train_sql(8),
     "t_bpe_encode": _bpe_encode_sql(8),
+    "t_reshard_plan": _reshard_plan_sql(16, 24),
+    "g_triangle_null": f"""WITH edge AS MATERIALIZED (
+{SPARSE_EDGE_SQL}
+), lt AS MATERIALIZED (
+    SELECT DISTINCT sid, tid FROM edge WHERE sid < tid
+), tri AS (
+    SELECT count(*) AS t
+    FROM lt e1 JOIN lt e2 ON e2.sid = e1.sid AND e1.tid < e2.tid
+    JOIN lt e3 ON e3.sid = e1.tid AND e3.tid = e2.tid
+), deg AS (
+    SELECT v, count(*) AS d
+    FROM (SELECT sid AS v FROM lt UNION ALL SELECT tid FROM lt)
+    GROUP BY v
+), mom AS (
+    SELECT CAST(sum(d) AS DOUBLE) AS s1,
+           CAST(sum(d * (d - 1)) AS DOUBLE) AS s2
+    FROM deg
+)
+SELECT CAST(t AS BIGINT) AS n_triangles,
+       CAST(round((s2 / s1) * (s2 / s1) * (s2 / s1) / 6.0, 6)
+            AS DOUBLE) AS expected_null,
+       CAST(round(t / ((s2 / s1) * (s2 / s1) * (s2 / s1) / 6.0), 6)
+            AS DOUBLE) AS ratio
+FROM tri, mom""",
     "g_orbit3": f"""WITH edge AS MATERIALIZED (
 {SPARSE_EDGE_SQL}
 ), lt AS MATERIALIZED (
@@ -7493,6 +7561,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_pipeline_e2e": q_pipeline_e2e,
         "s_maxsim_topk": q_maxsim_topk,
         "g_orbit3": q_orbit3,
+        "g_triangle_null": q_triangle_null,
+        "t_reshard_plan": q_reshard_plan,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

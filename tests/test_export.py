@@ -123,3 +123,32 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, 0, 1)
     with _pytest.raises(ValueError):
         chunk_documents(df, 4, 0)
+
+
+def test_reshard_plan_mass_and_movers(spark, docs):
+    from adopt_spark.functions.export import (
+        SHARD_A, SHARD_B, SHARD_M, reshard_plan, shard_plan)
+
+    plan = reshard_plan(docs, 4, 6).collect()
+    # mass preservation vs the single-shard totals
+    base = shard_plan(docs, 1).collect()[0]
+    assert sum(r.n_docs for r in plan) == base.n_docs
+    assert sum(r.n_tokens for r in plan) == base.n_tokens
+    # python replica of the assignment
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    from collections import Counter
+    want = Counter()
+    for i in ids:
+        k = (SHARD_A * i + SHARD_B) % SHARD_M
+        want[(k % 4, k % 6)] += 1
+    assert {(r.old_shard, r.new_shard): r.n_docs for r in plan} == dict(want)
+    # moved flag is exactly the off-diagonal
+    assert all(r.moved == (r.old_shard != r.new_shard) for r in plan)
+
+
+def test_reshard_plan_identity_when_same_count(spark, docs):
+    from adopt_spark.functions.export import reshard_plan
+
+    plan = reshard_plan(docs, 8, 8).collect()
+    assert all(not r.moved for r in plan)
+    assert all(r.old_shard == r.new_shard for r in plan)
