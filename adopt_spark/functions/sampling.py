@@ -107,3 +107,96 @@ SELECT {key_col}, {weight_col}, score, CAST(rk AS INTEGER) AS rk
 FROM (SELECT *, row_number() OVER (ORDER BY score, {key_col}) AS rk
       FROM s)
 WHERE rk <= {k}"""
+
+
+# -------------------------------------- negative edge sampling
+
+_NEG_A, _NEG_B = 6364136223846793005, 1442695040888963407  # LCG (Knuth)
+
+
+def negative_samples(edges: DataFrame, k: int = 3,
+                     m: int = 8) -> DataFrame:
+    """Deterministic negative-edge sampler for link-prediction
+    training data: for every source vertex, up to ``k`` vertices it
+    is NOT connected to, drawn from ``m`` hash-generated candidates —
+    the contrastive negatives a GNN/embedding trainer pairs with the
+    real edges. No rand(): candidate i of vertex v is the vertex at
+    dense index (A·(idx(v)+1) + B·(i+1)) mod |V| (Knuth LCG mix), so
+    the sample is identical at any parallelism and replayable by the
+    SQL twin.
+
+    Plan: one window builds the dense vertex index (sorted by id),
+    one ``m``-way sequence explode makes candidates, one index
+    equi-join maps index -> vertex id, one anti-join removes real
+    edges (and self-pairs), one per-src rank keeps the first ``k`` by
+    candidate slot. Candidate volume = m·|V| — linear, never |V|².
+    (The global row_number index is the fixture-scale shortcut; at
+    10^12-vertex scale swap it for the range-partitioned offset
+    dictionary in vertices.py — same dense index, no single-partition
+    window.)
+    """
+    if k < 1 or m < k:
+        raise ValueError(f"need m >= k >= 1, got k={k} m={m}")
+    sym = (edges.select(F.col("sid").alias("u"), F.col("tid").alias("v"))
+           .unionAll(edges.select(F.col("tid").alias("u"),
+                                  F.col("sid").alias("v")))
+           .where(F.col("u") != F.col("v")).distinct())
+    verts = (sym.select(F.col("u").alias("vid")).distinct())
+    w = Window.orderBy("vid")
+    idx = verts.withColumn("idx", F.row_number().over(w) - 1)
+    n = idx.count()
+    cand = (idx.select(F.col("vid").alias("src"), "idx",
+                       F.explode(F.sequence(F.lit(0), F.lit(m - 1)))
+                       .alias("slot"))
+            .withColumn(
+                "cidx",
+                ((F.lit(_NEG_A) % n) * (F.col("idx") + 1)
+                 + (F.lit(_NEG_B) % n) * (F.col("slot") + 1)) % n))
+    mapped = (cand.join(idx.select(F.col("idx").alias("cidx"),
+                                   F.col("vid").alias("dst")), "cidx")
+              .where(F.col("src") != F.col("dst")))
+    non_edges = mapped.join(
+        sym.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        ["src", "dst"], "left_anti")
+    rw = Window.partitionBy("src").orderBy("slot", "dst")
+    return (non_edges.withColumn("rank", F.row_number().over(rw))
+            .where(F.col("rank") <= k)
+            .select("src", "dst", F.col("rank").cast("int").alias("rank")))
+
+
+def negative_samples_sql(edge_sql: str, k: int = 3, m: int = 8) -> str:
+    """DuckDB twin: the same dense index, LCG candidate arithmetic,
+    anti-join, and slot-ordered rank."""
+    return f"""
+WITH edge AS MATERIALIZED (
+{edge_sql}
+), sym AS MATERIALIZED (
+    SELECT DISTINCT u, v FROM (
+        SELECT sid AS u, tid AS v FROM edge
+        UNION ALL SELECT tid, sid FROM edge)
+    WHERE u <> v
+), idx AS MATERIALIZED (
+    SELECT vid, row_number() OVER (ORDER BY vid) - 1 AS idx
+    FROM (SELECT DISTINCT u AS vid FROM sym)
+), n AS (SELECT count(*) AS n FROM idx),
+cand AS (
+    SELECT i.vid AS src, i.idx, t.slot,
+           (({_NEG_A} % n.n) * (i.idx + 1)
+            + ({_NEG_B} % n.n) * (t.slot + 1)) % n.n AS cidx
+    FROM idx i, n, unnest(generate_series(0, {m - 1})) AS t(slot)
+), mapped AS (
+    SELECT c.src, c.slot, j.vid AS dst
+    FROM cand c JOIN idx j ON j.idx = c.cidx
+    WHERE c.src <> j.vid
+), non_edges AS (
+    SELECT m2.src, m2.slot, m2.dst
+    FROM mapped m2
+    ANTI JOIN sym s ON s.u = m2.src AND s.v = m2.dst
+)
+SELECT src, dst, CAST(rk AS INTEGER) AS rank
+FROM (SELECT src, dst,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY slot, dst) AS rk
+      FROM non_edges)
+WHERE rk <= {k}
+""".strip()

