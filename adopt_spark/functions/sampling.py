@@ -200,3 +200,69 @@ FROM (SELECT src, dst,
       FROM non_edges)
 WHERE rk <= {k}
 """.strip()
+
+
+def link_prediction_auc_sql(edge_sql: str, holdout_mod: int = 10,
+                            k_neg: int = 3, m_neg: int = 8) -> str:
+    """DuckDB twin of algos.vertex_metrics.link_prediction_auc: same
+    hash split, same negative sampler (negative_samples_sql over the
+    TRAIN canonical edges), same wedge-join scores and exact
+    histogram AUC."""
+    train_sql = f"""SELECT sid, tid FROM (
+    SELECT DISTINCT sid, tid FROM ({edge_sql}) WHERE sid < tid
+) WHERE (sid * 1000003 + tid) % {holdout_mod} <> 0"""
+    neg_sql = negative_samples_sql(train_sql, k_neg, m_neg)
+    return f"""
+WITH lt AS MATERIALIZED (
+    SELECT DISTINCT sid, tid FROM ({edge_sql}) WHERE sid < tid
+), test AS MATERIALIZED (
+    SELECT sid AS u, tid AS v FROM lt
+    WHERE (sid * 1000003 + tid) % {holdout_mod} = 0
+), train AS MATERIALIZED (
+    SELECT sid, tid FROM lt
+    WHERE (sid * 1000003 + tid) % {holdout_mod} <> 0
+), symt AS MATERIALIZED (
+    SELECT sid AS v, tid AS nbr FROM train
+    UNION ALL SELECT tid, sid FROM train
+), negs AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM ({neg_sql})
+    ANTI JOIN lt ON lt.sid = least(src, dst)
+                AND lt.tid = greatest(src, dst)
+), pos_cn AS MATERIALIZED (
+    SELECT t.u, t.v, coalesce(h.cn, 0) AS cn
+    FROM test t LEFT JOIN (
+        SELECT p.u, p.v, count(*) AS cn
+        FROM test p
+        JOIN symt a ON a.v = p.u
+        JOIN symt b ON b.v = p.v AND b.nbr = a.nbr
+        GROUP BY p.u, p.v) h ON h.u = t.u AND h.v = t.v
+), neg_cn AS MATERIALIZED (
+    SELECT t.u, t.v, coalesce(h.cn, 0) AS cn
+    FROM negs t LEFT JOIN (
+        SELECT p.u, p.v, count(*) AS cn
+        FROM negs p
+        JOIN symt a ON a.v = p.u
+        JOIN symt b ON b.v = p.v AND b.nbr = a.nbr
+        GROUP BY p.u, p.v) h ON h.u = t.u AND h.v = t.v
+), ph AS (SELECT cn, count(*) AS pc FROM pos_cn GROUP BY cn),
+nh AS (SELECT cn, count(*) AS nc FROM neg_cn GROUP BY cn),
+wins AS (
+    SELECT sum(CASE WHEN ph.cn > nh.cn THEN ph.pc * nh.nc
+                    ELSE 0 END) AS w,
+           sum(CASE WHEN ph.cn = nh.cn THEN ph.pc * nh.nc
+                    ELSE 0 END) AS t
+    FROM ph, nh
+), stats AS (
+    SELECT (SELECT sum(pc) FROM ph) AS np,
+           (SELECT sum(cn * pc) FROM ph) AS sp,
+           (SELECT sum(nc) FROM nh) AS nn,
+           (SELECT sum(cn * nc) FROM nh) AS sn
+)
+SELECT CAST(np AS BIGINT) AS n_pos,
+       CAST(nn AS BIGINT) AS n_neg,
+       CAST(round((w + 0.5 * t) / (np * nn), 6) AS DOUBLE) AS auc,
+       CAST(round(CAST(sp AS DOUBLE) / np, 6) AS DOUBLE) AS mean_cn_pos,
+       CAST(round(CAST(sn AS DOUBLE) / nn, 6) AS DOUBLE) AS mean_cn_neg
+FROM stats, wins
+""".strip()

@@ -56,6 +56,7 @@ from adopt_spark.functions.export import (
     shard_plan_sql as _export_shard_plan_sql,
 )
 from adopt_spark.functions.sampling import (
+    link_prediction_auc_sql as _lp_eval_sql,
     negative_samples_sql as _negative_samples_sql,
 )
 from adopt_spark.functions.similarity import brute_force_topk, lsh_topk
@@ -2551,6 +2552,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_lp_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction EVALUATION: hold out 1/10 of the sparse
+    graph's edges, score positives + sampled negatives by
+    common-neighbor count over the train graph, report exact
+    histogram AUC + mean scores (algos/vertex_metrics.py:
+    link_prediction_auc — never materializes pos x neg pairs)."""
+    from adopt_spark.algos.vertex_metrics import link_prediction_auc
+
+    return link_prediction_auc(derived_edges_sparse(spark, sf_dir))
+
+
 def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic negative-edge sampling (GNN/embedding training
     negatives): 3 non-neighbors per vertex from 8 LCG-generated
@@ -4460,6 +4472,7 @@ FROM part""",
     "t_bpe_encode": _bpe_encode_sql(8),
     "t_reshard_plan": _reshard_plan_sql(16, 24),
     "g_negative_samples": _negative_samples_sql(SPARSE_EDGE_SQL, 3, 8),
+    "g_lp_eval": _lp_eval_sql(SPARSE_EDGE_SQL),
     "g_triangle_null": f"""WITH edge AS MATERIALIZED (
 {SPARSE_EDGE_SQL}
 ), lt AS MATERIALIZED (
@@ -7579,6 +7592,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_triangle_null": q_triangle_null,
         "t_reshard_plan": q_reshard_plan,
         "g_negative_samples": q_negative_samples,
+        "g_lp_eval": q_lp_eval,
         # -- (0g) round-3 session-9: manifest semver resolution (range
         #    -> pinned lockfile edge) + per-directory corpus rollup
         "t_semver_resolve": q_semver_resolve,

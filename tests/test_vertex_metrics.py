@@ -205,3 +205,54 @@ def test_orbit3_vs_brute_force(spark):
     # identity: total wedges counted from ends = 2x from centers
     assert sum(o1 for _, o1, _, _ in got.values()) == \
         2 * sum(o2 for _, _, o2, _ in got.values())
+
+
+def test_link_prediction_auc_vs_python(spark):
+    """Exact AUC vs a pair-enumerating python reference implementing
+    the same split/negatives/scores."""
+    import numpy as np
+
+    from adopt_spark.algos.vertex_metrics import link_prediction_auc
+    from adopt_spark.functions.sampling import _NEG_A, _NEG_B
+
+    rng = np.random.default_rng(41)
+    pairs = sorted({tuple(sorted((int(a), int(b))))
+                    for a, b in rng.integers(0, 40, size=(220, 2))
+                    if a != b})
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    row = link_prediction_auc(df, holdout_mod=5, k_neg=2,
+                              m_neg=6).collect()[0]
+
+    test = [(a, b) for a, b in pairs if (a * 1_000_003 + b) % 5 == 0]
+    train = [(a, b) for a, b in pairs if (a * 1_000_003 + b) % 5 != 0]
+    adj: dict[int, set] = {}
+    for a, b in train:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    n = len(verts)
+    idx = {v: i for i, v in enumerate(verts)}
+    negs = set()
+    for v in verts:
+        got = 0
+        for slot in range(6):
+            ci = ((_NEG_A % n) * (idx[v] + 1)
+                  + (_NEG_B % n) * (slot + 1)) % n
+            d = verts[ci]
+            if d == v or d in adj[v]:
+                continue
+            got += 1
+            if got <= 2:
+                negs.add(tuple(sorted((v, d))))
+    negs -= set(pairs)
+
+    def cn(u, v):
+        return len(adj.get(u, set()) & adj.get(v, set()))
+
+    ps = [cn(u, v) for u, v in test]
+    ns = [cn(u, v) for u, v in negs]
+    assert row.n_pos == len(ps) and row.n_neg == len(ns)
+    wins = sum(1 for p in ps for q in ns if p > q)
+    ties = sum(1 for p in ps for q in ns if p == q)
+    auc = (wins + 0.5 * ties) / (len(ps) * len(ns))
+    assert abs(row.auc - round(auc, 6)) < 1e-9
