@@ -129,3 +129,160 @@ SELECT partition_id, n_rows, n_keys,
              6) AS load_factor
 FROM per CROSS JOIN tot
 """.strip()
+
+
+def mv_merge(base: DataFrame, delta: DataFrame, keys: list[str],
+             qty_col: str, price_col: str) -> DataFrame:
+    """Incremental materialized-view maintenance (insert-only).
+
+    ``base`` and ``delta`` are raw fact slices; the view is the
+    per-``keys`` aggregate {n_rows, sum_qty, min_price, max_price,
+    avg_qty}. Instead of recomputing over base ∪ delta, each side is
+    reduced to its PARTIAL STATE (count/sum/min/max — the classic
+    commutative-monoid decomposition every incremental-view engine
+    uses) and the two state tables are merged by one aggregation over
+    their union: counts and sums add, mins take min, maxes take max,
+    avg is re-derived from the merged sum/count. At 10^12-row scale
+    the merge shuffles only O(#groups) state rows — the base slice is
+    never re-scanned.
+
+    Scale shape: two map-side-combined aggregations (one per slice;
+    in production the base state is the stored view, so zero base
+    work) + one O(#groups) merge aggregation. No reference
+    counterpart (ADOPT re-runs the query); Iceberg/Materialize-style
+    new-engine surface.
+    """
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(qty_col).cast("double")).alias("sum_qty"),
+            F.min(F.col(price_col).cast("double")).alias("min_price"),
+            F.max(F.col(price_col).cast("double")).alias("max_price"),
+        )
+
+    merged = (state(base).unionByName(state(delta))
+              .groupBy(*keys).agg(
+                  F.sum("n_rows").alias("n_rows"),
+                  F.sum("sum_qty").alias("sum_qty"),
+                  F.min("min_price").alias("min_price"),
+                  F.max("max_price").alias("max_price")))
+    return merged.select(
+        *keys,
+        "n_rows",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("min_price", 4).alias("min_price"),
+        F.round("max_price", 4).alias("max_price"),
+        F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"))
+
+
+def mv_merge_oracle_sql(table: str, keys: list[str], qty_col: str,
+                        price_col: str) -> str:
+    """The oracle IS the full recompute — the strongest possible check
+    for an incremental merge: state decomposition + merge must equal
+    a from-scratch aggregate over the whole fact table."""
+    ks = ", ".join(keys)
+    return f"""
+SELECT {ks},
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(CAST({qty_col} AS DOUBLE)), 4) AS sum_qty,
+       round(min(CAST({price_col} AS DOUBLE)), 4) AS min_price,
+       round(max(CAST({price_col} AS DOUBLE)), 4) AS max_price,
+       round(sum(CAST({qty_col} AS DOUBLE)) / count(*), 6) AS avg_qty
+FROM {table} GROUP BY {ks}
+""".strip()
+
+
+def file_skipping_stats(df: DataFrame, part_col: str, order_col: str,
+                        pred_col: str, lo: str, hi: str,
+                        rows_per_file: int = 1000) -> DataFrame:
+    """Iceberg manifest-pruning effectiveness -> one row per
+    (part, layout): n_files, files_read, files_skipped, rows_matched,
+    false-positive files (min/max overlap the predicate but hold zero
+    matching rows), and the scanned-row count.
+
+    Rows are packed into synthetic data files of ``rows_per_file``
+    under two layouts — 'clustered' (file assignment follows
+    ``pred_col``, the Z-order-style friendly case) and 'unclustered'
+    (assignment follows ``order_col``, the ingest-order case) — then
+    a planner prunes on per-file min/max of ``pred_col`` for the
+    range [lo, hi], exactly what an Iceberg reader does with manifest
+    column stats. The gap between the two layouts' skip ratios is the
+    measured value of clustering the table.
+
+    Scale shape: per (part, layout) one window row_number (an Iceberg
+    partition's file list is task-sized; for degenerate partitions
+    range-partition the sort) + one per-file aggregate + one summary
+    aggregate. Pure Column algebra, oracle-checkable value-for-value.
+    """
+    out = []
+    for layout, key in (("clustered", pred_col), ("unclustered", order_col)):
+        per_file = (df.select(F.col(part_col).alias("part"),
+                              F.col(order_col).alias("o"),
+                              F.col(pred_col).alias("p"))
+                    .withColumn("file_id",
+                                ((F.row_number().over(
+                                    Window.partitionBy("part")
+                                    .orderBy(F.col("p" if key == pred_col
+                                                   else "o"), "o", "p"))
+                                  - 1) / F.lit(rows_per_file))
+                                .cast("long"))
+                    .groupBy("part", "file_id")
+                    .agg(F.min("p").alias("mn"), F.max("p").alias("mx"),
+                         F.count(F.lit(1)).alias("n"),
+                         F.sum(F.when((F.col("p") >= F.lit(lo))
+                                      & (F.col("p") <= F.lit(hi)), 1)
+                               .otherwise(0)).alias("hits")))
+        read = (F.col("mx") >= F.lit(lo)) & (F.col("mn") <= F.lit(hi))
+        out.append(per_file.groupBy("part").agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(read.cast("long")).alias("files_read"),
+            F.sum((~read).cast("long")).alias("files_skipped"),
+            F.sum((read & (F.col("hits") == 0)).cast("long"))
+             .alias("files_false_positive"),
+            F.sum(F.when(read, F.col("n")).otherwise(0))
+             .alias("rows_scanned"),
+            F.sum("hits").alias("rows_matched")))
+    r = out[0].unionByName(out[1])
+    return r.select("part", "layout", "n_files", "files_read",
+                    "files_skipped", "files_false_positive",
+                    "rows_scanned", "rows_matched")
+
+
+def file_skipping_sql(table: str, part_col: str, order_col: str,
+                      pred_col: str, lo: str, hi: str,
+                      rows_per_file: int = 1000) -> str:
+    """DuckDB twin of :func:`file_skipping_stats`."""
+    def one(layout: str, key: str) -> str:
+        return f"""
+SELECT part, '{layout}' AS layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN mx >= '{lo}' AND mn <= '{hi}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_read,
+       CAST(sum(CASE WHEN mx >= '{lo}' AND mn <= '{hi}' THEN 0 ELSE 1 END)
+            AS BIGINT) AS files_skipped,
+       CAST(sum(CASE WHEN mx >= '{lo}' AND mn <= '{hi}' AND hits = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_false_positive,
+       CAST(sum(CASE WHEN mx >= '{lo}' AND mn <= '{hi}' THEN n ELSE 0 END)
+            AS BIGINT) AS rows_scanned,
+       CAST(sum(hits) AS BIGINT) AS rows_matched
+FROM (
+    SELECT part, file_id, min(p) AS mn, max(p) AS mx,
+           count(*) AS n,
+           sum(CASE WHEN p >= '{lo}' AND p <= '{hi}' THEN 1 ELSE 0 END)
+               AS hits
+    FROM (
+        SELECT {part_col} AS part, {order_col} AS o, {pred_col} AS p,
+               CAST((row_number() OVER (PARTITION BY {part_col}
+                         ORDER BY {key}) - 1)
+                    // {rows_per_file} AS BIGINT) AS file_id
+        FROM {table}
+    ) GROUP BY part, file_id
+) GROUP BY part"""
+    # sort keys must match the Spark window exactly (order_col is
+    # unique, so both orders are total and deterministic on both
+    # engines); raw column names — DuckDB window specs cannot always
+    # see same-SELECT aliases
+    a = one("clustered", f"{pred_col}, {order_col}")
+    b = one("unclustered", f"{order_col}")
+    return f"{a}\nUNION ALL\n{b}".strip()

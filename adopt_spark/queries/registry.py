@@ -7036,6 +7036,45 @@ _BM25_QUERIES = [(1, "hash join"), (2, "window agg stream"),
                  (3, "fast scan filter")]
 _COMPACT_TARGET = 4096  # bytes per output bin at test scale
 
+# round-3 session-11: incremental MV maintenance + manifest pruning
+_MV_SPLIT = "1998-03-01"          # base/delta split date
+_SKIP_LO, _SKIP_HI = "1995-01-01", "1995-03-31"
+_SKIP_ROWS_PER_FILE = 1000
+
+
+def q_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per
+    (returnflag, linestatus) pricing view is kept as partial state
+    (count/sum/min/max) and MERGED with the delta slice's state — the
+    base fact rows are never re-aggregated with the delta. Oracle =
+    full recompute over all of lineitem, so the monoid decomposition
+    is checked value-for-value (functions/maintenance.py:mv_merge)."""
+    from adopt_spark.functions.maintenance import mv_merge
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.where(F.col("l_shipdate") < F.lit(_MV_SPLIT))
+    delta = li.where(F.col("l_shipdate") >= F.lit(_MV_SPLIT))
+    return mv_merge(base, delta, ["l_returnflag", "l_linestatus"],
+                    "l_quantity", "l_extendedprice")
+
+
+def q_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg manifest-pruning effectiveness: pack lineitem into
+    synthetic 1000-row files per returnflag under a shipdate-clustered
+    and an ingest-ordered layout, prune on per-file min/max for one
+    quarter's predicate, report files read/skipped/false-positive and
+    rows scanned/matched per layout — the measured value of
+    clustering (functions/maintenance.py:file_skipping_stats)."""
+    from adopt_spark.functions.maintenance import file_skipping_stats
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+        .cast("long").alias("rid"))
+    return file_skipping_stats(li, "l_returnflag", "rid", "l_shipdate",
+                               _SKIP_LO, _SKIP_HI,
+                               rows_per_file=_SKIP_ROWS_PER_FILE)
+
 
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style small-file compaction plan over the documents
@@ -7408,6 +7447,19 @@ from adopt_spark.functions.text import bm25_topk_sql as _bm25_sql  # noqa: E402
 
 ORACLES["r_compaction_plan"] = _compaction_plan_sql(
     "documents", "lang", "doc_id", "n_chars", _COMPACT_TARGET)
+
+from adopt_spark.functions.maintenance import (  # noqa: E402
+    file_skipping_sql as _file_skipping_sql,
+    mv_merge_oracle_sql as _mv_merge_sql,
+)
+
+ORACLES["r_mv_merge"] = _mv_merge_sql(
+    "lineitem", ["l_returnflag", "l_linestatus"],
+    "l_quantity", "l_extendedprice")
+ORACLES["r_file_skipping"] = _file_skipping_sql(
+    "lineitem", "l_returnflag", "(l_orderkey * 8 + l_linenumber)",
+    "l_shipdate", _SKIP_LO, _SKIP_HI,
+    rows_per_file=_SKIP_ROWS_PER_FILE)
 ORACLES["r_partition_skew"] = _partition_skew_sql("orders", "o_custkey", 32)
 ORACLES["r_bloom_semijoin"] = """
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
@@ -7573,6 +7625,12 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0i) round-3 session-11: incremental MV maintenance
+        #    (monoid partial-state merge vs full-recompute oracle) +
+        #    Iceberg manifest-pruning effectiveness (clustered vs
+        #    ingest-ordered layouts)
+        "r_mv_merge": q_mv_merge,
+        "r_file_skipping": q_file_skipping,
         # -- (0h) round-3 session-10: dependency-graph analytics over
         #    the resolved lockfile — transitive impact (blast radius),
         #    version drift vs latest, diamond version conflicts

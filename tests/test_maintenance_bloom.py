@@ -154,3 +154,70 @@ def test_bm25_differential(spark):
     ddf = spark.createDataFrame(docs, "doc_id long, text string")
     got = sorted(map(tuple, bm25_topk(ddf, queries, k=5).collect()))
     assert got == _bm25_python(docs, queries, k=5)
+
+
+# ---- round-3 session-11: incremental MV merge + file skipping ----
+
+from adopt_spark.functions.maintenance import (  # noqa: E402
+    file_skipping_stats, mv_merge,
+)
+
+
+def _facts(spark, n=200, seed=7):
+    rows = []
+    x = seed
+    for i in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        rows.append(("g%d" % (x % 4), "s%d" % (x % 2),
+                     1 + x % 50, 10.0 + (x % 997) / 7.0, i))
+    return spark.createDataFrame(
+        rows, "k1 string, k2 string, qty long, price double, rid long")
+
+
+def test_mv_merge_equals_full_recompute(spark):
+    df = _facts(spark)
+    base = df.where(F.col("rid") < 120)
+    delta = df.where(F.col("rid") >= 120)
+    merged = {tuple(r)[:2]: tuple(r)[2:] for r in
+              mv_merge(base, delta, ["k1", "k2"], "qty", "price").collect()}
+    full = {tuple(r)[:2]: tuple(r)[2:] for r in
+            mv_merge(df, df.limit(0), ["k1", "k2"], "qty", "price").collect()}
+    assert merged.keys() == full.keys()
+    for k in merged:
+        for a, b in zip(merged[k], full[k]):
+            assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_mv_merge_empty_delta_and_disjoint_groups(spark):
+    df = _facts(spark, n=80)
+    base = df.where(F.col("k1") == "g0")
+    delta = df.where(F.col("k1") == "g1")
+    out = mv_merge(base, delta, ["k1"], "qty", "price").collect()
+    # disjoint groups pass through each side's state unchanged
+    want = {r.k1: (r.n_rows, r.sum_qty) for r in
+            mv_merge(df.where(F.col("k1").isin("g0", "g1")), df.limit(0),
+                     ["k1"], "qty", "price").collect()}
+    got = {r.k1: (r.n_rows, r.sum_qty) for r in out}
+    assert got == want
+
+
+def test_file_skipping_clustered_beats_unclustered(spark):
+    # pred_col monotone in rid -> clustered layout packs matches into
+    # few files; unclustered layout follows a scrambled ingest order.
+    rows = [("p", (i * 7919) % 10007, "%05d" % i) for i in range(3000)]
+    df = spark.createDataFrame(rows, "part string, rid long, d string")
+    out = {r.layout: r for r in file_skipping_stats(
+        df, "part", "rid", "d", "00100", "00399",
+        rows_per_file=100).collect()}
+    c, u = out["clustered"], out["unclustered"]
+    # exact match count on both layouts; clustered scans fewer rows
+    assert c.rows_matched == u.rows_matched == 300
+    assert c.n_files == u.n_files == 30
+    assert c.files_skipped > u.files_skipped
+    assert c.rows_scanned <= u.rows_scanned
+    # clustered layout reads exactly ceil(300/100)=3 files, 0 false pos
+    assert c.files_read == 3 and c.files_false_positive == 0
+    # invariants: read+skipped = files; scanned >= matched
+    for r in (c, u):
+        assert r.files_read + r.files_skipped == r.n_files
+        assert r.rows_scanned >= r.rows_matched
