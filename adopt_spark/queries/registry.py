@@ -7036,6 +7036,63 @@ _BM25_QUERIES = [(1, "hash join"), (2, "window agg stream"),
                  (3, "fast scan filter")]
 _COMPACT_TARGET = 4096  # bytes per output bin at test scale
 
+# round-3 session-12: spatial grid family. Points derive from
+# customer keys by pure INTEGER arithmetic (both engines exact):
+# ix = (7919*k) mod 10007, iy = (104729*k) mod 10007 — two coprime
+# multipliers scatter keys uniformly over the 10007² grid.
+_SP_MOD = 10007
+_SP_RADIUS = 300       # distance-join radius (≈3k pairs at sf0.01)
+_SP_CELL = 1000        # hotspot cell edge
+_SP_KNN_K, _SP_KNN_CELL = 5, 250
+_SP_QUERY_MOD = 101    # query side = custkey % 101 == 0
+
+
+def _sp_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        ((F.col("c_custkey") * 7919) % _SP_MOD).cast("long").alias("ix"),
+        ((F.col("c_custkey") * 104729) % _SP_MOD).cast("long").alias("iy"))
+
+
+_SP_POINT_EXPRS = ("CAST(c_custkey AS BIGINT)",
+                   "(c_custkey * 7919) % 10007",
+                   "(c_custkey * 104729) % 10007")
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial distance join: all customer-point pairs
+    within radius 300 on the integer grid — 9 cell-key equi-joins,
+    never the n² cross product; exact int64 distances. Oracle is the
+    naive cross-join plan (functions/spatial.py:grid_distance_join)."""
+    from adopt_spark.functions.spatial import grid_distance_join
+
+    return grid_distance_join(_sp_points(spark, sf_dir), _SP_RADIUS)
+
+
+def q_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord-style density hotspots: per occupied grid cell the
+    point count, 3x3-neighborhood total (scatter + re-aggregate, no
+    self-join matrix), and lift over the global occupied-cell mean
+    (functions/spatial.py:hotspot_cells)."""
+    from adopt_spark.functions.spatial import hotspot_cells
+
+    return hotspot_cells(_sp_points(spark, sf_dir), _SP_CELL)
+
+
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT spatial k-NN via the two-phase grid plan: 5x5-block kth
+    distance bound, then a per-query density-adaptive ring search —
+    equal to brute force by construction, O(points in the disk) per
+    query (functions/spatial.py:spatial_knn_exact)."""
+    from adopt_spark.functions.spatial import spatial_knn_exact
+
+    pts = _sp_points(spark, sf_dir)
+    qs = pts.where(F.col("id") % _SP_QUERY_MOD == 0)
+    return spatial_knn_exact(pts, qs, _SP_KNN_K, _SP_KNN_CELL,
+                             max_coord=_SP_MOD)
+
+
 # round-3 session-11: incremental MV maintenance + manifest pruning
 _MV_SPLIT = "1998-03-01"          # base/delta split date
 _SKIP_LO, _SKIP_HI = "1995-01-01", "1995-03-31"
@@ -7453,6 +7510,20 @@ from adopt_spark.functions.maintenance import (  # noqa: E402
     mv_merge_oracle_sql as _mv_merge_sql,
 )
 
+from adopt_spark.functions.spatial import (  # noqa: E402
+    grid_distance_join_sql as _sp_join_sql,
+    hotspot_cells_sql as _sp_hot_sql,
+    spatial_knn_sql as _sp_knn_sql,
+)
+
+ORACLES["r_spatial_join"] = _sp_join_sql(
+    "customer", *_SP_POINT_EXPRS, _SP_RADIUS)
+ORACLES["r_spatial_hotspots"] = _sp_hot_sql(
+    "customer", _SP_POINT_EXPRS[1], _SP_POINT_EXPRS[2], _SP_CELL)
+ORACLES["s_spatial_knn"] = _sp_knn_sql(
+    "customer", *_SP_POINT_EXPRS,
+    f"id % {_SP_QUERY_MOD} = 0", _SP_KNN_K)
+
 ORACLES["r_mv_merge"] = _mv_merge_sql(
     "lineitem", ["l_returnflag", "l_linestatus"],
     "l_quantity", "l_extendedprice")
@@ -7629,6 +7700,10 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
+        # -- (0j) round-3 session-12: the spatial grid family
+        "r_spatial_join": q_spatial_join,
+        "r_spatial_hotspots": q_spatial_hotspots,
+        "s_spatial_knn": q_spatial_knn,
         "r_mv_merge": q_mv_merge,
         "r_file_skipping": q_file_skipping,
         # -- (0h) round-3 session-10: dependency-graph analytics over
