@@ -7060,6 +7060,20 @@ _SP_POINT_EXPRS = ("CAST(c_custkey AS BIGINT)",
                    "(c_custkey * 104729) % 10007")
 
 
+def q_pregel_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component sizes computed through the GENERIC Pregel API
+    (algos/pregel.py) — hash-min label adoption as a user-level
+    vertex program; same oracle as a_cc_sizes, so the API's superstep
+    machinery (triplet join, map-side-combined inbox, fixpoint
+    fingerprint, checkpoint/resume) is value-checked end-to-end."""
+    from adopt_spark.algos.pregel import pregel_cc
+
+    e = derived_edges(spark, sf_dir)
+    state, _ = pregel_cc(e).run(spark, max_iter=64)
+    return (state.groupBy(F.col("label").alias("component"))
+            .agg(F.count(F.lit(1)).alias("size")))
+
+
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial distance join: all customer-point pairs
     within radius 300 on the integer grid — 9 cell-key equi-joins,
@@ -7516,6 +7530,7 @@ from adopt_spark.functions.spatial import (  # noqa: E402
     spatial_knn_sql as _sp_knn_sql,
 )
 
+ORACLES["a_pregel_cc"] = ORACLES["a_cc_sizes"]
 ORACLES["r_spatial_join"] = _sp_join_sql(
     "customer", *_SP_POINT_EXPRS, _SP_RADIUS)
 ORACLES["r_spatial_hotspots"] = _sp_hot_sql(
@@ -7700,7 +7715,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
-        # -- (0j) round-3 session-12: the spatial grid family
+        # -- (0j) round-3 session-12: generic Pregel API + spatial grid
+        "a_pregel_cc": q_pregel_cc,
         "r_spatial_join": q_spatial_join,
         "r_spatial_hotspots": q_spatial_hotspots,
         "s_spatial_knn": q_spatial_knn,
