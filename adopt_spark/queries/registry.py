@@ -7060,6 +7060,33 @@ _SP_POINT_EXPRS = ("CAST(c_custkey AS BIGINT)",
                    "(c_custkey * 104729) % 10007")
 
 
+# round-3 session-13: regular path queries (Kleene closure — beyond
+# the reference's conjunctive motifs). Regex a·b*·a over parity labels.
+_RPQ_TRANS = [(0, "a", 1), (1, "b", 1), (1, "a", 2)]
+_RPQ_ACCEPT = [2]
+_RPQ_SEED_BOUND = 20
+_RPQ_LABEL_SQL = "CASE WHEN (sid + tid) % 2 = 0 THEN 'a' ELSE 'b' END"
+
+
+def q_rpq_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular path query a·b*·a over the sparse graph with parity
+    edge labels: all (seed, v) pairs connected by a matching path,
+    evaluated as BFS over the graph x NFA product (algos/rpq.py).
+    Kleene closure is inexpressible in the reference's conjunctive
+    motif language; oracle is a recursive CTE over the same product."""
+    from adopt_spark.algos.rpq import rpq_pairs
+
+    e = derived_edges_sparse(spark, sf_dir)
+    led = e.select("sid", "tid", F.when(
+        (F.col("sid") + F.col("tid")) % 2 == 0,
+        F.lit("a")).otherwise(F.lit("b")).alias("label"))
+    vs = (e.select(F.col("sid").alias("v"))
+          .unionAll(e.select(F.col("tid").alias("v"))).distinct())
+    seeds = vs.where(F.col("v") < _RPQ_SEED_BOUND)
+    out, _ = rpq_pairs(spark, led, _RPQ_TRANS, seeds, _RPQ_ACCEPT)
+    return out
+
+
 def q_pregel_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Component sizes computed through the GENERIC Pregel API
     (algos/pregel.py) — hash-min label adoption as a user-level
@@ -7530,6 +7557,12 @@ from adopt_spark.functions.spatial import (  # noqa: E402
     spatial_knn_sql as _sp_knn_sql,
 )
 
+from adopt_spark.algos.rpq import rpq_pairs_sql as _rpq_sql  # noqa: E402
+
+ORACLES["g_rpq_reach"] = _rpq_sql(
+    SPARSE_EDGE_SQL, _RPQ_LABEL_SQL, f"v < {_RPQ_SEED_BOUND}",
+    _RPQ_TRANS, _RPQ_ACCEPT)
+
 ORACLES["a_pregel_cc"] = ORACLES["a_cc_sizes"]
 ORACLES["r_spatial_join"] = _sp_join_sql(
     "customer", *_SP_POINT_EXPRS, _SP_RADIUS)
@@ -7715,6 +7748,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
+        # -- (0k) round-3 session-13: regular path queries (Kleene)
+        "g_rpq_reach": q_rpq_reach,
         # -- (0j) round-3 session-12: generic Pregel API + spatial grid
         "a_pregel_cc": q_pregel_cc,
         "r_spatial_join": q_spatial_join,
