@@ -7060,6 +7060,20 @@ _SP_POINT_EXPRS = ("CAST(c_custkey AS BIGINT)",
                    "(c_custkey * 104729) % 10007")
 
 
+# round-3 session-14: graph-partitioner planning metrics
+_PQ_K = 16
+
+
+def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-cut / balance / vertex-replication metrics for hash,
+    range, and edge-hash (vertex-cut) partitioners over the derived
+    graph — the planning query behind a 100-TB layout choice
+    (skew.py:partition_quality; exact LCG mixer on both engines)."""
+    from adopt_spark.skew import partition_quality
+
+    return partition_quality(derived_edges(spark, sf_dir), _PQ_K)
+
+
 # round-3 session-13: regular path queries (Kleene closure — beyond
 # the reference's conjunctive motifs). Regex a·b*·a over parity labels.
 _RPQ_TRANS = [(0, "a", 1), (1, "b", 1), (1, "a", 2)]
@@ -7557,6 +7571,10 @@ from adopt_spark.functions.spatial import (  # noqa: E402
     spatial_knn_sql as _sp_knn_sql,
 )
 
+from adopt_spark.skew import partition_quality_sql as _pq_sql  # noqa: E402
+
+ORACLES["r_partition_quality"] = _pq_sql(DERIVED_EDGE_SQL, _PQ_K)
+
 from adopt_spark.algos.rpq import rpq_pairs_sql as _rpq_sql  # noqa: E402
 
 ORACLES["g_rpq_reach"] = _rpq_sql(
@@ -7748,6 +7766,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
+        # -- (0l) round-3 session-14: partitioner planning metrics
+        "r_partition_quality": q_partition_quality,
         # -- (0k) round-3 session-13: regular path queries (Kleene)
         "g_rpq_reach": q_rpq_reach,
         # -- (0j) round-3 session-12: generic Pregel API + spatial grid
