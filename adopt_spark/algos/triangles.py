@@ -356,3 +356,81 @@ def triangle_count(edges: DataFrame, method: str = "auto") -> DataFrame:
     if method == "cogroup":
         return triangle_count_cogroup(edges)
     raise ValueError(f"unknown method: {method}")
+
+
+# -- DOULION sampled triangle estimation (Tsourakakis et al., KDD'09)
+
+DOULION_A, DOULION_B, DOULION_M = 1_103_515_245, 12_345, 2_147_483_648
+
+
+def triangle_count_sampled(edges: DataFrame, p_pct: int) -> DataFrame:
+    """Unbiased triangle estimate from a p% DETERMINISTIC edge sample.
+
+    DOULION: keep each undirected edge independently with probability
+    p, count triangles among survivors, scale by (1/p)^3. The coin is
+    an LCG gate on the canonical (min,max) pair — replayable at any
+    parallelism and replicable in SQL, so the whole estimate is
+    value-checkable (a rand() sample would be neither). At 100 TB the
+    sample pass is one filtered scan; the triangle count then runs on
+    a p³-smaller problem. Exact count rides along at test scale to
+    expose the estimator error.
+
+    Output: (sampled_edges, sampled_triangles, estimate,
+    exact_triangles).
+    """
+    if not 0 < p_pct <= 100:
+        raise ValueError(f"p_pct must be in (0, 100], got {p_pct}")
+    und = (edges.select(
+        F.least("sid", "tid").alias("a"),
+        F.greatest("sid", "tid").alias("b"))
+        .where(F.col("a") != F.col("b")).distinct())
+    gate = ((F.col("a") * DOULION_A + F.col("b") * DOULION_B)
+            % DOULION_M) % 100 < p_pct
+    # no explicit cache: the consumer materializes once; callers that
+    # reuse the sample at scale should persist the returned frame
+    samp = und.where(gate)
+
+    def tri(pairs: DataFrame) -> DataFrame:
+        e1 = pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = pairs.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        e3 = pairs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        return (e1.join(e2, "x").where(F.col("y") < F.col("z"))
+                .join(e3, ["y", "z"])
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    scale = (100.0 / p_pct) ** 3
+    out = (samp.agg(F.count(F.lit(1)).alias("sampled_edges"))
+           .crossJoin(tri(samp).withColumnRenamed("n",
+                                                  "sampled_triangles"))
+           .crossJoin(tri(und).withColumnRenamed("n",
+                                                 "exact_triangles"))
+           .select("sampled_edges", "sampled_triangles",
+                   F.round(F.col("sampled_triangles") * F.lit(scale), 4)
+                   .alias("estimate"),
+                   "exact_triangles"))
+    return out
+
+
+def triangle_count_sampled_sql(edge_cte: str, p_pct: int) -> str:
+    """DuckDB twin of :func:`triangle_count_sampled`."""
+    a, b, m = DOULION_A, DOULION_B, DOULION_M
+    scale = (100.0 / p_pct) ** 3
+    tri = ("SELECT count(*) AS n FROM {t} e1, {t} e2, {t} e3 "
+           "WHERE e2.a = e1.a AND e1.b < e2.b "
+           "AND e3.a = e1.b AND e3.b = e2.b")
+    return f"""
+WITH edge AS (
+{edge_cte}
+), und AS (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM edge WHERE sid <> tid
+), samp AS (
+    SELECT a, b FROM und
+    WHERE ((a * {a} + b * {b}) % {m}) % 100 < {p_pct}
+), st AS ({tri.format(t='samp')}), et AS ({tri.format(t='und')})
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS sampled_edges,
+       CAST(st.n AS BIGINT) AS sampled_triangles,
+       round(st.n * {scale!r}, 4) AS estimate,
+       CAST(et.n AS BIGINT) AS exact_triangles
+FROM st CROSS JOIN et
+""".strip()

@@ -294,3 +294,81 @@ SELECT agg.{group_col},
              END, 4) AS estimate,
        ex.exact_distinct
 FROM agg JOIN ex USING ({group_col})""".strip()
+
+
+def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
+                k: int = 256) -> DataFrame:
+    """KMV sketch SET OPERATIONS (Beyer et al., SIGMOD'07): union /
+    intersection / Jaccard estimates for two key sets from their
+    mergeable bottom-k sketches — the estimator a 100-TB planner uses
+    to size joins without scanning either side twice.
+
+    The merged sketch is the bottom-k of the UNION of both hash sets;
+    Jaccard_est = |{h in merged : h in A and h in B}| / |merged|, and
+    intersect_est = Jaccard_est x union_est. Deterministic (same LCG
+    hash as kmv_distinct), so the whole row is value-checkable; exact
+    counts ride along to expose the sketch error.
+    """
+    ha = df_a.select(kmv_hash(F.col(col)).alias("h")).distinct()
+    hb = df_b.select(kmv_hash(F.col(col)).alias("h")).distinct()
+    merged = ha.unionAll(hb).distinct().orderBy("h").limit(k)
+    flagged = (merged
+               .join(ha.withColumn("in_a", F.lit(1)), "h", "left")
+               .join(hb.withColumn("in_b", F.lit(1)), "h", "left"))
+    sk = flagged.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.max("h").alias("hk"),
+        F.sum((F.col("in_a").isNotNull()
+               & F.col("in_b").isNotNull()).cast("long")).alias("both"))
+    exact = (ha.withColumn("in_a", F.lit(1))
+             .join(hb.withColumn("in_b", F.lit(1)), "h", "full")
+             .agg(F.count(F.lit(1)).alias("exact_union"),
+                  F.sum((F.col("in_a").isNotNull()
+                         & F.col("in_b").isNotNull()).cast("long"))
+                  .alias("exact_intersect")))
+    union_est = F.when(F.col("nb") < k, F.col("nb").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(KMV_M))
+                   / F.col("hk"))
+    jac = F.col("both") / F.col("nb")
+    return sk.crossJoin(exact).select(
+        F.round(union_est, 4).alias("union_est"),
+        F.round(jac * union_est, 4).alias("intersect_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        "exact_union", "exact_intersect")
+
+
+def kmv_set_ops_sql(table_a: str, col_a: str, table_b: str,
+                    col_b: str, k: int = 256) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` — same hash, same merge."""
+    return f"""
+WITH ha AS (
+    SELECT DISTINCT ({KMV_A} * CAST({col_a} AS BIGINT) + {KMV_B})
+           % {KMV_M} AS h FROM {table_a}
+), hb AS (
+    SELECT DISTINCT ({KMV_A} * CAST({col_b} AS BIGINT) + {KMV_B})
+           % {KMV_M} AS h FROM {table_b}
+), merged AS (
+    SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+    ORDER BY h LIMIT {k}
+), sk AS (
+    SELECT count(*) AS nb, max(m.h) AS hk,
+           sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS n_both
+    FROM merged m LEFT JOIN ha a ON a.h = m.h
+                  LEFT JOIN hb b ON b.h = m.h
+), ex AS (
+    SELECT count(*) AS exact_union,
+           sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+               THEN 1 ELSE 0 END) AS exact_intersect
+    FROM ha a FULL JOIN hb b ON a.h = b.h
+)
+SELECT round(CASE WHEN nb < {k} THEN CAST(nb AS DOUBLE)
+             ELSE {k - 1} * {KMV_M}.0 / hk END, 4) AS union_est,
+       round((n_both / CAST(nb AS DOUBLE))
+             * CASE WHEN nb < {k} THEN CAST(nb AS DOUBLE)
+               ELSE {k - 1} * {KMV_M}.0 / hk END, 4) AS intersect_est,
+       round(n_both / CAST(nb AS DOUBLE), 6) AS jaccard_est,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       CAST(exact_intersect AS BIGINT) AS exact_intersect
+FROM sk CROSS JOIN ex
+""".strip()

@@ -7060,6 +7060,36 @@ _SP_POINT_EXPRS = ("CAST(c_custkey AS BIGINT)",
                    "(c_custkey * 104729) % 10007")
 
 
+# round-3 session-15: sampling/sketch estimators with exact ride-along
+_DOULION_PCT = 25
+_KMV_SETOP_K = 256
+
+
+def q_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate: deterministic LCG edge gate
+    at 25%, count on survivors, scale by (1/p)³; exact count rides
+    along to expose the estimator error
+    (algos/triangles.py:triangle_count_sampled)."""
+    from adopt_spark.algos.triangles import triangle_count_sampled
+
+    return triangle_count_sampled(derived_edges(spark, sf_dir),
+                                  _DOULION_PCT)
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set operations: union / intersection / Jaccard
+    estimates for {custkeys with orders} vs {custkeys in customer}
+    from mergeable bottom-k sketches — the join-sizing estimator
+    (functions/sketch.py:kmv_set_ops); exact counts ride along."""
+    from adopt_spark.functions.sketch import kmv_set_ops
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"))
+    c = _t(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > 0).select(F.col("c_custkey").alias("key"))
+    return kmv_set_ops(o, c, "key", k=_KMV_SETOP_K)
+
+
 # round-3 session-14: graph-partitioner planning metrics
 _PQ_K = 16
 
@@ -7571,6 +7601,19 @@ from adopt_spark.functions.spatial import (  # noqa: E402
     spatial_knn_sql as _sp_knn_sql,
 )
 
+from adopt_spark.algos.triangles import (  # noqa: E402
+    triangle_count_sampled_sql as _doulion_sql,
+)
+from adopt_spark.functions.sketch import (  # noqa: E402
+    kmv_set_ops_sql as _kmv_setop_sql,
+)
+
+ORACLES["g_triangle_sampled"] = _doulion_sql(DERIVED_EDGE_SQL, _DOULION_PCT)
+ORACLES["r_kmv_set_ops"] = _kmv_setop_sql(
+    "orders", "o_custkey",
+    "(SELECT c_custkey FROM customer WHERE c_acctbal > 0)", "c_custkey",
+    k=_KMV_SETOP_K)
+
 from adopt_spark.skew import partition_quality_sql as _pq_sql  # noqa: E402
 
 ORACLES["r_partition_quality"] = _pq_sql(DERIVED_EDGE_SQL, _PQ_K)
@@ -7766,6 +7809,9 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
+        # -- (0m) round-3 session-15: estimators w/ exact ride-along
+        "g_triangle_sampled": q_triangle_sampled,
+        "r_kmv_set_ops": q_kmv_set_ops,
         # -- (0l) round-3 session-14: partitioner planning metrics
         "r_partition_quality": q_partition_quality,
         # -- (0k) round-3 session-13: regular path queries (Kleene)

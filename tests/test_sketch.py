@@ -190,3 +190,44 @@ def test_hll_duckdb_twin_bit_equal(spark, tmp_path):
                       con.execute(hll_distinct_by_sql("t", "g", "x"))
                       .fetchall()))
     assert got == want
+
+
+def test_kmv_set_ops_python_differential(spark):
+    from adopt_spark.functions.sketch import (
+        KMV_A, KMV_B, KMV_M, kmv_set_ops,
+    )
+
+    A = list(range(0, 3000, 2))       # evens
+    B = list(range(0, 3000, 3))       # multiples of 3
+    da = spark.createDataFrame([(v,) for v in A], "key long")
+    db = spark.createDataFrame([(v,) for v in B], "key long")
+    k = 128
+    row = kmv_set_ops(da, db, "key", k=k).collect()[0]
+
+    h = lambda v: (KMV_A * v + KMV_B) % KMV_M  # noqa: E731
+    ha, hb = {h(v) for v in A}, {h(v) for v in B}
+    merged = sorted(ha | hb)[:k]
+    nb, hk = len(merged), max(merged)
+    both = sum(1 for x in merged if x in ha and x in hb)
+    union_est = nb if nb < k else (k - 1) * KMV_M / hk
+    assert row.exact_union == len(ha | hb)
+    assert row.exact_intersect == len(ha & hb)
+    assert row.union_est == pytest.approx(round(union_est, 4))
+    assert row.jaccard_est == pytest.approx(round(both / nb, 6))
+    assert row.intersect_est == pytest.approx(
+        round(both / nb * union_est, 4))
+    # the estimates are actually in the neighborhood of the truth
+    assert row.union_est == pytest.approx(row.exact_union, rel=0.25)
+    assert row.intersect_est == pytest.approx(row.exact_intersect,
+                                              rel=0.4)
+
+
+def test_kmv_set_ops_below_k_is_exact(spark):
+    from adopt_spark.functions.sketch import kmv_set_ops
+
+    da = spark.createDataFrame([(v,) for v in range(20)], "key long")
+    db = spark.createDataFrame([(v,) for v in range(10, 30)], "key long")
+    row = kmv_set_ops(da, db, "key", k=256).collect()[0]
+    assert row.union_est == 30.0
+    assert row.exact_union == 30 and row.exact_intersect == 10
+    assert row.intersect_est == pytest.approx(10.0)

@@ -25,3 +25,52 @@ def test_tri6_exact(spark, tri6):
 def test_star_hub_zero(spark, star_hub):
     df, _ = star_hub
     assert triangle_count(df, "csr").collect()[0][0] == 0
+
+
+def test_triangle_sampled_matches_python(spark):
+    from adopt_spark.algos.triangles import (
+        DOULION_A, DOULION_B, DOULION_M, triangle_count_sampled,
+    )
+
+    x, pairs = 19, set()
+    for _ in range(400):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        s = x % 60
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        t = x % 60
+        if s != t:
+            pairs.add((min(s, t), max(s, t)))
+    e = spark.createDataFrame(sorted(pairs), "sid long, tid long")
+    p = 30
+    row = triangle_count_sampled(e, p).collect()[0]
+
+    gate = lambda a, b: ((a * DOULION_A + b * DOULION_B)  # noqa: E731
+                         % DOULION_M) % 100 < p
+    samp = {e_ for e_ in pairs if gate(*e_)}
+
+    def tri(es):
+        s = set(es)
+        vs = sorted({v for e_ in es for v in e_})
+        return sum(1 for i, a in enumerate(vs)
+                   for b in vs[i + 1:] if (a, b) in s
+                   for c in vs if c > b and (a, c) in s and (b, c) in s)
+
+    assert row.sampled_edges == len(samp)
+    assert row.sampled_triangles == tri(samp)
+    assert row.exact_triangles == tri(pairs)
+    assert row.estimate == pytest.approx(
+        round(tri(samp) * (100.0 / p) ** 3, 4))
+
+
+def test_triangle_sampled_p100_is_exact(spark):
+    from adopt_spark.algos.triangles import triangle_count_sampled
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3)], "sid long, tid long")
+    row = triangle_count_sampled(e, 100).collect()[0]
+    assert row.sampled_edges == 4
+    assert row.estimate == row.exact_triangles == 1
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        triangle_count_sampled(e, 0)
