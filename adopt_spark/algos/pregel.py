@@ -244,3 +244,31 @@ def pregel_degree(edges: DataFrame) -> Pregel:
             .send_to_dst(F.lit(1).cast("long"))
             .send_to_src(F.lit(1).cast("long"))
             .agg_msgs(F.sum(Pregel.MSG)))
+
+
+def pregel_pagerank(edges: DataFrame, n_vertices: int,
+                    damping: float = 0.85) -> Pregel:
+    """PageRank as a Pregel program, for graphs with NO dangling
+    vertices (the API has no global-aggregate hook, so per-superstep
+    dangling-mass folding — which algos/pagerank.py does — cannot be
+    expressed here; a dangling vertex would leak its mass). Vertex
+    state: (rank, outdeg); outdeg is seeded from the vertex frame and
+    carried unchanged. Run with ``halt_on_fixpoint=False`` and a
+    fixed ``max_iter`` (float state never fingerprints equal).
+    """
+    e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long"))
+    verts = (e.groupBy(F.col("sid").alias("v"))
+             .agg(F.count(F.lit(1)).alias("outdeg"))
+             .join(e.select(F.col("tid").alias("v")).distinct(),
+                   "v", "full")
+             .select("v", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    base = (1.0 - damping) / n_vertices
+    return (Pregel(e, vertices=verts)
+            .with_vertex_column("rank",
+                                F.lit(1.0 / n_vertices),
+                                F.lit(base) + F.lit(damping)
+                                * F.coalesce(F.col(Pregel.MSG), F.lit(0.0)))
+            .with_vertex_column("outdeg", F.col("outdeg"),
+                                F.col("outdeg"))
+            .send_to_dst(F.col("src_rank") / F.col("src_outdeg"))
+            .agg_msgs(F.sum(Pregel.MSG)))

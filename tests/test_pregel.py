@@ -129,3 +129,27 @@ def test_pregel_skips_dst_join_when_unreferenced(spark):
     p = pregel_sssp(e.withColumn("w", F.lit(1)), source=0)
     assert p._needs_dst_state() is False
     assert pregel_cc(e)._needs_dst_state() is True
+
+
+def test_pregel_pagerank_matches_production_engine(spark):
+    from adopt_spark.algos.pagerank import pagerank
+    from adopt_spark.algos.pregel import pregel_pagerank
+
+    # dangling-free graph: close every sink back to vertex 0
+    pairs = set(_rand_graph(n=50, m=160, seed=21))
+    vs = {v for p in pairs for v in p}
+    sinks = vs - {s for s, _ in pairs}
+    pairs |= {(v, 0) for v in sinks if v != 0}
+    e = _edges(spark, sorted(pairs))
+
+    n_iter = 12
+    state, _ = pregel_pagerank(e, n_vertices=len(vs)).run(
+        spark, max_iter=n_iter, halt_on_fixpoint=False)
+    got = {r.v: r.rank for r in state.collect()}
+
+    want_df, _ = pagerank(spark, e, tol=0.0, max_iter=n_iter)
+    want = {r.v: r.rank for r in want_df.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
