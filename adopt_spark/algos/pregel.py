@@ -76,6 +76,7 @@ class Pregel:
         self._to_dst: list[Column] = []
         self._to_src: list[Column] = []
         self._agg: Column | None = None
+        self._gaggs: list[tuple[str, Column]] = []
 
     # -- builder ------------------------------------------------------
     def with_vertex_column(self, name: str, init: Column,
@@ -97,6 +98,16 @@ class Pregel:
         self._agg = expr
         return self
 
+    def global_agg(self, name: str, expr: Column) -> "Pregel":
+        """Register a global aggregate over the STATE frame, computed
+        on the initial state and after every superstep. Values land in
+        each metrics record under ``globals`` and are passed to
+        callable update expressions and to ``stop_when``. This is
+        Pregel's aggregator facility — what dangling-mass folding and
+        L1-convergence tests need (see pregel_pagerank_full)."""
+        self._gaggs.append((name, expr))
+        return self
+
     # -- execution ----------------------------------------------------
     def _needs_dst_state(self) -> bool:
         return any("dst_" in str(e) for e in self._to_dst + self._to_src)
@@ -111,9 +122,14 @@ class Pregel:
     def run(self, spark: SparkSession, max_iter: int = 20,
             checkpoint_dir: str | None = None, resume: bool = False,
             halt_on_fixpoint: bool = True,
-            num_partitions: int | None = None
-            ) -> tuple[DataFrame, list[dict]]:
-        """Returns (state DataFrame[v, <vertex columns>], metrics)."""
+            num_partitions: int | None = None,
+            stop_when=None) -> tuple[DataFrame, list[dict]]:
+        """Returns (state DataFrame[v, <vertex columns>], metrics).
+
+        ``stop_when``: optional ``dict -> bool`` over the global-
+        aggregate values of the just-finished superstep; True halts
+        (Pregel's vote-to-halt for numeric programs, where the exact
+        fingerprint never converges)."""
         if not self._vcols:
             raise ValueError("at least one with_vertex_column required")
         if not (self._to_dst or self._to_src):
@@ -142,6 +158,7 @@ class Pregel:
 
         join_dst = self._needs_dst_state()
         metrics: list[dict] = []
+        g = self._globals(state)
         prev_fp = self._fingerprint(state, names) if halt_on_fixpoint \
             else None
         for it in range(start_iter, max_iter):
@@ -169,12 +186,19 @@ class Pregel:
                      .groupBy("v").agg(self._agg.alias(self.MSG)))
 
             new_state = (state.join(inbox, "v", "left")
-                         .select("v", *[upd.alias(n)
-                                        for n, _, upd in self._vcols])
+                         .select("v", *[
+                             (upd(g) if callable(upd) else upd).alias(n)
+                             for n, _, upd in self._vcols])
                          .repartition(parts, "v"))
             state = cm.save(new_state, it)
+            g = self._globals(state)
             rec = {"iteration": it,
                    "sec": round(time.time() - t0, 4)}
+            if g:
+                rec["globals"] = dict(g)
+            if stop_when is not None and stop_when(g):
+                metrics.append(rec)
+                break
             if halt_on_fixpoint:
                 fp = self._fingerprint(state, names)
                 rec["changed"] = fp != prev_fp
@@ -187,6 +211,14 @@ class Pregel:
 
         edges.unpersist()
         return state, metrics
+
+    def _globals(self, state: DataFrame) -> dict:
+        if not self._gaggs:
+            return {}
+        row = state.agg(*[expr.alias(n) for n, expr in self._gaggs]) \
+                   .collect()[0]
+        return {n: (float(row[n]) if row[n] is not None else 0.0)
+                for n, _ in self._gaggs}
 
     @staticmethod
     def _fingerprint(state: DataFrame, names: list[str]) -> tuple[int, int]:
@@ -272,3 +304,55 @@ def pregel_pagerank(edges: DataFrame, n_vertices: int,
                                 F.col("outdeg"))
             .send_to_dst(F.col("src_rank") / F.col("src_outdeg"))
             .agg_msgs(F.sum(Pregel.MSG)))
+
+
+def pregel_pagerank_full(edges: DataFrame, damping: float = 0.85,
+                         tol: float = 1e-6):
+    """PRODUCTION-semantics PageRank as a Pregel program — dangling
+    mass folded per superstep via a global aggregate, L1 convergence
+    via ``stop_when`` — matching algos/pagerank.py term for term:
+    rank'(v) = (1-d)·p + d·(contrib(v) + d_mass·p). Returns
+    (program, runner) where runner(spark, **kw) executes with the L1
+    stop predicate wired. The generality proof for the API: the same
+    builder surface expresses both exact integer programs (CC, SSSP)
+    and damped numeric fixpoints with global state.
+    """
+    e = (edges.select(F.col("sid").cast("long"), F.col("tid").cast("long"))
+         .dropDuplicates(["sid", "tid"]))
+    verts = (e.groupBy(F.col("sid").alias("v"))
+             .agg(F.count(F.lit(1)).alias("outdeg"))
+             .join(e.select(F.col("sid").alias("v")).unionAll(
+                 e.select(F.col("tid").alias("v"))).distinct(),
+                 "v", "full")
+             .select("v", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    n = verts.count()
+    p = 1.0 / n
+
+    def new_rank(g):
+        return (F.lit((1.0 - damping) * p)
+                + F.lit(damping)
+                * (F.coalesce(F.col(Pregel.MSG), F.lit(0.0))
+                   + F.lit(g["d_mass"] * p)))
+
+    prog = (Pregel(e, vertices=verts)
+            .with_vertex_column("rank", F.lit(p), new_rank)
+            .with_vertex_column("outdeg", F.col("outdeg"),
+                                F.col("outdeg"))
+            .with_vertex_column(
+                "adelta", F.lit(0.0),
+                lambda g: F.abs(new_rank(g) - F.col("rank")))
+            .send_to_dst(F.when(F.col("src_outdeg") > 0,
+                                F.col("src_rank") / F.col("src_outdeg")))
+            .agg_msgs(F.sum(Pregel.MSG))
+            .global_agg("d_mass", F.sum(F.when(F.col("outdeg") == 0,
+                                               F.col("rank"))
+                                        .otherwise(F.lit(0.0))))
+            .global_agg("l1", F.sum("adelta")))
+
+    def runner(spark, **kw):
+        kw.setdefault("halt_on_fixpoint", False)
+        kw.setdefault("stop_when",
+                      lambda g: 0.0 < g["l1"] <= tol)
+        return prog.run(spark, **kw)
+
+    return prog, runner

@@ -153,3 +153,47 @@ def test_pregel_pagerank_matches_production_engine(spark):
     for v in want:
         assert got[v] == pytest.approx(want[v], abs=1e-12)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pregel_pagerank_full_handles_dangling_and_l1_halt(spark):
+    from adopt_spark.algos.pagerank import pagerank
+    from adopt_spark.algos.pregel import pregel_pagerank_full
+
+    pairs = _rand_graph(n=40, m=110, seed=33)   # has sinks (dangling)
+    e = _edges(spark, pairs)
+    sinks = {v for p in pairs for v in p} - {s for s, _ in pairs}
+    assert sinks  # the fixture genuinely exercises dangling mass
+
+    n_iter = 10
+    _, run = pregel_pagerank_full(e, tol=0.0)
+    state, metrics = run(spark, max_iter=n_iter,
+                         stop_when=lambda g: False)
+    got = {r.v: r.rank for r in state.collect()}
+
+    want_df, _ = pagerank(spark, e, tol=0.0, max_iter=n_iter)
+    want = {r.v: r.rank for r in want_df.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # globals surfaced per superstep
+    assert "d_mass" in metrics[-1]["globals"]
+
+
+def test_pregel_pagerank_full_l1_stop_matches_production_count(spark):
+    from adopt_spark.algos.pagerank import pagerank
+    from adopt_spark.algos.pregel import pregel_pagerank_full
+
+    pairs = _rand_graph(n=30, m=80, seed=41)
+    e = _edges(spark, pairs)
+    tol = 1e-8
+    _, run = pregel_pagerank_full(e, tol=tol)
+    state, metrics = run(spark, max_iter=100)
+    got = {r.v: r.rank for r in state.collect()}
+    assert metrics[-1]["globals"]["l1"] <= tol
+    assert len(metrics) < 100  # actually converged, not exhausted
+
+    want_df, _ = pagerank(spark, e, tol=tol, max_iter=100)
+    want = {r.v: r.rank for r in want_df.collect()}
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6)
