@@ -1,12 +1,15 @@
-"""Minimal pure-stdlib PNG codec (8-bit grayscale), RFC 2083.
+"""Minimal pure-stdlib PNG codec (8-bit grayscale + RGB), RFC 2083.
 
 Retires the round-1/2 "fake decoder" caveat for images without any
 third-party library: ``png_encode`` writes a spec-conformant PNG
 (IHDR / IDAT / IEND, zlib-deflated scanlines) and ``png_decode``
 parses chunks, inflates, and reverses ALL five scanline filter types
-(None / Sub / Up / Average / Paeth) — so it decodes grayscale PNGs
-produced by any encoder, not just this one. Color types other than
-grayscale-8 raise, loudly, rather than mis-decoding.
+(None / Sub / Up / Average / Paeth), for color type 0 (8-bit
+grayscale, 1 byte/pixel) and color type 2 (8-bit RGB truecolor,
+3 bytes/pixel) — filters are defined BYTEWISE with the "left"
+neighbor ``bpp`` bytes back, exactly per spec, so the same unfilter
+code serves both. Unsupported color types / depths / interlace raise,
+loudly, rather than mis-decoding.
 
 These run inside Arrow-batched ``mapInPandas`` kernels
 (multimodal.decode_images); per-image work is numpy per scanline.
@@ -27,41 +30,52 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
 
 
+def _row_bytes(img_row: np.ndarray) -> np.ndarray:
+    """HxW rows give w bytes; HxWx3 rows flatten to w*3 bytes."""
+    return img_row.reshape(-1)
+
+
 def png_encode(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """Encode an HxW uint8 array as an 8-bit grayscale PNG.
+    """Encode an HxW (grayscale) or HxWx3 (RGB) uint8 array as PNG.
 
     ``filter_type`` applies one scanline filter to every row (0=None,
     1=Sub, 2=Up, 3=Average, 4=Paeth) — non-zero values exist so tests
     can exercise every unfilter path of the decoder.
     """
-    if img.ndim != 2 or img.dtype != np.uint8:
-        raise ValueError("png_encode expects an HxW uint8 array")
-    h, w = img.shape
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("png_encode expects HxW or HxWx3 uint8")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError("3-d input must have exactly 3 channels (RGB)")
+    h, w = img.shape[:2]
+    bpp = 1 if img.ndim == 2 else 3
+    color = 0 if bpp == 1 else 2
+    nb = w * bpp
     rows = []
-    prior = np.zeros(w, dtype=np.uint8)
+    prior = np.zeros(nb, dtype=np.uint8)
+    zeros = np.zeros(bpp, dtype=np.uint8)
     for y in range(h):
-        raw = img[y]
+        raw = _row_bytes(img[y])
+        left = np.concatenate([zeros, raw[:-bpp]]) if nb > bpp \
+            else np.zeros(nb, dtype=np.uint8)
         if filter_type == 0:
             filt = raw
-        elif filter_type == 1:      # Sub: delta vs left
-            left = np.concatenate([[np.uint8(0)], raw[:-1]])
+        elif filter_type == 1:      # Sub: delta vs left (bpp back)
             filt = (raw.astype(np.int16) - left).astype(np.uint8)
         elif filter_type == 2:      # Up: delta vs prior row
             filt = (raw.astype(np.int16) - prior).astype(np.uint8)
         elif filter_type == 3:      # Average
-            left = np.concatenate([[np.uint8(0)], raw[:-1]])
             avg = (left.astype(np.int16) + prior.astype(np.int16)) // 2
             filt = (raw.astype(np.int16) - avg).astype(np.uint8)
         elif filter_type == 4:      # Paeth
-            left = np.concatenate([[np.uint8(0)], raw[:-1]])
-            ul = np.concatenate([[np.uint8(0)], prior[:-1]])
+            ul = np.concatenate([zeros, prior[:-bpp]]) if nb > bpp \
+                else np.zeros(nb, dtype=np.uint8)
             filt = (raw.astype(np.int16)
                     - _paeth(left, prior, ul).astype(np.int16)).astype(np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {filter_type}")
         rows.append(bytes([filter_type]) + filt.tobytes())
         prior = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)   # 8-bit gray
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     idat = zlib.compress(b"".join(rows), 6)
     return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) \
         + _chunk(b"IEND", b"")
@@ -78,7 +92,7 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def png_decode(data: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale PNG into an HxW uint8 array.
+    """Decode an 8-bit grayscale or RGB PNG into HxW / HxWx3 uint8.
 
     Handles any mix of the five scanline filters. Raises ValueError on
     non-PNG input or unsupported bit depth / color type / interlace.
@@ -86,7 +100,7 @@ def png_decode(data: bytes) -> np.ndarray:
     if not data.startswith(_MAGIC):
         raise ValueError("not a PNG (bad signature)")
     pos = len(_MAGIC)
-    w = h = None
+    w = h = color = None
     idat = b""
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
@@ -96,22 +110,25 @@ def png_decode(data: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", payload)
-            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+            if depth != 8 or color not in (0, 2) or comp or filt \
+                    or interlace:
                 raise ValueError(
                     f"unsupported PNG: depth={depth} color={color} "
-                    f"interlace={interlace} (only 8-bit grayscale)")
+                    f"interlace={interlace} (8-bit gray or RGB only)")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
+    bpp = 1 if color == 0 else 3
+    nb = w * bpp
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    if raw.size != h * (w + 1):
+    if raw.size != h * (nb + 1):
         raise ValueError("PNG scanline data has wrong length")
-    raw = raw.reshape(h, w + 1)
-    out = np.empty((h, w), dtype=np.uint8)
-    prior = np.zeros(w, dtype=np.uint8)
+    raw = raw.reshape(h, nb + 1)
+    out = np.empty((h, nb), dtype=np.uint8)
+    prior = np.zeros(nb, dtype=np.uint8)
     for y in range(h):
         ft, line = int(raw[y, 0]), raw[y, 1:]
         if ft == 0:
@@ -119,10 +136,11 @@ def png_decode(data: bytes) -> np.ndarray:
         elif ft == 2:               # Up (vectorizable in one add)
             rec = line + prior      # uint8 wraparound == mod 256
         elif ft in (1, 3, 4):       # left-dependent: sequential scan
-            rec = np.empty(w, dtype=np.uint8)
-            left = up_left = np.uint8(0)
-            for x in range(w):
+            rec = np.empty(nb, dtype=np.uint8)
+            for x in range(nb):
+                left = rec[x - bpp] if x >= bpp else np.uint8(0)
                 up = prior[x]
+                up_left = prior[x - bpp] if x >= bpp else np.uint8(0)
                 if ft == 1:
                     pred = left
                 elif ft == 3:
@@ -131,9 +149,8 @@ def png_decode(data: bytes) -> np.ndarray:
                     pred = _paeth(np.array([left]), np.array([up]),
                                   np.array([up_left]))[0]
                 rec[x] = np.uint8((int(line[x]) + int(pred)) & 0xFF)
-                left, up_left = rec[x], up
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec
         prior = rec
-    return out
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)

@@ -86,3 +86,50 @@ def test_synthetic_pcm_media_matches_law(spark):
         assert abs(out[k]["duration_s"] - n / sr) < 1e-12
         assert abs(out[k]["rms"] - np.sqrt(np.mean(wave.astype(float) ** 2))) < 1e-9
         assert out[k]["peak"] == int(np.abs(wave).max())
+
+
+# ---- RGB truecolor (color type 2) ----
+
+def _rgb_img(h=13, w=11, seed=3):
+    x, px = seed, []
+    for _ in range(h * w * 3):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        px.append(x % 256)
+    return np.array(px, dtype=np.uint8).reshape(h, w, 3)
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+def test_rgb_roundtrip_every_filter(ft):
+    img = _rgb_img()
+    back = png_decode(png_encode(img, filter_type=ft))
+    assert back.shape == img.shape
+    assert np.array_equal(back, img)
+
+
+def test_rgb_header_declares_truecolor():
+    data = png_encode(_rgb_img(4, 5))
+    # IHDR payload starts at byte 16; color type is its 10th byte
+    assert data[16 + 9] == 2
+    # a grayscale encode still declares color type 0
+    assert png_encode(np.zeros((4, 5), dtype=np.uint8))[16 + 9] == 0
+
+
+def test_rgb_filters_are_bytewise_with_bpp_offset():
+    # a horizontal color gradient: Sub filter must predict from the
+    # SAME channel 3 bytes back, not the adjacent byte
+    img = np.zeros((2, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(8, dtype=np.uint8) * 30      # red ramp
+    img[:, :, 2] = 255 - np.arange(8, dtype=np.uint8) * 9  # blue fall
+    for ft in (1, 3, 4):
+        assert np.array_equal(png_decode(png_encode(img, ft)), img)
+
+
+def test_rgb_rejects_bad_channel_count():
+    with pytest.raises(ValueError):
+        png_encode(np.zeros((4, 4, 4), dtype=np.uint8))
+
+
+def test_gray_outputs_unchanged_format():
+    # regression: the RGB extension must not alter grayscale bytes
+    img = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    assert np.array_equal(png_decode(png_encode(img, 4)), img)
