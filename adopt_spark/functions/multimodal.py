@@ -545,3 +545,65 @@ def image_thumbnails(media: DataFrame, size: int = 4,
 
     return media.mapInPandas(
         kernel, schema="media_id long, r int, c int, px long")
+
+
+def synthetic_rgb_media(keys: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Closed-form RGB-PNG media table (truecolor twin of
+    synthetic_png_media): channel c of pixel i of image ``k`` is
+    ``(k*31 + i*7 + c*11) % 256`` over a ``(k%17+8) x (k%23+8) x 3``
+    frame, encoded with scanline filter ``k % 5`` — every unfilter
+    path runs against 3-byte pixels, whose "left" neighbor sits bpp=3
+    bytes back (the part a bytewise-offset bug would break). The law
+    is ANSI-SQL-expressible per channel, giving the RGB decode a
+    value-level DuckDB oracle.
+    """
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            payloads, metas = [], []
+            for k in ids:
+                w, h = int(k % 23 + 8), int(k % 17 + 8)
+                i = np.repeat(np.arange(w * h, dtype=np.int64), 3)
+                c = np.tile(np.arange(3, dtype=np.int64), w * h)
+                px = ((int(k) * 31 + i * 7 + c * 11) % 256).astype(np.uint8)
+                payloads.append(png_encode(px.reshape(h, w, 3),
+                                           filter_type=int(k % 5)))
+                metas.append({"width": w, "height": h,
+                              "sample_rate": 0, "n_frames": 1})
+            yield pd.DataFrame({
+                "media_id": ids, "kind": ["image"] * len(ids),
+                "payload": payloads, "meta": metas,
+            })
+
+    return keys.select(F.col(id_col)).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+RGB_FEATURE_SCHEMA = ("media_id long, sha string, mean_r double, "
+                      "mean_g double, mean_b double, std_px double")
+
+
+def decode_rgb_features(media: DataFrame) -> DataFrame:
+    """Per-channel means + global std through the REAL RGB PNG decode,
+    one Arrow batch at a time. A wrong inflate, unfilter, or channel
+    interleave cannot reproduce all three channel means at once."""
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            sha = [hashlib.sha256(bytes(p)).hexdigest()
+                   for p in pdf["payload"]]
+            mr = np.empty(n); mg = np.empty(n); mb = np.empty(n)
+            sp = np.empty(n)
+            for i, p in enumerate(pdf["payload"]):
+                img = png_decode(bytes(p))
+                if img.ndim != 3:
+                    raise ValueError("decode_rgb_features expects RGB")
+                mr[i] = float(img[:, :, 0].mean())
+                mg[i] = float(img[:, :, 1].mean())
+                mb[i] = float(img[:, :, 2].mean())
+                sp[i] = float(img.std())
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].to_numpy(), "sha": sha,
+                "mean_r": mr, "mean_g": mg, "mean_b": mb, "std_px": sp,
+            })
+
+    return media.mapInPandas(kernel, schema=RGB_FEATURE_SCHEMA)

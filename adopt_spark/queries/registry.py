@@ -7060,6 +7060,26 @@ _SP_POINT_EXPRS = ("CAST(c_custkey AS BIGINT)",
                    "(c_custkey * 104729) % 10007")
 
 
+def q_rgb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RGB-PNG decode with a value-level oracle: truecolor
+    payloads (every scanline filter across the fixture, 3-byte pixels
+    so the bytewise bpp-offset unfilter actually runs) whose channel
+    law (k*31 + i*7 + c*11) % 256 is evaluated in SQL; the decoded
+    per-channel means + std must reproduce it
+    (functions/multimodal.py:decode_rgb_features)."""
+    from adopt_spark.functions.multimodal import (
+        decode_rgb_features, synthetic_rgb_media,
+    )
+
+    media = synthetic_rgb_media(_media_keys(spark, sf_dir))
+    out = decode_rgb_features(media)
+    return out.select("media_id",
+                      F.round("mean_r", 4).alias("mean_r"),
+                      F.round("mean_g", 4).alias("mean_g"),
+                      F.round("mean_b", 4).alias("mean_b"),
+                      F.round("std_px", 4).alias("std_px"))
+
+
 # round-3 session-15: sampling/sketch estimators with exact ride-along
 _DOULION_PCT = 25
 _KMV_SETOP_K = 256
@@ -7608,6 +7628,34 @@ from adopt_spark.functions.sketch import (  # noqa: E402
     kmv_set_ops_sql as _kmv_setop_sql,
 )
 
+ORACLES["m_rgb_features"] = """
+WITH m AS (
+    SELECT o_orderkey AS media_id,
+           CAST(o_orderkey % 23 + 8 AS BIGINT) AS w,
+           CAST(o_orderkey % 17 + 8 AS BIGINT) AS h
+    FROM orders WHERE o_orderkey % 100 < 2
+), px AS (
+    SELECT media_id, c,
+           (media_id * 31 + i * 7 + c * 11) % 256 AS p
+    FROM (SELECT media_id, w, h,
+                 unnest(range(0, w * h)) AS i FROM m),
+         (SELECT unnest(range(0, 3)) AS c)
+), ch AS (
+    SELECT media_id,
+           avg(CASE WHEN c = 0 THEN p END) AS mean_r,
+           avg(CASE WHEN c = 1 THEN p END) AS mean_g,
+           avg(CASE WHEN c = 2 THEN p END) AS mean_b,
+           stddev_pop(p) AS std_px
+    FROM px GROUP BY media_id
+)
+SELECT media_id,
+       CAST(round(mean_r, 4) AS DOUBLE) AS mean_r,
+       CAST(round(mean_g, 4) AS DOUBLE) AS mean_g,
+       CAST(round(mean_b, 4) AS DOUBLE) AS mean_b,
+       CAST(round(std_px, 4) AS DOUBLE) AS std_px
+FROM ch
+""".strip()
+
 ORACLES["g_triangle_sampled"] = _doulion_sql(DERIVED_EDGE_SQL, _DOULION_PCT)
 ORACLES["r_kmv_set_ops"] = _kmv_setop_sql(
     "orders", "o_custkey",
@@ -7809,6 +7857,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
+        # -- (0n) round-3 session-19: RGB decode through the real codec
+        "m_rgb_features": q_rgb_features,
         # -- (0m) round-3 session-15: estimators w/ exact ride-along
         "g_triangle_sampled": q_triangle_sampled,
         "r_kmv_set_ops": q_kmv_set_ops,

@@ -204,3 +204,27 @@ def test_image_thumbnails_detects_broken_decoder(spark):
            for r in image_thumbnails(media, size=4,
                                      decoder=bad).collect()}
     assert all(off[k] == (good[k] + 1) % 256 for k in good)
+
+
+def test_rgb_decode_features_follow_the_channel_law(spark):
+    from adopt_spark.functions.multimodal import (
+        decode_rgb_features, synthetic_rgb_media,
+    )
+
+    keys = spark.createDataFrame([(k,) for k in (0, 3, 7, 12, 104)],
+                                 "media_id long")
+    out = {r.media_id: r for r in
+           decode_rgb_features(synthetic_rgb_media(keys)).collect()}
+    import numpy as np
+    for k in (0, 3, 7, 12, 104):
+        w, h = k % 23 + 8, k % 17 + 8
+        i = np.repeat(np.arange(w * h), 3)
+        c = np.tile(np.arange(3), w * h)
+        px = (k * 31 + i * 7 + c * 11) % 256
+        img = px.reshape(h, w, 3)
+        r = out[k]
+        assert r.mean_r == pytest.approx(img[:, :, 0].mean(), abs=1e-9)
+        assert r.mean_g == pytest.approx(img[:, :, 1].mean(), abs=1e-9)
+        assert r.mean_b == pytest.approx(img[:, :, 2].mean(), abs=1e-9)
+        assert r.std_px == pytest.approx(img.std(), abs=1e-9)
+        assert len(r.sha) == 64
