@@ -125,3 +125,110 @@ def random_walks_sql(edge_sql: str, length: int = 8) -> str:
 SELECT walk_id, CAST(step AS INTEGER) AS step, v FROM (
     {sel}
 )"""
+
+
+# --------------------------------------- DeepWalk co-occurrence/PPMI
+#
+# DeepWalk / node2vec (Perozzi KDD'14, Grover KDD'16) train skip-gram
+# embeddings on (center, context) pairs harvested from random walks
+# within a window. The pair-harvest + PPMI weighting is the
+# training-DATA step a 100-TB graph-embedding pipeline runs on Spark;
+# the SGD itself belongs to the ML stack. Walks are the deterministic
+# LCG walks above, so the harvest is replayable at any parallelism
+# and exactly replicable in SQL.
+
+
+def walk_cooccurrence(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int = 8,
+    window: int = 2,
+    topn: int = 50,
+) -> DataFrame:
+    """Top-N skip-gram pairs (u <= v canonical) by co-occurrence count
+    within ``window`` steps on the same walk, with PPMI weights.
+
+    Plan shape: walks (|V| rows per step, iterative equi-joins) →
+    ONE groupBy packs each walk into a bounded array (length+1 ≤ 9
+    elements) → pair fan-out happens INSIDE a whole-stage-codegen
+    higher-order expression (≤ length·window pairs per walk, no
+    self-join, no shuffle of the fan-out) → one partial-aggregated
+    count. PPMI marginals come from the counts frame itself (two
+    metadata-scale aggregates), never a second corpus pass.
+    """
+    walks = random_walks(spark, edges, length)
+    seqs = (walks.groupBy("walk_id")
+            .agg(F.array_sort(F.collect_list(F.struct("step", "v")))
+                 .alias("sv"))
+            .select(F.transform("sv", lambda s: s["v"]).alias("seq")))
+
+    n = F.size("seq")
+    pair_expr = F.flatten(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window, n)),
+            lambda j: F.struct(
+                F.least(F.element_at(F.col("seq"), i),
+                        F.element_at(F.col("seq"), j)).alias("u"),
+                F.greatest(F.element_at(F.col("seq"), i),
+                           F.element_at(F.col("seq"), j)).alias("v")))))
+    pairs = (seqs.where(n >= 2)
+             .select(F.explode(pair_expr).alias("p"))
+             .select("p.u", "p.v"))
+
+    counts = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n_cooc"))
+    total = counts.agg(F.sum("n_cooc").alias("t"))
+    marg = (counts.select(F.col("u").alias("x"), "n_cooc")
+            .unionAll(counts.select(F.col("v").alias("x"), "n_cooc"))
+            .groupBy("x").agg(F.sum("n_cooc").alias("m")))
+
+    scored = (counts
+              .join(F.broadcast(marg.withColumnRenamed("x", "u")
+                                .withColumnRenamed("m", "mu")), "u")
+              .join(F.broadcast(marg.withColumnRenamed("x", "v")
+                                .withColumnRenamed("m", "mv")), "v")
+              .crossJoin(F.broadcast(total))
+              .select(
+                  "u", "v", "n_cooc",
+                  F.round(
+                      F.greatest(
+                          F.lit(0.0),
+                          F.log(F.col("n_cooc") * F.lit(4.0)
+                                * F.col("t")
+                                / (F.col("mu") * F.col("mv")))),
+                      6).alias("ppmi")))
+    return scored.orderBy(F.desc("n_cooc"), "u", "v").limit(topn)
+
+
+def walk_cooccurrence_sql(edge_sql: str, length: int = 8,
+                          window: int = 2, topn: int = 50) -> str:
+    """DuckDB twin over the identical replayed walks."""
+    walks = random_walks_sql(edge_sql, length)
+    return f"""
+WITH walks AS MATERIALIZED (
+{walks}
+), pr AS (
+    SELECT least(a.v, b.v) AS u, greatest(a.v, b.v) AS v
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id
+     AND b.step > a.step AND b.step <= a.step + {window}
+), counts AS MATERIALIZED (
+    SELECT u, v, count(*) AS n_cooc FROM pr GROUP BY u, v
+), tot AS (
+    SELECT CAST(sum(n_cooc) AS DOUBLE) AS t FROM counts
+), marg AS (
+    SELECT x, CAST(sum(n_cooc) AS DOUBLE) AS m FROM (
+        SELECT u AS x, n_cooc FROM counts
+        UNION ALL SELECT v AS x, n_cooc FROM counts
+    ) GROUP BY x
+)
+SELECT c.u, c.v, c.n_cooc,
+       round(greatest(0.0, ln(c.n_cooc * 4.0 * tot.t
+                              / (mu.m * mv.m))), 6) AS ppmi
+FROM counts c, tot
+JOIN marg mu ON mu.x = c.u
+JOIN marg mv ON mv.x = c.v
+ORDER BY c.n_cooc DESC, c.u, c.v
+LIMIT {topn}
+""".strip()

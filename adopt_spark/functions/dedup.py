@@ -585,3 +585,120 @@ FROM cand c
 LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN sizes sa ON sa.d = c.a
 JOIN sizes sb ON sb.d = c.b"""
+
+
+# ------------------------------------------------- semantic dedup
+#
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+# embedding space with k-means, then prune near-duplicate SEMANTIC
+# copies within each cluster by pairwise cosine. The clustering is
+# what makes it scale: candidate generation is within-cluster only,
+# so the pair stage is sum(|cluster|^2) not n^2 — at 100-TB corpus
+# scale k grows with n to bound cluster sizes (the paper uses
+# k ~ n/10k on LAION), and each cluster's pair block is an ordinary
+# skewed-key join handled by AQE. Keep policy here: lowest vec_id in
+# each near-dup neighborhood survives (deterministic; the paper keeps
+# the point farthest from the centroid — any fixed rule works for
+# dedup purposes and an id rule is engine-portable).
+
+
+def semantic_dedup(emb: DataFrame, k: int | None = None,
+                   tau: float = 0.3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster SemDeDup report.
+
+    Returns DataFrame[cid, n_docs, n_dropped, n_kept] where a doc is
+    dropped iff some LOWER-id doc in the same k-means cluster has
+    cosine similarity >= tau with it.
+    """
+    from adopt_spark.functions.kmeans import KMEANS_K, kmeans_assign
+
+    k = k or KMEANS_K
+    assign = kmeans_assign(emb, k=k, id_col=id_col, vec_col=vec_col)
+
+    unit = emb.select(
+        F.col(id_col).alias("pid"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"))
+    unit = unit.withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0),
+                                  lambda a, x: a + x * x)))
+    pts = (unit.join(assign.withColumnRenamed(id_col, "pid"), "pid")
+           .select("pid", "cid", "v", "nrm")
+           .persist())
+
+    a = pts.select(F.col("pid").alias("a"), "cid",
+                   F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = pts.select(F.col("pid").alias("b"), "cid",
+                   F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dropped = (a.join(b, "cid")
+               .where(F.col("a") < F.col("b"))
+               .withColumn("cos", F.aggregate(
+                   F.zip_with("va", "vb", lambda x, y: x * y),
+                   F.lit(0.0), lambda acc, x: acc + x)
+                   / (F.col("na") * F.col("nb")))
+               .where(F.col("cos") >= tau)
+               .select("cid", F.col("b").alias("pid"))
+               .dropDuplicates(["pid"]))
+
+    report = (pts.join(dropped.select("pid",
+                                      F.lit(1).alias("is_dropped")),
+                       "pid", "left")
+              .groupBy("cid")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(F.coalesce("is_dropped", F.lit(0)))
+                    .cast("long").alias("n_dropped"))
+              .select("cid", "n_docs", "n_dropped",
+                      (F.col("n_docs") - F.col("n_dropped"))
+                      .alias("n_kept"))
+              .orderBy("cid"))
+    out = report.localCheckpoint(eager=True)
+    pts.unpersist()
+    return out
+
+
+def semantic_dedup_sql(k: int | None = None, tau: float = 0.3,
+                       table: str = "embeddings",
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    """DuckDB twin: the kmeans_assign twin feeds the identical
+    within-cluster cosine prune and per-cluster rollup."""
+    from adopt_spark.functions.kmeans import KMEANS_K, kmeans_assign_sql
+
+    k = k or KMEANS_K
+    assign = kmeans_assign_sql(k=k, table=table, id_col=id_col,
+                               vec_col=vec_col)
+    return f"""
+WITH assign AS MATERIALIZED (
+    {assign}
+), ex AS MATERIALIZED (
+    SELECT {id_col} AS pid, generate_subscripts({vec_col}, 1) AS i,
+           CAST(unnest({vec_col}) AS DOUBLE) AS x
+    FROM {table}
+), norms AS MATERIALIZED (
+    SELECT pid, sqrt(sum(x * x)) AS nrm FROM ex GROUP BY pid
+), pairs AS (
+    SELECT aa.{id_col} AS a, bb.{id_col} AS b, aa.cid
+    FROM assign aa JOIN assign bb
+      ON aa.cid = bb.cid AND aa.{id_col} < bb.{id_col}
+), cos AS (
+    SELECT p.a, p.b, p.cid,
+           sum(xa.x * xb.x) / (na.nrm * nb.nrm) AS c
+    FROM pairs p
+    JOIN ex xa ON xa.pid = p.a
+    JOIN ex xb ON xb.pid = p.b AND xb.i = xa.i
+    JOIN norms na ON na.pid = p.a
+    JOIN norms nb ON nb.pid = p.b
+    GROUP BY p.a, p.b, p.cid, na.nrm, nb.nrm
+), dropped AS (
+    SELECT DISTINCT b AS pid FROM cos WHERE c >= {tau}
+)
+SELECT a.cid, count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(count(*) - sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM assign a LEFT JOIN dropped d ON d.pid = a.{id_col}
+GROUP BY a.cid
+ORDER BY a.cid
+""".strip()

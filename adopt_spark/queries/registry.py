@@ -7825,6 +7825,63 @@ ORACLES["g_uct_sel_4cycle"] = (
     f"{_EDGE_CTE}\n{selectivity_cycle_sql(4, bounds=_SEL_4CYCLE)}")
 
 
+# round-3 session-21: symbol call graph, SemDeDup, DeepWalk harvest
+_SEMDEDUP_TAU = 0.3
+_COOC_WINDOW, _COOC_TOPN = 2, 50
+
+
+def q_call_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-level call-graph resolution report: defs / call sites /
+    distinct callers / resolved cross-document edges per symbol,
+    extracted by regex from planted source text and resolved through
+    ONE symbol-key equi-join (functions/callgraph.py) — the
+    finer-grained companion to the module-level import edges the
+    engine is built around."""
+    from adopt_spark.functions.callgraph import call_graph_report
+
+    return call_graph_report(_t(spark, sf_dir, "documents"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters the embedding
+    space, then near-duplicate SEMANTIC copies are pruned within each
+    cluster by pairwise cosine >= tau with a keep-lowest-id policy;
+    per-cluster kept/dropped report
+    (functions/dedup.py:semantic_dedup)."""
+    from adopt_spark.functions.dedup import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                          tau=_SEMDEDUP_TAU)
+
+
+def q_walk_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk skip-gram pair harvest: top-50 co-occurring vertex
+    pairs within a 2-step window on the deterministic LCG walks, with
+    PPMI weights — the training-data step of a graph-embedding
+    pipeline (algos/walks.py:walk_cooccurrence); pair fan-out happens
+    inside one codegen higher-order expression, never a self-join."""
+    from adopt_spark.algos.walks import walk_cooccurrence
+
+    return walk_cooccurrence(spark, derived_edges(spark, sf_dir),
+                             window=_COOC_WINDOW, topn=_COOC_TOPN)
+
+
+from adopt_spark.functions.callgraph import (  # noqa: E402
+    call_graph_report_sql as _callgraph_sql,
+)
+from adopt_spark.functions.dedup import (  # noqa: E402
+    semantic_dedup_sql as _semdedup_sql,
+)
+from adopt_spark.algos.walks import (  # noqa: E402
+    walk_cooccurrence_sql as _cooc_sql,
+)
+
+ORACLES["t_call_graph"] = _callgraph_sql()
+ORACLES["s_semantic_dedup"] = _semdedup_sql(tau=_SEMDEDUP_TAU)
+ORACLES["g_walk_cooccur"] = _cooc_sql(
+    DERIVED_EDGE_SQL, window=_COOC_WINDOW, topn=_COOC_TOPN)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -7857,6 +7914,11 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
+        # -- (0o) round-3 session-21: symbol call graph, SemDeDup,
+        #    DeepWalk skip-gram pair harvest
+        "t_call_graph": q_call_graph,
+        "s_semantic_dedup": q_semantic_dedup,
+        "g_walk_cooccur": q_walk_cooccur,
         # -- (0n) round-3 session-19: RGB decode through the real codec
         "m_rgb_features": q_rgb_features,
         # -- (0m) round-3 session-15: estimators w/ exact ride-along
