@@ -179,3 +179,76 @@ FULL OUTER JOIN s USING (symbol)
 LEFT JOIN e USING (symbol)
 ORDER BY symbol
 """.strip()
+
+
+# ------------------------------------------------ symbol health
+
+
+def symbol_health(docs: DataFrame,
+                  def_docs_below: int = 50,
+                  call_docs_below: int = 30,
+                  content: Column | None = None) -> DataFrame:
+    """Cross-reference the definitions of one corpus slice against the
+    call sites of another — the 'does the release branch still resolve
+    against HEAD' check a code-corpus pipeline runs before training on
+    paired (caller, definition) examples.
+
+    Definitions are counted from docs with doc_id < ``def_docs_below``,
+    call sites from docs with doc_id < ``call_docs_below`` (slices of
+    the SAME corpus so the planted law stays oracle-replayable; in
+    production the two frames are different snapshots). Per symbol:
+
+      status = 'ok'          defined in the def slice AND called
+               'dead'        defined, never called from the call slice
+               'unresolved'  called, no definition in the def slice
+
+    Returns DataFrame[symbol, n_defs, n_calls, status] ordered by
+    symbol. Plan: two filtered extractions, two per-symbol aggregates,
+    ONE full-outer equi-join on the symbol key.
+    """
+    d = symbol_defs(docs.where(F.col("doc_id") < def_docs_below), content)
+    c = symbol_calls(docs.where(F.col("doc_id") < call_docs_below), content)
+    nd = d.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_defs"))
+    nc = c.groupBy("symbol").agg(F.count(F.lit(1)).alias("n_calls"))
+    return (nd.join(nc, "symbol", "full_outer")
+            .select(
+                "symbol",
+                F.coalesce("n_defs", F.lit(0)).alias("n_defs"),
+                F.coalesce("n_calls", F.lit(0)).alias("n_calls"),
+                F.when(F.col("n_defs").isNull(), F.lit("unresolved"))
+                 .when(F.col("n_calls").isNull(), F.lit("dead"))
+                 .otherwise(F.lit("ok")).alias("status"))
+            .orderBy("symbol"))
+
+
+def symbol_health_sql(docs_table: str = "documents",
+                      def_docs_below: int = 50,
+                      call_docs_below: int = 30) -> str:
+    """DuckDB twin over the identical planted content and slices."""
+    content = _synthetic_symbol_content_sql()
+    return f"""
+WITH c AS (
+    SELECT doc_id, {content} AS content FROM {docs_table}
+), defs AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(content, '{_DEF_RE}', 1)) AS symbol
+    FROM c WHERE doc_id < {def_docs_below}
+), calls AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(content, '{_CALL_RE}', 1)) AS symbol
+    FROM c WHERE doc_id < {call_docs_below}
+), d AS (
+    SELECT symbol, count(*) AS n_defs FROM defs GROUP BY symbol
+), s AS (
+    SELECT symbol, count(*) AS n_calls FROM calls GROUP BY symbol
+)
+SELECT symbol,
+       coalesce(d.n_defs, 0) AS n_defs,
+       coalesce(s.n_calls, 0) AS n_calls,
+       CASE WHEN d.n_defs IS NULL THEN 'unresolved'
+            WHEN s.n_calls IS NULL THEN 'dead'
+            ELSE 'ok' END AS status
+FROM d
+FULL OUTER JOIN s USING (symbol)
+ORDER BY symbol
+""".strip()

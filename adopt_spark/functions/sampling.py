@@ -266,3 +266,113 @@ SELECT CAST(np AS BIGINT) AS n_pos,
        CAST(round(CAST(sn AS DOUBLE) / nn, 6) AS DOUBLE) AS mean_cn_neg
 FROM stats, wins
 """.strip()
+
+
+# ------------------------------------- GNN neighbor-fanout sampling
+#
+# GraphSAGE (Hamilton et al., NeurIPS'17) trains on sampled L-hop
+# computation graphs: hop h keeps at most fanout_h out-neighbors per
+# frontier vertex. At 100-TB graph scale the sampler IS the training
+# input pipeline (DGL/PyG run exactly this as a distributed
+# pre-processing job), so it must be replayable across retries and
+# engines — rand() is out. Neighbors are ranked by the same
+# deterministic integer mix the walk generator uses (algos/walks.py:
+# parallelism-independent, resumable, SQL-replayable) and the f
+# smallest mixes win; the hop index enters the mix so hops draw
+# independent samples. This is the LAYER-WISE variant: each hop's
+# frontier is deduplicated before sampling (per-vertex work is done
+# once per hop, not once per seed — the bound that keeps hop cost
+# ≤ O(|V|·fanout) regardless of seed count).
+#
+# Plan shape per hop: one frontier⋈edges equi-join + one per-src
+# rank. Hub vertices rank their full out-list in one task — the
+# standard shape; a supernode beyond single-task range is pre-split
+# with skew.py's hub machinery (same caveat as asof_join, documented
+# there).
+
+
+def neighbor_fanout_sample(edges: DataFrame,
+                           fanouts: tuple[int, ...] = (3, 2),
+                           seed_mod: int = 20) -> DataFrame:
+    """Layer-wise deterministic neighbor sampling.
+
+    Seeds are the vertices with ``v % seed_mod == 0``; hop h (1-based)
+    keeps the ``fanouts[h-1]`` out-neighbors with the smallest
+    ``mix(src, h, dst)`` (ties by dst). Returns the sampled block
+    edge list DataFrame[hop int, src long, dst long].
+    """
+    from adopt_spark.algos.walks import MIX_A1, MIX_A2, MIX_A3, MIX_B, MIX_M
+
+    if not fanouts or any(f < 1 for f in fanouts):
+        raise ValueError(f"fanouts must be non-empty positive: {fanouts}")
+    if seed_mod < 1:
+        raise ValueError(f"seed_mod must be >= 1: {seed_mod}")
+
+    e = (edges.select(F.col("sid").cast("long").alias("src"),
+                      F.col("tid").cast("long").alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .dropDuplicates(["src", "dst"]))
+    verts = (e.select(F.col("src").alias("v"))
+             .unionAll(e.select(F.col("dst").alias("v")))
+             .distinct())
+    # frontier is always a 1-column (src) frame consumed via LEFT SEMI
+    # — no self-join ambiguity when hop h's frontier derives from e
+    frontier = (verts.where(F.col("v") % seed_mod == 0)
+                .select(F.col("v").alias("src")))
+
+    hops = []
+    for h, f in enumerate(fanouts, start=1):
+        mix = F.pmod(F.lit(MIX_A1) * F.col("src") + F.lit(MIX_A2 * h)
+                     + F.lit(MIX_A3) * F.col("dst") + F.lit(MIX_B),
+                     F.lit(MIX_M))
+        ranked = (e.join(frontier, "src", "left_semi")
+                  .select("src", "dst", mix.alias("mx"))
+                  .withColumn("rk", F.row_number().over(
+                      Window.partitionBy("src").orderBy("mx", "dst"))))
+        hop = (ranked.where(F.col("rk") <= f)
+               .select(F.lit(h).cast("int").alias("hop"), "src", "dst"))
+        hops.append(hop)
+        frontier = hop.select(F.col("dst").alias("src")).distinct()
+
+    out = hops[0]
+    for hdf in hops[1:]:
+        out = out.unionAll(hdf)
+    return out.orderBy("hop", "src", "dst")
+
+
+def neighbor_fanout_sample_sql(edge_sql: str,
+                               fanouts: tuple[int, ...] = (3, 2),
+                               seed_mod: int = 20) -> str:
+    """DuckDB twin: identical mix ranking per hop."""
+    from adopt_spark.algos.walks import MIX_A1, MIX_A2, MIX_A3, MIX_B, MIX_M
+
+    ctes = [f"""e AS MATERIALIZED (
+    SELECT DISTINCT sid AS src, tid AS dst FROM edge WHERE sid <> tid
+), verts AS (
+    SELECT src AS v FROM e UNION SELECT dst FROM e
+), f0 AS (
+    SELECT v FROM verts WHERE v % {seed_mod} = 0
+)"""]
+    sels = []
+    for h, f in enumerate(fanouts, start=1):
+        mix = (f"({MIX_A1} * e.src + {MIX_A2 * h} + {MIX_A3} * e.dst "
+               f"+ {MIX_B}) % {MIX_M}")
+        ctes.append(f"""c{h} AS (
+    SELECT e.src, e.dst,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY {mix}, e.dst) AS rk
+    FROM f{h-1} f JOIN e ON e.src = f.v
+), h{h} AS MATERIALIZED (
+    SELECT {h} AS hop, src, dst FROM c{h} WHERE rk <= {f}
+), f{h} AS (
+    SELECT DISTINCT dst AS v FROM h{h}
+)""")
+        sels.append(f"SELECT hop, src, dst FROM h{h}")
+    union = "\n    UNION ALL\n    ".join(sels)
+    return (f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), """ + ",\n".join(ctes) + f"""
+SELECT CAST(hop AS INTEGER) AS hop, src, dst FROM (
+    {union}
+)
+ORDER BY hop, src, dst""")

@@ -7882,6 +7882,43 @@ ORACLES["g_walk_cooccur"] = _cooc_sql(
     DERIVED_EDGE_SQL, window=_COOC_WINDOW, topn=_COOC_TOPN)
 
 
+# round-3 session-22: GNN fanout sampling, symbol health
+_FANOUTS, _FANOUT_SEED_MOD = (3, 2), 20
+
+
+def q_fanout_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style layer-wise neighbor sampling: hop h keeps the
+    fanout_h out-neighbors with the smallest deterministic mix per
+    frontier vertex (functions/sampling.py:neighbor_fanout_sample) —
+    the distributed minibatch-input sampler of a GNN training
+    pipeline, replayable at any parallelism and in SQL."""
+    from adopt_spark.functions.sampling import neighbor_fanout_sample
+
+    return neighbor_fanout_sample(derived_edges(spark, sf_dir),
+                                  _FANOUTS, _FANOUT_SEED_MOD)
+
+
+def q_symbol_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-slice symbol resolution check: defs from one corpus slice
+    vs call sites from another; per-symbol ok / dead / unresolved
+    status (functions/callgraph.py:symbol_health)."""
+    from adopt_spark.functions.callgraph import symbol_health
+
+    return symbol_health(_t(spark, sf_dir, "documents"))
+
+
+from adopt_spark.functions.sampling import (  # noqa: E402
+    neighbor_fanout_sample_sql as _fanout_sql,
+)
+from adopt_spark.functions.callgraph import (  # noqa: E402
+    symbol_health_sql as _symbol_health_sql,
+)
+
+ORACLES["g_fanout_sample"] = _fanout_sql(
+    DERIVED_EDGE_SQL, _FANOUTS, _FANOUT_SEED_MOD)
+ORACLES["t_symbol_health"] = _symbol_health_sql()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -7914,6 +7951,9 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
+        # -- (0p) round-3 session-22: GNN fanout sampling, symbol health
+        "g_fanout_sample": q_fanout_sample,
+        "t_symbol_health": q_symbol_health,
         # -- (0o) round-3 session-21: symbol call graph, SemDeDup,
         #    DeepWalk skip-gram pair harvest
         "t_call_graph": q_call_graph,
