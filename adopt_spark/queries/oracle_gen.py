@@ -1839,3 +1839,93 @@ def cascade_fixed_sql(edge_sql: str, n_seeds: int = CASCADE_SEEDS,
     )
 ), {', '.join(steps)}
 SELECT v, CAST(round AS INTEGER) AS round FROM r{rounds}"""
+
+
+# ------------------------------------------------ multilevel coarsening
+
+COARSEN_LEVELS = 2
+COARSEN_ROUNDS = 12
+
+
+def coarsen_sql(edge_sql: str, levels: int = COARSEN_LEVELS,
+                rounds: int = COARSEN_ROUNDS) -> str:
+    """Unrolled multilevel random-matching coarsening, the exact twin
+    of algos/coarsen.py: per level a fixed-round Luby matching
+    (identical CTE shape to matching_fixed_sql), supervertex map
+    (matched b -> a, identity elsewhere), contraction with summed
+    parallel-edge weights; per-level (n_vertices, n_edges,
+    total_weight) summary rows."""
+    p = "1000000007"
+    pri = (f"(((a % {p}) * 2000003 + (b % {p})) % {p}) "
+           f"* 2654435761 % {p}")
+    parts = [f"""u0 AS MATERIALIZED (
+    SELECT least(sid, tid) AS a, greatest(sid, tid) AS b,
+           CAST(1 AS BIGINT) AS w
+    FROM (SELECT DISTINCT least(sid, tid) AS sid,
+                 greatest(sid, tid) AS tid
+          FROM edge WHERE sid <> tid)
+)"""]
+    for lvl in range(1, levels + 1):
+        prev_u = f"u{lvl - 1}"
+        prev = f"l{lvl}a0"
+        parts.append(f"""{prev} AS MATERIALIZED (
+    SELECT a, b, {pri} AS p FROM {prev_u}
+)""")
+        win_names = []
+        for i in range(1, rounds + 1):
+            w, mv, a = f"l{lvl}w{i}", f"l{lvl}mv{i}", f"l{lvl}a{i}"
+            parts.append(f"""{w} AS MATERIALIZED (
+    SELECT a, b FROM (
+        SELECT v, a, b,
+               row_number() OVER (PARTITION BY v ORDER BY p, a, b) AS rn
+        FROM (SELECT a AS v, a, b, p FROM {prev}
+              UNION ALL
+              SELECT b, a, b, p FROM {prev})
+    ) WHERE rn = 1 GROUP BY a, b HAVING count(*) = 2
+)""")
+            parts.append(f"""{mv} AS MATERIALIZED (
+    SELECT a AS v FROM {w} UNION SELECT b FROM {w}
+)""")
+            parts.append(f"""{a} AS MATERIALIZED (
+    SELECT e.a, e.b, e.p FROM {prev} e
+    WHERE e.a NOT IN (SELECT v FROM {mv})
+      AND e.b NOT IN (SELECT v FROM {mv})
+)""")
+            win_names.append(w)
+            prev = a
+        union = "\n        UNION ALL\n        ".join(
+            f"SELECT a, b FROM {w}" for w in win_names)
+        parts.append(f"""m{lvl} AS MATERIALIZED (
+    {union}
+)""")
+        parts.append(f"""map{lvl} AS MATERIALIZED (
+    SELECT b AS v, a AS sv FROM m{lvl}
+    UNION ALL
+    SELECT v, v AS sv FROM (
+        SELECT a AS v FROM {prev_u} UNION SELECT b FROM {prev_u}
+    ) WHERE v NOT IN (SELECT b FROM m{lvl})
+)""")
+        parts.append(f"""u{lvl} AS MATERIALIZED (
+    SELECT least(ma.sv, mb.sv) AS a, greatest(ma.sv, mb.sv) AS b,
+           CAST(sum(e.w) AS BIGINT) AS w
+    FROM {prev_u} e
+    JOIN map{lvl} ma ON ma.v = e.a
+    JOIN map{lvl} mb ON mb.v = e.b
+    WHERE ma.sv <> mb.sv
+    GROUP BY 1, 2
+)""")
+    rows = "\n    UNION ALL\n    ".join(f"""SELECT {l} AS level,
+        (SELECT count(DISTINCT v) FROM (
+            SELECT a AS v FROM u{l} UNION ALL SELECT b FROM u{l}
+        )) AS n_vertices,
+        (SELECT count(*) FROM u{l}) AS n_edges,
+        (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) FROM u{l})
+            AS total_weight""" for l in range(levels + 1))
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), {', '.join(parts)}
+SELECT CAST(level AS INTEGER) AS level, n_vertices, n_edges, total_weight
+FROM (
+    {rows}
+)
+ORDER BY level"""

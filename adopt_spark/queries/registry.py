@@ -7919,6 +7919,22 @@ ORACLES["g_fanout_sample"] = _fanout_sql(
 ORACLES["t_symbol_health"] = _symbol_health_sql()
 
 
+def q_coarsen_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel random-matching graph coarsening (METIS-family RM
+    scheme, Karypis & Kumar '98): per level one fixed-round Luby
+    matching + supervertex contraction with summed parallel-edge
+    weights; per-level vertex/edge/weight summary
+    (algos/coarsen.py)."""
+    from adopt_spark.algos.coarsen import coarsen_graph
+
+    return coarsen_graph(derived_edges(spark, sf_dir))
+
+
+from adopt_spark.queries.oracle_gen import coarsen_sql as _coarsen_sql  # noqa: E402
+
+ORACLES["g_coarsen_levels"] = _coarsen_sql(DERIVED_EDGE_SQL)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -7951,9 +7967,11 @@ def all_queries() -> dict[str, QueryFn]:
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
         #    ingest-ordered layouts)
-        # -- (0p) round-3 session-22: GNN fanout sampling, symbol health
+        # -- (0p) round-3 session-22: GNN fanout sampling, symbol
+        #    health, multilevel coarsening
         "g_fanout_sample": q_fanout_sample,
         "t_symbol_health": q_symbol_health,
+        "g_coarsen_levels": q_coarsen_levels,
         # -- (0o) round-3 session-21: symbol call graph, SemDeDup,
         #    DeepWalk skip-gram pair harvest
         "t_call_graph": q_call_graph,
