@@ -1847,14 +1847,12 @@ COARSEN_LEVELS = 2
 COARSEN_ROUNDS = 12
 
 
-def coarsen_sql(edge_sql: str, levels: int = COARSEN_LEVELS,
-                rounds: int = COARSEN_ROUNDS) -> str:
-    """Unrolled multilevel random-matching coarsening, the exact twin
-    of algos/coarsen.py: per level a fixed-round Luby matching
-    (identical CTE shape to matching_fixed_sql), supervertex map
-    (matched b -> a, identity elsewhere), contraction with summed
-    parallel-edge weights; per-level (n_vertices, n_edges,
-    total_weight) summary rows."""
+def _coarsen_chain(levels: int, rounds: int) -> list[str]:
+    """CTE chain shared by coarsen_sql / multilevel_partition_sql:
+    u0 (unit-weight undirected simple graph), then per level the
+    fixed-round Luby matching (identical shape to matching_fixed_sql),
+    m{L} (matched pairs), map{L} (b -> a plus identity), u{L}
+    (contraction with summed parallel-edge weights)."""
     p = "1000000007"
     pri = (f"(((a % {p}) * 2000003 + (b % {p})) % {p}) "
            f"* 2654435761 % {p}")
@@ -1914,6 +1912,18 @@ def coarsen_sql(edge_sql: str, levels: int = COARSEN_LEVELS,
     WHERE ma.sv <> mb.sv
     GROUP BY 1, 2
 )""")
+    return parts
+
+
+def coarsen_sql(edge_sql: str, levels: int = COARSEN_LEVELS,
+                rounds: int = COARSEN_ROUNDS) -> str:
+    """Unrolled multilevel random-matching coarsening, the exact twin
+    of algos/coarsen.py: per level a fixed-round Luby matching
+    (identical CTE shape to matching_fixed_sql), supervertex map
+    (matched b -> a, identity elsewhere), contraction with summed
+    parallel-edge weights; per-level (n_vertices, n_edges,
+    total_weight) summary rows."""
+    parts = _coarsen_chain(levels, rounds)
     rows = "\n    UNION ALL\n    ".join(f"""SELECT {l} AS level,
         (SELECT count(DISTINCT v) FROM (
             SELECT a AS v FROM u{l} UNION ALL SELECT b FROM u{l}
@@ -1929,3 +1939,59 @@ FROM (
     {rows}
 )
 ORDER BY level"""
+
+
+def multilevel_partition_sql(edge_sql: str, k: int = 4,
+                             levels: int = COARSEN_LEVELS,
+                             rounds: int = COARSEN_ROUNDS) -> str:
+    """Twin of algos/coarsen.py:multilevel_partition — the cascade
+    maps composed down to a coarsest-supervertex assignment (sv % k),
+    projected to level 0 and cut-scored against direct v % k."""
+    parts = _coarsen_chain(levels, rounds)
+    parts.append("""verts0 AS MATERIALIZED (
+    SELECT DISTINCT v FROM (
+        SELECT a AS v FROM u0 UNION ALL SELECT b FROM u0
+    )
+)""")
+    prev = "proj0"
+    parts.append(f"""{prev} AS MATERIALIZED (
+    SELECT v, v AS sv FROM verts0
+)""")
+    for lvl in range(1, levels + 1):
+        cur = f"proj{lvl}"
+        parts.append(f"""{cur} AS MATERIALIZED (
+    SELECT p.v, coalesce(m.a, p.sv) AS sv
+    FROM {prev} p LEFT JOIN m{lvl} m ON m.b = p.sv
+)""")
+        prev = cur
+    parts.append(f"""assign_ml AS MATERIALIZED (
+    SELECT v, sv % {k} AS part FROM {prev}
+)""")
+    parts.append(f"""assign_h AS MATERIALIZED (
+    SELECT v, v % {k} AS part FROM verts0
+)""")
+
+    def rep(name: str, assign: str) -> str:
+        return f"""SELECT '{name}' AS strategy,
+        (SELECT CAST(coalesce(sum(CASE WHEN pa.part <> pb.part
+                                       THEN e.w ELSE 0 END), 0) AS BIGINT)
+         FROM u0 e JOIN {assign} pa ON pa.v = e.a
+                   JOIN {assign} pb ON pb.v = e.b) AS cut_weight,
+        (SELECT CAST(coalesce(sum(w), 0) AS BIGINT) FROM u0)
+            AS total_weight,
+        (SELECT CAST(max(n) AS BIGINT) FROM (
+            SELECT count(*) AS n FROM {assign} GROUP BY part
+        )) AS max_part"""
+
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), {', '.join(parts)}
+SELECT strategy, cut_weight, total_weight,
+       round(CAST(cut_weight AS DOUBLE) / total_weight, 6) AS cut_frac,
+       max_part
+FROM (
+    {rep('coarsen_project', 'assign_ml')}
+    UNION ALL
+    {rep('hash_direct', 'assign_h')}
+)
+ORDER BY strategy"""

@@ -7930,9 +7930,23 @@ def q_coarsen_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coarsen_graph(derived_edges(spark, sf_dir))
 
 
-from adopt_spark.queries.oracle_gen import coarsen_sql as _coarsen_sql  # noqa: E402
+def q_multilevel_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-way edge-cut comparison: coarsest-level hash assignment
+    projected back through the coarsening cascade vs direct vertex
+    hash — the measured value of multilevel partitioning
+    (algos/coarsen.py:multilevel_partition)."""
+    from adopt_spark.algos.coarsen import multilevel_partition
+
+    return multilevel_partition(derived_edges(spark, sf_dir), k=4)
+
+
+from adopt_spark.queries.oracle_gen import (  # noqa: E402
+    coarsen_sql as _coarsen_sql,
+    multilevel_partition_sql as _ml_part_sql,
+)
 
 ORACLES["g_coarsen_levels"] = _coarsen_sql(DERIVED_EDGE_SQL)
+ORACLES["g_multilevel_cut"] = _ml_part_sql(DERIVED_EDGE_SQL, k=4)
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -7972,6 +7986,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_fanout_sample": q_fanout_sample,
         "t_symbol_health": q_symbol_health,
         "g_coarsen_levels": q_coarsen_levels,
+        "g_multilevel_cut": q_multilevel_cut,
         # -- (0o) round-3 session-21: symbol call graph, SemDeDup,
         #    DeepWalk skip-gram pair harvest
         "t_call_graph": q_call_graph,
