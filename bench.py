@@ -172,6 +172,10 @@ def main() -> None:
         extras["scaling_efficiency_pagerank"] = s.get("efficiency_pagerank")
         extras["scaling_efficiency_triangle_join"] = s.get("efficiency_triangle_join")
         extras["scaling_efficiency_triangle_cogroup"] = s.get("efficiency_triangle_cogroup")
+        if s.get("efficiency_cc") is not None:
+            extras["scaling_efficiency_cc"] = s.get("efficiency_cc")
+        if s.get("efficiency_lpa") is not None:
+            extras["scaling_efficiency_lpa"] = s.get("efficiency_lpa")
         extras["scaling_low_cpus"] = s.get("low", {}).get("cpus")
         extras["scaling_high_cpus"] = s.get("high", {}).get("cpus")
         extras["scaling_edges"] = s.get("high", {}).get("n_edges")

@@ -97,6 +97,44 @@ def main() -> None:
             "n_triangles": n_triangles,
         })
 
+    if "cc" in parts:
+        # large-star/small-star CC: round count is graph-determined
+        # (identical work at every level); median round sec scales.
+        from adopt_spark.algos.cc import connected_components
+
+        t0 = time.time()
+        labels, metrics = connected_components(spark, edges)
+        n_comp = labels.select("component").distinct().count()
+        cc_sec = time.time() - t0
+        per_round = statistics.median(m["sec"] for m in metrics)
+        out.update({
+            "cc_rounds": len(metrics),
+            "cc_components": n_comp,
+            "cc_total_sec": round(cc_sec, 3),
+            "cc_sec_per_round": round(per_round, 3),
+            "cc_round_secs": [round(m["sec"], 3) for m in metrics],
+        })
+
+    if "lpa" in parts:
+        # synchronous LPA capped at a FIXED round count (far below
+        # convergence on this graph), so both levels do identical work.
+        from adopt_spark.algos.lpa import label_propagation
+
+        LPA_ROUNDS = 5
+        t0 = time.time()
+        labels, metrics = label_propagation(spark, edges,
+                                            max_iter=LPA_ROUNDS)
+        n_labels = labels.select("label").distinct().count()
+        lpa_sec = time.time() - t0
+        per_round = statistics.median(m["sec"] for m in metrics)
+        out.update({
+            "lpa_rounds": len(metrics),
+            "lpa_labels": n_labels,
+            "lpa_total_sec": round(lpa_sec, 3),
+            "lpa_sec_per_round": round(per_round, 3),
+            "lpa_round_secs": [round(m["sec"], 3) for m in metrics],
+        })
+
     if "sssp" in parts:
         # weighted SSSP from vertex 0: the round count is a property of
         # the graph, not the parallelism, so the work is identical at
