@@ -232,3 +232,162 @@ JOIN marg mv ON mv.x = c.v
 ORDER BY c.n_cooc DESC, c.u, c.v
 LIMIT {topn}
 """.strip()
+
+
+# ------------------------------------------- node2vec biased walks
+#
+# node2vec (Grover & Leskovec, KDD'16) biases the walk's next-step
+# distribution by where the PREVIOUS vertex sits: return weight 1/p
+# for stepping back to prev, 1 for a neighbor of prev (BFS-ish), 1/q
+# for a distance-2 move (DFS-ish). Here the weights are INTEGERS
+# (wp, w1, wq — e.g. (1, 2, 1) ≙ p = q = 2) and the choice is the
+# same deterministic mix law as the uniform walks: with per-neighbor
+# weights w_i over the sorted adjacency and T = Σw_i,
+#
+#   r = mix(walk_id, step, cur) mod T
+#   next = the neighbor at cumulative-weight position r
+#
+# — so with wp = w1 = wq the walk IS the uniform walk (pinned by
+# test), and any engine can replay the sequence exactly. The weighted
+# pick runs entirely inside ONE codegen higher-order fold per step
+# (zip_with + aggregate carrying a (cum, sel) struct): no Python, no
+# extra shuffle beyond the two adjacency joins (cur and prev).
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int = 8,
+    wp: int = 1,
+    w1: int = 2,
+    wq: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One deterministic second-order biased walk per source vertex;
+    DataFrame[walk_id, step, v], truncating at dangling vertices.
+    Step 1 is uniform (no prev yet), steps >= 2 are (wp, w1, wq)-
+    biased by the previous vertex."""
+    if min(wp, w1, wq) < 1:
+        raise ValueError(f"weights must be positive ints: {(wp, w1, wq)}")
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (edges.select(F.col("sid").cast("long").alias("src"),
+                      F.col("tid").cast("long").alias("dst"))
+         .where(F.col("src") != F.col("dst"))
+         .dropDuplicates(["src", "dst"]))
+    adj = (e.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("adj"),
+                F.count(F.lit(1)).alias("deg"))
+           .repartition(parts, "src")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    adj.count()
+
+    state = (adj.select(F.col("src").alias("walk_id"))
+             .select("walk_id", F.lit(None).cast("long").alias("prev"),
+                     F.col("walk_id").alias("cur")))
+    outputs = [state.select("walk_id", F.lit(0).alias("step"),
+                            F.col("cur").alias("v"))]
+    for step in range(1, length + 1):
+        st = (state.join(adj.select(F.col("src").alias("cur"),
+                                    F.col("adj").alias("nbrs"),
+                                    "deg"), "cur")
+              .join(adj.select(F.col("src").alias("prev"),
+                               F.col("adj").alias("prev_nbrs")),
+                    "prev", "left"))
+        if step == 1:
+            nxt_col = F.element_at(
+                F.col("nbrs"),
+                (F.pmod(_mix(F.col("walk_id"), step, F.col("cur")),
+                        F.col("deg")) + F.lit(1)).cast("int"))
+        else:
+            pn = F.coalesce(F.col("prev_nbrs"),
+                            F.array().cast("array<long>"))
+            w = F.transform(
+                F.col("nbrs"),
+                lambda x: F.when(x == F.col("prev"), F.lit(wp))
+                           .when(F.array_contains(pn, x), F.lit(w1))
+                           .otherwise(F.lit(wq)).cast("long"))
+            total = F.aggregate(w, F.lit(0).cast("long"),
+                                lambda a, x: a + x)
+            r = F.pmod(_mix(F.col("walk_id"), step, F.col("cur")), total)
+            nxt_col = F.aggregate(
+                F.zip_with(F.col("nbrs"), w,
+                           lambda x, wt: F.struct(x.alias("x"),
+                                                  wt.alias("wt"))),
+                F.struct(F.lit(0).cast("long").alias("cum"),
+                         F.lit(None).cast("long").alias("sel")),
+                lambda acc, el: F.struct(
+                    (acc["cum"] + el["wt"]).alias("cum"),
+                    F.when(acc["sel"].isNull()
+                           & (acc["cum"] + el["wt"] > r), el["x"])
+                     .otherwise(acc["sel"]).alias("sel")),
+                lambda acc: acc["sel"])
+        nxt = st.select("walk_id", F.col("cur").alias("prev"),
+                        nxt_col.alias("cur"))
+        state = nxt.localCheckpoint(eager=True)
+        outputs.append(state.select("walk_id", F.lit(step).alias("step"),
+                                    F.col("cur").alias("v")))
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionAll(o)
+    adj.unpersist()
+    return out
+
+
+def node2vec_walks_sql(edge_sql: str, length: int = 8,
+                       wp: int = 1, w1: int = 2, wq: int = 1) -> str:
+    """DuckDB twin: per step, per-neighbor CASE weights over the
+    sorted adjacency, window cumulative sum, and the first neighbor
+    whose running total exceeds r = mix % total."""
+    steps = []
+    for i in range(1, length + 1):
+        mix = MIX_SQL.format(step=i)
+        if i == 1:
+            steps.append(f"""w1 AS MATERIALIZED (
+    SELECT w.walk_id, CAST(NULL AS BIGINT) AS prev_unused,
+           w.cur AS prev, a.tid AS cur
+    FROM w0 w JOIN adj a
+      ON a.sid = w.cur AND a.idx = ({mix}) % a.deg
+)""")
+            continue
+        steps.append(f"""c{i} AS MATERIALIZED (
+    SELECT w.walk_id, w.cur, a.tid, a.idx,
+           CASE WHEN a.tid = w.prev THEN {wp}
+                WHEN EXISTS (SELECT 1 FROM adj p
+                             WHERE p.sid = w.prev AND p.tid = a.tid)
+                    THEN {w1}
+                ELSE {wq} END AS wt
+    FROM w{i-1} w JOIN adj a ON a.sid = w.cur
+), r{i} AS MATERIALIZED (
+    SELECT walk_id, cur, tid, idx,
+           sum(wt) OVER (PARTITION BY walk_id
+                         ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(wt) OVER (PARTITION BY walk_id) AS tot
+    FROM c{i}
+), w{i} AS MATERIALIZED (
+    SELECT walk_id, prev, cur FROM (
+        SELECT r.walk_id, r.cur AS prev, r.tid AS cur,
+               row_number() OVER (PARTITION BY r.walk_id
+                                  ORDER BY r.idx) AS rn
+        FROM r{i} r
+        WHERE r.cum > ({MIX_SQL.format(step=i).replace("cur", "r.cur")}) % r.tot
+    ) WHERE rn = 1
+)""")
+    sel = "\n    UNION ALL\n    ".join(
+        ["SELECT walk_id, 0 AS step, cur AS v FROM w0"]
+        + [f"SELECT walk_id, {i} AS step, cur AS v FROM w{i}"
+           for i in range(1, length + 1)])
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), adj AS MATERIALIZED (
+    SELECT sid, tid,
+           row_number() OVER (PARTITION BY sid ORDER BY tid) - 1 AS idx,
+           count(*) OVER (PARTITION BY sid) AS deg
+    FROM (SELECT DISTINCT sid, tid FROM edge WHERE sid <> tid)
+), w0 AS MATERIALIZED (
+    SELECT DISTINCT sid AS walk_id, sid AS cur FROM adj
+), {', '.join(steps)}
+SELECT walk_id, CAST(step AS INTEGER) AS step, v FROM (
+    {sel}
+)"""

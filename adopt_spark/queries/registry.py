@@ -7949,6 +7949,28 @@ ORACLES["g_coarsen_levels"] = _coarsen_sql(DERIVED_EDGE_SQL)
 ORACLES["g_multilevel_cut"] = _ml_part_sql(DERIVED_EDGE_SQL, k=4)
 
 
+_N2V_LEN, _N2V_W = 6, (1, 2, 1)   # p = q = 2, weights ×2
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec second-order biased walks (Grover & Leskovec KDD'16):
+    integer (return, BFS, DFS) weights, deterministic mix selection —
+    the weighted pick is ONE codegen higher-order fold per step
+    (algos/walks.py:node2vec_walks); equal weights degenerate to the
+    uniform walks (pinned by test)."""
+    from adopt_spark.algos.walks import node2vec_walks
+
+    return node2vec_walks(spark, derived_edges(spark, sf_dir),
+                          _N2V_LEN, *_N2V_W)
+
+
+from adopt_spark.algos.walks import (  # noqa: E402
+    node2vec_walks_sql as _n2v_sql,
+)
+
+ORACLES["g_node2vec_walks"] = _n2v_sql(DERIVED_EDGE_SQL, _N2V_LEN, *_N2V_W)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -7987,6 +8009,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_symbol_health": q_symbol_health,
         "g_coarsen_levels": q_coarsen_levels,
         "g_multilevel_cut": q_multilevel_cut,
+        "g_node2vec_walks": q_node2vec_walks,
         # -- (0o) round-3 session-21: symbol call graph, SemDeDup,
         #    DeepWalk skip-gram pair harvest
         "t_call_graph": q_call_graph,
