@@ -391,3 +391,106 @@ def node2vec_walks_sql(edge_sql: str, length: int = 8,
 SELECT walk_id, CAST(step AS INTEGER) AS step, v FROM (
     {sel}
 )"""
+
+
+# ------------------------------------------- temporal (CTDNE) walks
+#
+# Continuous-time dynamic network embeddings (Nguyen et al., WWW'18
+# "CTDNE") train on TIME-RESPECTING walks: each step must use a
+# contact no earlier than the one that led here, so the walk follows
+# information flow (Holme & Saramäki temporal paths — the same law
+# temporal_reachability enforces). Deterministic edition: per vertex
+# a (t, v)-sorted contact adjacency; at state (cur, tcur) the
+# candidates are the sorted suffix with t >= tcur and the mix law
+# picks one — replayable at any parallelism, exactly replicable in
+# SQL. The suffix filter + pick run inside codegen higher-order
+# expressions; each step is ONE adjacency equi-join.
+
+
+def temporal_walks(
+    spark: SparkSession,
+    contacts: DataFrame,
+    length: int = 6,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One deterministic time-respecting walk per contact source
+    vertex over DataFrame[u, v, t]; returns
+    DataFrame[walk_id, step, v, t] with step 0 = (start, its earliest
+    contact time) and truncation when no future contact exists."""
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    c = (contacts.select(F.col("u").cast("long").alias("u"),
+                         F.col("v").cast("long").alias("v"),
+                         F.col("t").cast("long").alias("t"))
+         .where(F.col("u") != F.col("v"))
+         .dropDuplicates(["u", "v", "t"]))
+    adj = (c.groupBy("u")
+           .agg(F.array_sort(F.collect_list(F.struct("t", "v")))
+                .alias("ctc"),
+                F.min("t").alias("t0"))
+           .repartition(parts, "u")
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    adj.count()
+
+    state = adj.select(F.col("u").alias("walk_id"),
+                       F.col("u").alias("cur"),
+                       F.col("t0").alias("tcur"))
+    outputs = [state.select("walk_id", F.lit(0).alias("step"),
+                            F.col("cur").alias("v"),
+                            F.col("tcur").alias("t"))]
+    for step in range(1, length + 1):
+        st = state.join(adj.select(F.col("u").alias("cur"), "ctc"), "cur")
+        cand = F.filter(F.col("ctc"), lambda s: s["t"] >= F.col("tcur"))
+        n = F.size(cand)
+        pick = F.element_at(
+            cand,
+            (F.pmod(_mix(F.col("walk_id"), step, F.col("cur")), n)
+             + F.lit(1)).cast("int"))
+        nxt = (st.where(n > 0)
+               .select("walk_id",
+                       pick["v"].alias("cur"),
+                       pick["t"].alias("tcur")))
+        state = nxt.localCheckpoint(eager=True)
+        outputs.append(state.select("walk_id", F.lit(step).alias("step"),
+                                    F.col("cur").alias("v"),
+                                    F.col("tcur").alias("t")))
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionAll(o)
+    adj.unpersist()
+    return out
+
+
+def temporal_walks_sql(contact_sql: str, length: int = 6) -> str:
+    """DuckDB twin: (t, v)-ordered adjacency with index, per step the
+    future-suffix re-ranked and the mix pick replayed."""
+    steps = []
+    for i in range(1, length + 1):
+        mix = MIX_SQL.format(step=i).replace("cur", "w.cur")
+        steps.append(f"""c{i} AS MATERIALIZED (
+    SELECT w.walk_id, w.cur, a.t, a.v,
+           row_number() OVER (PARTITION BY w.walk_id
+                              ORDER BY a.t, a.v) AS rn,
+           count(*) OVER (PARTITION BY w.walk_id) AS cnt
+    FROM w{i-1} w JOIN adj a
+      ON a.u = w.cur AND a.t >= w.tcur
+), w{i} AS MATERIALIZED (
+    SELECT c.walk_id, c.v AS cur, c.t AS tcur
+    FROM c{i} c
+    WHERE c.rn - 1 = ({MIX_SQL.format(step=i).replace("cur", "c.cur")}) % c.cnt
+)""")
+    sel = "\n    UNION ALL\n    ".join(
+        ["SELECT walk_id, 0 AS step, cur AS v, tcur AS t FROM w0"]
+        + [f"SELECT walk_id, {i} AS step, cur AS v, tcur AS t FROM w{i}"
+           for i in range(1, length + 1)])
+    return f"""WITH contact AS MATERIALIZED (
+{contact_sql}
+), adj AS MATERIALIZED (
+    SELECT DISTINCT u, v, t FROM contact WHERE u <> v
+), w0 AS MATERIALIZED (
+    SELECT u AS walk_id, u AS cur, min(t) AS tcur FROM adj GROUP BY u
+), {', '.join(steps)}
+SELECT walk_id, CAST(step AS INTEGER) AS step, v, t FROM (
+    {sel}
+)"""

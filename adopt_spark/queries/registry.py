@@ -7971,6 +7971,31 @@ from adopt_spark.algos.walks import (  # noqa: E402
 ORACLES["g_node2vec_walks"] = _n2v_sql(DERIVED_EDGE_SQL, _N2V_LEN, *_N2V_W)
 
 
+_TW_LEN = 6
+
+
+def q_temporal_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTDNE time-respecting walks (Nguyen et al. WWW'18) over the
+    hourly contact stream: each step uses a contact no earlier than
+    the previous one, picked deterministically from the (t, v)-sorted
+    future suffix (algos/walks.py:temporal_walks) — the walk corpus a
+    temporal-graph embedding pipeline trains on."""
+    from adopt_spark.algos.temporal import hourly_contacts
+    from adopt_spark.algos.walks import temporal_walks
+
+    return temporal_walks(spark,
+                          hourly_contacts(_t(spark, sf_dir, "events")),
+                          _TW_LEN)
+
+
+from adopt_spark.algos.walks import (  # noqa: E402
+    temporal_walks_sql as _tw_sql,
+)
+
+ORACLES["g_temporal_walks"] = _tw_sql(
+    f"WITH {_og.CONTACTS_CTE_SQL} SELECT u, v, t FROM contacts", _TW_LEN)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8010,6 +8035,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_coarsen_levels": q_coarsen_levels,
         "g_multilevel_cut": q_multilevel_cut,
         "g_node2vec_walks": q_node2vec_walks,
+        "g_temporal_walks": q_temporal_walks,
         # -- (0o) round-3 session-21: symbol call graph, SemDeDup,
         #    DeepWalk skip-gram pair harvest
         "t_call_graph": q_call_graph,
