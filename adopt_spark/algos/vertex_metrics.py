@@ -476,3 +476,46 @@ def link_prediction_auc(edges: DataFrame, holdout_mod: int = 10,
                 .alias("mean_cn_pos"),
                 F.round(F.col("sn") / F.col("nn"), 6)
                 .alias("mean_cn_neg")))
+
+
+def structural_equiv(edges: DataFrame, min_size: int = 2) -> DataFrame:
+    """Structural-equivalence classes: groups of vertices with exactly
+    identical (undirected) neighbor sets -> one row per class with
+    >= ``min_size`` members: [class_rep (min member id), n_members,
+    deg (the shared neighborhood size)].
+
+    The mirror-detection primitive for link graphs: republished repos,
+    vendored copies, and template-generated pages all surface as
+    vertices whose out-link sets coincide exactly (Gibson et al.'s
+    "shingling the web graph" solves the approximate version; the
+    exact version is one aggregate). Two structurally equivalent
+    vertices are interchangeable in ANY topology-only algorithm, so
+    classes also feed graph compression (collapse the class to one
+    representative + a multiplicity).
+
+    Scale shape: one adjacency build (groupBy v, sort_array over the
+    distinct neighbor set — the same shuffle every adjacency consumer
+    pays), then ONE group-by on the adjacency array itself with
+    map-side partial agg. The second shuffle carries each adjacency
+    array once, i.e. O(E) bytes total — the same volume as the build.
+    At 10^12-edge scale, pre-hash the array to a 64-bit key and
+    group by (hash, size) first so the wide arrays only travel for
+    the < 1e-9 of vertices whose hash bucket has >= 2 members, then
+    verify exact-array equality within buckets; the contract runs the
+    direct exact plan.
+
+    Note adjacency equality is on the SYMMETRIZED graph, so a class's
+    members are never adjacent to each other (v in N(u) would need
+    u in N(u)) — equivalence here is the "false twins" relation of
+    modular decomposition.
+    """
+    lt = _lt(edges)
+    adj = (_sym(lt).groupBy("v")
+           .agg(F.sort_array(F.collect_set("nbr")).alias("adj")))
+    return (adj.groupBy("adj")
+            .agg(F.min("v").alias("class_rep"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .where(F.col("n_members") >= min_size)
+            .select(F.col("class_rep").cast("long"),
+                    F.col("n_members").cast("long"),
+                    F.size("adj").cast("long").alias("deg")))

@@ -376,3 +376,69 @@ SELECT CAST(hop AS INTEGER) AS hop, src, dst FROM (
     {union}
 )
 ORDER BY hop, src, dst""")
+
+
+def dsir_sample(docs: DataFrame, target_lang: str | None = None,
+                keep_pct: int = 20, text_col: str = "text") -> DataFrame:
+    """DSIR-style importance resampling (Xie et al., NeurIPS'23
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by how target-like its unigram distribution
+    is, keep the top ``keep_pct`` percent -> [doc_id, lang, n_tokens,
+    score (6 dp)] for the selected docs.
+
+    The target domain is the documents of ``target_lang`` (default:
+    the lexicographically smallest lang in the corpus — deterministic
+    with no configuration). Two add-one-smoothed unigram LMs are
+    fitted over the SHARED corpus vocabulary — target p(w) and raw
+    corpus q(w) — and a document's importance weight is the mean
+    log-likelihood ratio of its tokens:
+
+        score(d) = mean over tokens w of [ ln p(w) - ln q(w) ]
+
+    (DSIR uses hashed n-gram features; words are the n=1 instance.
+    The mean, not the sum, so score is length-comparable.) Selection
+    keeps the top ceil(n_docs * keep_pct / 100) by (score desc,
+    doc_id asc) — integer budget arithmetic, so the cut index is
+    exact on every engine.
+
+    Scale shape: two vocabulary hash-aggs (map-side partial) with the
+    target LM derived from the same token frame (one pass over the
+    corpus); vocabulary-sized frames broadcast back onto the token
+    stream; ONE doc-keyed aggregate for scores. The final top-k uses
+    a global rank over the doc-count-sized score frame — at 10^9+
+    docs swap it for the two-pass quantile threshold (approx
+    percentile to bound the cutoff, exact rank inside the boundary
+    bucket), the same escape hatch as zipf_fit's head cap. Scores are
+    6 dp-quantized BEFORE ranking so cross-engine libm drift cannot
+    reorder the cut boundary; ties break on doc_id.
+    """
+    if not 0 < keep_pct <= 100:
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    toks = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+         .alias("term"),
+    ).where(F.col("term") != "")
+    tgt = (target_lang if target_lang is not None
+           else docs.agg(F.min("lang")).collect()[0][0])
+    cf = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cq"),
+        F.sum(F.when(F.col("lang") == tgt, 1).otherwise(0)).alias("cp"))
+    tot = cf.agg(F.sum("cq").alias("nq"), F.sum("cp").alias("np"),
+                 F.count(F.lit(1)).alias("v"))
+    llr = (F.log((F.col("cp") + 1) / (F.col("np") + F.col("v")))
+           - F.log((F.col("cq") + 1) / (F.col("nq") + F.col("v"))))
+    scored = (toks.join(F.broadcast(cf), "term")
+              .crossJoin(F.broadcast(tot))
+              .groupBy("doc_id", "lang")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.round(F.avg(llr), 6).alias("score")))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .crossJoin(F.broadcast(n))
+            .where(F.col("rnk") <= (F.col("n_docs") * keep_pct + 99)
+                   .cast("long") / 100)
+            .select("doc_id", "lang",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    "score"))

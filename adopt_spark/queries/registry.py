@@ -7996,6 +7996,174 @@ ORACLES["g_temporal_walks"] = _tw_sql(
     f"WITH {_og.CONTACTS_CTE_SQL} SELECT u, v, t FROM contacts", _TW_LEN)
 
 
+def q_structural_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence classes (exactly identical undirected
+    neighbor sets) on the sparse graph — the mirror/vendored-copy
+    detection primitive for link graphs; one adjacency build + ONE
+    group-by on the adjacency array
+    (algos/vertex_metrics.py:structural_equiv)."""
+    from adopt_spark.algos.vertex_metrics import structural_equiv
+
+    return structural_equiv(derived_edges_sparse(spark, sf_dir))
+
+
+ORACLES["g_structural_equiv"] = f"""
+{_SPARSE_CTE}, lt AS (
+    SELECT DISTINCT sid, tid FROM edge_sparse WHERE sid < tid
+), sym AS (
+    SELECT sid AS v, tid AS nbr FROM lt
+    UNION ALL
+    SELECT tid AS v, sid AS nbr FROM lt
+), adj AS (
+    SELECT v, list_sort(list(DISTINCT nbr)) AS adj FROM sym GROUP BY v
+)
+SELECT CAST(min(v) AS BIGINT) AS class_rep,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(len(adj) AS BIGINT) AS deg
+FROM adj GROUP BY adj HAVING count(*) >= 2
+""".strip()
+
+
+def q_local_sparsify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Satuluri local sparsification (SIGMOD'11): keep each vertex's
+    top ceil(sqrt(deg)) incident edges by endpoint-neighborhood
+    Jaccard — the community-preserving pre-filter run before
+    Louvain/LPA at web scale; full kept-edge list value-checked
+    (algos/sparsify.py:local_sparsify)."""
+    from adopt_spark.algos.sparsify import local_sparsify
+
+    return local_sparsify(derived_edges(spark, sf_dir))
+
+
+ORACLES["g_local_sparsify"] = f"""
+{_EDGE_CTE}, lt AS (
+    SELECT DISTINCT sid, tid FROM edge WHERE sid < tid
+), sym AS (
+    SELECT sid AS v, tid AS nbr FROM lt
+    UNION ALL
+    SELECT tid AS v, sid AS nbr FROM lt
+), deg0 AS (
+    SELECT v, count(*) AS deg FROM sym GROUP BY 1
+), sup AS (
+    SELECT l.sid, l.tid, count(*) AS cn
+    FROM lt l
+    JOIN sym s1 ON s1.v = l.sid
+    JOIN sym s2 ON s2.v = l.tid AND s2.nbr = s1.nbr
+    GROUP BY 1, 2
+), ej AS (
+    SELECT l.sid, l.tid,
+           round(CAST(coalesce(sup.cn, 0) AS DOUBLE)
+                 / (ds.deg + dt.deg - coalesce(sup.cn, 0)), 6) AS jaccard
+    FROM lt l
+    LEFT JOIN sup USING (sid, tid)
+    JOIN deg0 ds ON ds.v = l.sid
+    JOIN deg0 dt ON dt.v = l.tid
+), perv AS (
+    SELECT sid AS v, tid AS nbr, jaccard FROM ej
+    UNION ALL
+    SELECT tid AS v, sid AS nbr, jaccard FROM ej
+), ranked AS (
+    SELECT v, nbr,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY jaccard DESC, nbr ASC) AS rnk,
+           count(*) OVER (PARTITION BY v) AS deg
+    FROM perv
+), keeps AS (
+    SELECT DISTINCT least(v, nbr) AS sid, greatest(v, nbr) AS tid
+    FROM ranked WHERE rnk <= ceil(sqrt(CAST(deg AS DOUBLE)))
+)
+SELECT k.sid, k.tid, e.jaccard
+FROM keeps k JOIN ej e USING (sid, tid)
+""".strip()
+
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam mass (Gyongyi et al., VLDB'04): global PageRank
+    vs trust-seeded personalized PageRank (seeds = the 3 smallest
+    vertex ids, the same deterministic seed law as
+    a_pagerank_personal); relative spam mass = (PR - TR) / PR — the
+    fraction of a vertex's rank NOT reachable from the trusted set,
+    the classic web-spam / link-farm score. Full per-vertex
+    (rank, trust, spam_mass) vector at PR_ITERS fixed supersteps;
+    both vectors 6 dp-quantized BEFORE the ratio so the division is
+    bit-identical cross-engine."""
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    e = derived_edges(spark, sf_dir)
+    seeds = [
+        int(r[0])
+        for r in (e.select(F.col("sid").alias("v"))
+                  .union(e.select(F.col("tid").alias("v")))
+                  .distinct().orderBy("v").limit(3).collect())
+    ]
+    pr, _ = pagerank(spark, e, tol=0.0, max_iter=PR_ITERS)
+    tr, _ = pagerank(spark, e, tol=0.0, max_iter=PR_ITERS,
+                     reset_vertices=seeds)
+    a = pr.select("v", F.round("rank", 6).alias("rank"))
+    b = tr.select("v", F.round("rank", 6).alias("trust"))
+    return (a.join(b, "v")
+            .select("v", "rank", "trust",
+                    F.round((F.col("rank") - F.col("trust"))
+                            / F.col("rank"), 6).alias("spam_mass")))
+
+
+ORACLES["a_spam_mass"] = f"""
+SELECT a.v, a.rank, b.rank AS trust,
+       round((a.rank - b.rank) / a.rank, 6) AS spam_mass
+FROM (
+{_og.pagerank_fixed_sql(DERIVED_EDGE_SQL)}
+) a JOIN (
+{_og.pagerank_fixed_sql(DERIVED_EDGE_SQL, personalized=3)}
+) b USING (v)
+""".strip()
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS'23): score
+    every document by the mean unigram log-likelihood ratio between
+    the target-domain LM (docs of the lexicographically smallest
+    lang) and the raw-corpus LM, keep the top 20% — the
+    domain-targeted data-selection step of a pretraining pipeline
+    (functions/sampling.py:dsir_sample)."""
+    from adopt_spark.functions.sampling import dsir_sample
+
+    return dsir_sample(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["t_dsir_sample"] = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+    FROM documents
+), toks_f AS (
+    SELECT doc_id, lang, term FROM toks WHERE term <> ''
+), tgt AS (
+    SELECT min(lang) AS tl FROM documents
+), cf AS (
+    SELECT term, count(*) AS cq,
+           sum(CASE WHEN lang = (SELECT tl FROM tgt)
+               THEN 1 ELSE 0 END) AS cp
+    FROM toks_f GROUP BY term
+), tot AS (
+    SELECT sum(cq) AS nq, sum(cp) AS np, count(*) AS v FROM cf
+), scored AS (
+    SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+           round(avg(ln((c.cp + 1) / CAST(tt.np + tt.v AS DOUBLE))
+                     - ln((c.cq + 1) / CAST(tt.nq + tt.v AS DOUBLE))),
+                 6) AS score
+    FROM toks_f t JOIN cf c USING (term), tot tt
+    GROUP BY t.doc_id, t.lang
+), nd AS (
+    SELECT count(*) AS n_docs FROM documents
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, score
+FROM ranked, nd WHERE rnk <= (nd.n_docs * 20 + 99) / 100
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8024,6 +8192,13 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (0q) round-3 session-23: structural equivalence (mirror
+        #    detection), local sparsification, TrustRank spam mass,
+        #    DSIR importance resampling
+        "g_structural_equiv": q_structural_equiv,
+        "g_local_sparsify": q_local_sparsify,
+        "a_spam_mass": q_spam_mass,
+        "t_dsir_sample": q_dsir_sample,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -32,3 +32,26 @@ def test_pagerank_hub_salting_equivalent(spark, star_hub):
     assert set(b) == set(s)
     for v in b:
         assert s[v] == pytest.approx(b[v], abs=1e-9)
+
+
+def test_spam_mass_separates_farm_from_trusted(spark):
+    """TrustRank spam-mass law: a spam farm reachable only from
+    itself gets spam_mass ~ 1; the trusted core and what it links to
+    get low spam mass (the q_spam_mass composition, on a fixture)."""
+    # trusted clique 0-1-2 linking to honest page 3; disjoint spam
+    # farm 10..13 densely self-linked
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (1, 3),
+             (10, 11), (11, 12), (12, 13), (13, 10), (10, 12), (11, 13)]
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    pr, _ = pagerank(spark, df, tol=0.0, max_iter=30)
+    tr, _ = pagerank(spark, df, tol=0.0, max_iter=30,
+                     reset_vertices=[0, 1, 2])
+    p = {r.v: r.rank for r in pr.collect()}
+    t = {r.v: r.rank for r in tr.collect()}
+    mass = {v: (p[v] - t[v]) / p[v] for v in p}
+    for spam in (10, 11, 12, 13):
+        assert mass[spam] > 0.99
+    for good in (0, 1, 2, 3):
+        assert mass[good] < 0.5
+        for spam in (10, 11, 12, 13):
+            assert mass[good] < mass[spam]

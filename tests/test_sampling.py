@@ -355,3 +355,79 @@ def test_negative_samples_validation(spark):
     df = spark.createDataFrame([(1, 2)], "sid long, tid long")
     with _pytest.raises(ValueError):
         negative_samples(df, k=4, m=2)
+
+
+def _py_dsir(rows, keep_pct=20, target_lang=None):
+    """Pure-python DSIR twin: rows = [(doc_id, lang, text)]."""
+    import re
+    from collections import Counter
+
+    toks = []
+    for doc_id, lang, text in rows:
+        for t in re.split(r"\s+", text.strip().lower()):
+            if t:
+                toks.append((doc_id, lang, t))
+    tgt = target_lang or min(lang for _, lang, _ in rows)
+    cq = Counter(t for _, _, t in toks)
+    cp = Counter(t for _, lang, t in toks if lang == tgt)
+    v = len(cq)
+    nq = sum(cq.values())
+    np_ = sum(cp.values())
+    scored = {}
+    for doc_id, lang, _ in rows:
+        terms = [t for d, _, t in toks if d == doc_id]
+        if not terms:
+            continue
+        llr = [math.log((cp[t] + 1) / (np_ + v))
+               - math.log((cq[t] + 1) / (nq + v)) for t in terms]
+        scored[doc_id] = (lang, len(terms), round(sum(llr) / len(llr), 6))
+    ranked = sorted(scored.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    budget = (len(rows) * keep_pct + 99) // 100
+    return {d: s for d, s in ranked[:budget]}
+
+
+def test_dsir_sample_vs_python(spark):
+    from adopt_spark.functions.sampling import dsir_sample
+
+    rows = [
+        (1, "de", "der hund läuft im park"),
+        (2, "de", "die katze schläft auf dem sofa"),
+        (3, "de", "der park ist schön im sommer"),
+        (4, "en", "the dog runs in the park"),
+        (5, "en", "a cat sleeps on the sofa"),
+        (6, "en", "parks are nice in summer"),
+        (7, "en", "completely unrelated quantum tensor calculus"),
+        (8, "en", "der the mixed hund dog text"),
+        (9, "de", "im sommer läuft der hund"),
+        (10, "en", "sofa sofa sofa sofa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    want = _py_dsir(rows, keep_pct=20)
+    got = {r.doc_id: (r.lang, r.n_tokens, r.score)
+           for r in dsir_sample(df).collect()}
+    assert got == want
+
+
+def test_dsir_sample_targets_the_target_lang(spark):
+    from adopt_spark.functions.sampling import dsir_sample
+
+    rows = [(i, "de" if i % 2 else "en",
+             ("der hund läuft" if i % 2 else "the dog runs") + f" x{i}")
+            for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    kept = dsir_sample(df, keep_pct=30).collect()
+    # target = 'de' (lexicographic min); the de docs dominate the keep
+    assert all(r.lang == "de" for r in kept)
+    # keep_pct=100 keeps every doc
+    assert dsir_sample(df, keep_pct=100).count() == 20
+
+
+def test_dsir_sample_validates_pct(spark):
+    import pytest as _pytest
+
+    from adopt_spark.functions.sampling import dsir_sample
+
+    df = spark.createDataFrame([(1, "en", "x")],
+                               "doc_id long, lang string, text string")
+    with _pytest.raises(ValueError):
+        dsir_sample(df, keep_pct=0)

@@ -256,3 +256,40 @@ def test_link_prediction_auc_vs_python(spark):
     ties = sum(1 for p in ps for q in ns if p == q)
     auc = (wins + 0.5 * ties) / (len(ps) * len(ns))
     assert abs(row.auc - round(auc, 6)) < 1e-9
+
+
+def test_structural_equiv_planted_mirrors(spark):
+    from adopt_spark.algos.vertex_metrics import structural_equiv
+
+    # 10, 11, 12 all link to exactly {1, 2, 3}; 20, 21 to exactly {4};
+    # 30 has a unique neighborhood.
+    pairs = ([(v, n) for v in (10, 11, 12) for n in (1, 2, 3)]
+             + [(4, 20), (4, 21), (5, 30), (6, 30)])
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "sid long, tid long")
+    got = {r.class_rep: (r.n_members, r.deg)
+           for r in structural_equiv(df).collect()}
+    # duals mirror too: 1,2,3 all link to exactly {10,11,12}, and 5,6
+    # to exactly {30}
+    assert got == {10: (3, 3), 20: (2, 1), 1: (3, 3), 5: (2, 1)}
+
+
+def test_structural_equiv_vs_python(spark, powerlaw_small):
+    from collections import defaultdict
+
+    from adopt_spark.algos.vertex_metrics import structural_equiv
+
+    df, pairs = powerlaw_small
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a < b:
+            adj[a].add(b)
+            adj[b].add(a)
+    classes = defaultdict(list)
+    for v, ns in adj.items():
+        classes[frozenset(ns)].append(v)
+    want = sorted((min(vs), len(vs), len(ns))
+                  for ns, vs in classes.items() if len(vs) >= 2)
+    got = sorted((r.class_rep, r.n_members, r.deg)
+                 for r in structural_equiv(df).collect())
+    assert got == want
