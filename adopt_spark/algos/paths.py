@@ -288,3 +288,65 @@ def harmonic_centrality(spark: SparkSession, edges: DataFrame,
             .groupBy("v")
             .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 6)
                  .alias("harmonic")))
+
+
+def widest_paths(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    directed: bool = True,
+    max_iter: int = 64,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Widest (max-bottleneck) paths from ``source`` on the (max, min)
+    semiring: width(v) = max over paths P of min edge weight on P —
+    the capacity-routing / max-reliability-path primitive, and the
+    third semiring this engine's one superstep shape instantiates
+    (SSSP = (min, +), BOM explosion = (+, x), widest = (max, min)).
+
+    Same frontier-pruned schedule as shortest_paths: per superstep ONE
+    frontier-links equi-join, a per-vertex max aggregate of
+    least(width(u), w(u, v)), and a strict-improvement anti-filter;
+    the relaxation is monotone non-decreasing and bounded by the max
+    edge weight, so the fixpoint is exact. Edge weights are the
+    deterministic contract law (contract_weight, 1..10). Output:
+    (v, width) for every vertex REACHABLE from the source (the source
+    itself is excluded — its width is the empty-path infimum, not a
+    data value).
+    """
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    links = (_weighted_links(edges, True, directed)
+             .repartition(parts, "src")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    links.count()
+
+    big = 1 << 60        # source sentinel: wider than any edge
+    width = spark.createDataFrame([(int(source), big)], "v long, width long")
+    frontier = width
+    metrics: list[dict] = []
+    for it in range(max_iter):
+        t0 = time.time()
+        cand = (frontier.join(links, frontier["v"] == links["src"])
+                .select(F.col("dst").alias("v"),
+                        F.least(F.col("width"), F.col("w")).alias("nw"))
+                .groupBy("v").agg(F.max("nw").alias("nw")))
+        improved = (cand.join(width, "v", "left")
+                    .where(F.col("width").isNull()
+                           | (F.col("nw") > F.col("width")))
+                    .select("v", F.col("nw").alias("width")))
+        merged = (width.withColumnRenamed("width", "old")
+                  .join(improved.withColumnRenamed("width", "new"),
+                        "v", "full")
+                  .select("v", F.coalesce(F.col("new"), F.col("old"))
+                          .alias("width"))
+                  .localCheckpoint(eager=True))
+        frontier = improved.localCheckpoint(eager=True)
+        n_front = frontier.count()
+        width = merged
+        metrics.append({"iteration": it, "frontier": n_front,
+                        "sec": round(time.time() - t0, 4)})
+        if n_front == 0:
+            break
+    links.unpersist()
+    return width.where(F.col("v") != int(source)), metrics

@@ -651,6 +651,42 @@ def shortest_path_sql(edge_sql: str, rounds: int, weighted: bool = False,
 SELECT v, dist FROM d{rounds}"""
 
 
+WIDEST_ROUNDS = 24
+
+
+def widest_path_sql(edge_sql: str, rounds: int = WIDEST_ROUNDS,
+                    directed: bool = True) -> str:
+    """Unrolled (max, min)-semiring relaxation from the min-sid
+    source — the oracle twin of paths.widest_paths. Each step:
+      w_i(v) = max(w_{i-1}(v), max over (u,v) of least(w_{i-1}(u), w))
+    Source seeded at the same 1<<60 sentinel the engine uses; the
+    final SELECT excludes the source row, exactly like the engine.
+    """
+    sym = "" if directed else "\n        UNION SELECT tid, sid FROM edge"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+    SELECT v, max(width) AS width FROM (
+        SELECT v, width FROM d{i-1}
+        UNION ALL
+        SELECT r.dst AS v, least(p.width, r.w) AS width
+        FROM d{i-1} p JOIN rel r ON r.src = p.v
+    ) GROUP BY v
+)""")
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), rel AS MATERIALIZED (
+    SELECT src, dst, CAST({_W_EXPR} AS BIGINT) AS w FROM (
+        SELECT sid AS src, tid AS dst FROM edge{sym}
+    ) WHERE src <> dst
+), d0 AS MATERIALIZED (
+    SELECT CAST((SELECT min(sid) FROM edge) AS BIGINT) AS v,
+           CAST({1 << 60} AS BIGINT) AS width
+), {', '.join(steps)}
+SELECT v, width FROM d{rounds}
+WHERE v <> (SELECT min(sid) FROM edge)"""
+
+
 def shortest_path_tree_sql(edge_sql: str, rounds: int, weighted: bool = False,
                            directed: bool = True) -> str:
     """shortest_path_sql + parent derivation: parent(v) = min u with

@@ -8164,6 +8164,142 @@ FROM ranked, nd WHERE rnk <= (nd.n_docs * 20 + 99) / 100
 """.strip()
 
 
+def q_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widest (max-bottleneck) paths from the min-sid source over the
+    DIRECTED dense graph with contract weights — the (max, min)
+    semiring on the engine's one superstep shape (SSSP = (min,+),
+    BOM = (+,x)); exact BIGINT widths, fixpoint vs the unrolled
+    oracle (algos/paths.py:widest_paths)."""
+    from adopt_spark.algos.paths import widest_paths
+
+    e = derived_edges(spark, sf_dir)
+    src = int(e.agg(F.min("sid")).collect()[0][0])
+    width, _ = widest_paths(spark, e, src, directed=True)
+    return width.select("v", "width")
+
+
+ORACLES["a_widest_path"] = _og.widest_path_sql(
+    DERIVED_EDGE_SQL, _og.WIDEST_ROUNDS, directed=True)
+
+
+_SYM_EDGE_SQL = f"""SELECT sid, tid FROM (
+    SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) WHERE sid < tid
+    UNION ALL
+    SELECT tid, sid FROM ({DERIVED_EDGE_SQL}) WHERE sid < tid
+) t(sid, tid)"""
+
+
+def q_ppr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized-PageRank sweep cut (Andersen-Chung-Lang local
+    community detection): the FULL sweep curve (k, v, ppr, cut, vol,
+    phi) over the ppr/deg vertex order from the min-id seed — local
+    conductance minima = the seed's nested communities
+    (algos/localcom.py:ppr_sweep). Cut counts telescope as
+    #(min_rank<=k) - #(max_rank<=k), so the curve needs no
+    prefix-x-edge materialization."""
+    from adopt_spark.algos.localcom import ppr_sweep
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    return ppr_sweep(spark, derived_edges(spark, sf_dir), iters=PR_ITERS)
+
+
+ORACLES["a_ppr_sweep"] = f"""
+WITH pr AS MATERIALIZED (
+{_og.pagerank_fixed_sql(_SYM_EDGE_SQL, personalized=1)}
+), lt AS MATERIALIZED (
+    SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) WHERE sid < tid
+), degs AS MATERIALIZED (
+    SELECT v, count(*) AS deg FROM (
+        SELECT sid AS v FROM lt UNION ALL SELECT tid FROM lt
+    ) GROUP BY v
+), ranked AS MATERIALIZED (
+    SELECT pr.v, pr.rank AS ppr, degs.deg,
+           row_number() OVER (ORDER BY pr.rank / degs.deg DESC, pr.v ASC)
+               AS k
+    FROM pr JOIN degs ON degs.v = pr.v
+), er AS (
+    SELECT least(ru.k, rv.k) AS kmin, greatest(ru.k, rv.k) AS kmax
+    FROM lt JOIN ranked ru ON ru.v = lt.sid
+    JOIN ranked rv ON rv.v = lt.tid
+), per_in AS (
+    SELECT kmin AS k, count(*) AS n_in FROM er GROUP BY 1
+), per_out AS (
+    SELECT kmax AS k, count(*) AS n_out FROM er GROUP BY 1
+), tot AS (
+    SELECT count(*) AS n, sum(deg) AS vol_all FROM ranked
+), curve AS (
+    SELECT r.k, r.v, r.ppr,
+           sum(r.deg) OVER w AS vol,
+           sum(coalesce(pi.n_in, 0)) OVER w
+               - sum(coalesce(po.n_out, 0)) OVER w AS cut
+    FROM ranked r
+    LEFT JOIN per_in pi USING (k)
+    LEFT JOIN per_out po USING (k)
+    WINDOW w AS (ORDER BY r.k ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(k AS BIGINT) AS k, v, ppr,
+       CAST(cut AS BIGINT) AS cut, CAST(vol AS BIGINT) AS vol,
+       round(cut / CAST(least(vol, (SELECT vol_all FROM tot) - vol)
+                        AS DOUBLE), 6) AS phi
+FROM curve WHERE k < (SELECT n FROM tot)
+""".strip()
+
+
+def _bin_sql(col: str) -> str:
+    return ("CAST(" + " + ".join(
+        f"CASE WHEN {col} >= {float(1 << j)} THEN 1 ELSE 0 END"
+        for j in range(20)) + " AS BIGINT)")
+
+
+def q_refex_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReFeX recursive role features (Henderson KDD'11): (deg, tri)
+    base features, two rounds of 6 dp-quantized neighbor means,
+    logarithmic binning via exact power-of-two threshold chains (no
+    log() — no rounding boundary to flip cross-engine), role id =
+    min vertex per 6-bin signature (algos/roles.py:refex_roles)."""
+    from adopt_spark.algos.roles import refex_roles
+
+    return refex_roles(derived_edges(spark, sf_dir))
+
+
+ORACLES["g_refex_roles"] = _VM_PRELUDE + f""",
+tris AS (
+    SELECT e1.sid AS a, e1.tid AS b, e2.tid AS c
+    FROM lt e1 JOIN lt e2 ON e2.sid = e1.sid AND e1.tid < e2.tid
+    JOIN lt e3 ON e3.sid = e1.tid AND e3.tid = e2.tid
+), vt AS (
+    SELECT v, count(*) AS tri FROM (
+        SELECT a AS v FROM tris UNION ALL
+        SELECT b FROM tris UNION ALL
+        SELECT c FROM tris) GROUP BY v
+), f0 AS (
+    SELECT deg.v, CAST(deg.deg AS DOUBLE) AS f1,
+           CAST(coalesce(vt.tri, 0) AS DOUBLE) AS f2
+    FROM deg LEFT JOIN vt USING (v)
+), g0 AS (
+    SELECT s.v, round(avg(f.f1), 6) AS g01, round(avg(f.f2), 6) AS g02
+    FROM sym s JOIN f0 f ON f.v = s.nbr GROUP BY s.v
+), g1 AS (
+    SELECT s.v, round(avg(g.g01), 6) AS g11, round(avg(g.g02), 6) AS g12
+    FROM sym s JOIN g0 g ON g.v = s.nbr GROUP BY s.v
+), binned AS (
+    SELECT f0.v,
+           {_bin_sql('f0.f1')} AS b_deg,
+           {_bin_sql('f0.f2')} AS b_tri,
+           {_bin_sql('g0.g01')} AS b_nd,
+           {_bin_sql('g0.g02')} AS b_nt,
+           {_bin_sql('g1.g11')} AS b_nd2,
+           {_bin_sql('g1.g12')} AS b_nt2
+    FROM f0 JOIN g0 USING (v) JOIN g1 USING (v)
+), rep AS (
+    SELECT b_deg, b_tri, b_nd, b_nt, b_nd2, b_nt2, min(v) AS role
+    FROM binned GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT b.v, b.b_deg, b.b_tri, b.b_nd, b.b_nt, b.b_nd2, b.b_nt2, rep.role
+FROM binned b
+JOIN rep USING (b_deg, b_tri, b_nd, b_nt, b_nd2, b_nt2)"""
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8199,6 +8335,11 @@ def all_queries() -> dict[str, QueryFn]:
         "g_local_sparsify": q_local_sparsify,
         "a_spam_mass": q_spam_mass,
         "t_dsir_sample": q_dsir_sample,
+        # -- (0r) round-3 session-24: third semiring (widest path),
+        #    ACL sweep-cut local communities, ReFeX roles
+        "a_widest_path": q_widest_path,
+        "a_ppr_sweep": q_ppr_sweep,
+        "g_refex_roles": q_refex_roles,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

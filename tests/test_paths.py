@@ -231,3 +231,53 @@ def test_pivot_rounds_within_oracle_budget(spark, powerlaw_small):
         spark, derived_edges(spark, "/root/testdata/sf0.001"), 4,
         directed=True)
     assert d.agg({"dist": "max"}).collect()[0][0] < 16
+
+
+def _py_widest(pairs, source, directed=True):
+    """Fixpoint max-min relaxation with contract weights."""
+    rel = {}
+    es = {(a, b) for a, b in pairs}
+    if not directed:
+        es |= {(b, a) for a, b in pairs}
+    for a, b in es:
+        if a != b:
+            rel[(a, b)] = 1 + (a * 7 + b * 13) % 10
+    width = {source: 1 << 60}
+    changed = True
+    while changed:
+        changed = False
+        for (u, v), w in rel.items():
+            if u in width:
+                nw = min(width[u], w)
+                if nw > width.get(v, -1):
+                    width[v] = nw
+                    changed = True
+    width.pop(source, None)
+    return width
+
+
+def test_widest_paths_vs_python(spark, powerlaw_small):
+    from adopt_spark.algos.paths import widest_paths
+
+    df, pairs = powerlaw_small
+    src = min(a for a, _ in pairs)
+    want = _py_widest(pairs, src, directed=False)
+    got, metrics = widest_paths(spark, df, src, directed=False)
+    assert {r.v: r.width for r in got.collect()} == want
+    assert metrics[-1]["frontier"] == 0  # ran to fixpoint
+
+
+def test_widest_paths_bottleneck_law(spark):
+    from adopt_spark.algos.paths import widest_paths
+
+    # chain 0->1->2 vs direct 0->2: width of 2 = max(min-edge of the
+    # two routes) computed from the contract weights
+    pairs = [(0, 1), (1, 2), (0, 2)]
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    w01 = 1 + (0 * 7 + 1 * 13) % 10
+    w12 = 1 + (1 * 7 + 2 * 13) % 10
+    w02 = 1 + (0 * 7 + 2 * 13) % 10
+    got = {r.v: r.width for r in
+           widest_paths(spark, df, 0, directed=True)[0].collect()}
+    assert got[2] == max(w02, min(w01, w12))
+    assert got[1] == w01
