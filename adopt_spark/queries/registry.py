@@ -8300,6 +8300,45 @@ FROM binned b
 JOIN rep USING (b_deg, b_tri, b_nd, b_nt, b_nd2, b_nt2)"""
 
 
+def q_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED multinomial Naive Bayes language classifier (add-one
+    smoothing), fit on the deterministic 80% split and evaluated on
+    the held-out 20% as a confusion matrix — the engine's first
+    learned-model surface, expressed entirely as Catalyst joins and
+    aggregates (functions/classify.py:nb_lang_confusion; the sparse
+    ln(c+1) join means scoring shuffles only the token stream, never
+    a doc x vocab matrix)."""
+    from adopt_spark.functions.classify import nb_lang_confusion
+
+    return nb_lang_confusion(_t(spark, sf_dir, "documents"))
+
+
+from adopt_spark.functions.classify import (  # noqa: E402
+    NB_CONFUSION_SQL as _nb_sql,
+)
+
+ORACLES["t_nb_confusion"] = _nb_sql
+
+
+def q_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-(user, day) quota enforcement: bounded top-k
+    state (the quota smallest (ts, event_id) pairs + running total
+    per key — O(quota) state, late events displace correctly, no
+    event-time-ordering assumption); at completion the admitted set
+    equals the batch row_number() <= quota answer, which IS the
+    oracle (streaming/quota.py:quota_stream)."""
+    from adopt_spark.streaming.quota import quota_stream
+
+    return quota_stream(spark, sf_dir, quota=3)
+
+
+from adopt_spark.streaming.quota import (  # noqa: E402
+    QUOTA_SQL_TMPL as _quota_sql,
+)
+
+ORACLES["e_stream_quota"] = _quota_sql.format(quota=3, bucket_seconds=86400)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8340,6 +8379,10 @@ def all_queries() -> dict[str, QueryFn]:
         "a_widest_path": q_widest_path,
         "a_ppr_sweep": q_ppr_sweep,
         "g_refex_roles": q_refex_roles,
+        # -- (0s) round-3 session-25: learned NB classifier +
+        #    streaming quota (bounded top-k state)
+        "t_nb_confusion": q_nb_confusion,
+        "e_stream_quota": q_stream_quota,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
