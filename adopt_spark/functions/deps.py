@@ -586,3 +586,84 @@ FROM members m JOIN pinned p ON p.repo = m.v
 GROUP BY m.root, p.dep
 HAVING count(DISTINCT p.resolved) > 1
 """.strip()
+
+
+# ------------------------------------------------ license exposure
+
+_LICENSES = ("Apache-2.0", "MIT", "GPL-3.0-only", "BSD-3-Clause",
+             "Proprietary")
+_RESTRICTIVE = ("GPL-3.0-only", "Proprietary")
+
+
+def repo_license(repo: Column) -> Column:
+    """Deterministic repo -> SPDX license for the synthetic universe:
+    license(repoN) = LICENSES[(N*31 + 7) % 5]. An affine index map
+    both engines replay digit-for-digit (the fixture-law pattern of
+    dep_owner)."""
+    n = F.regexp_extract(repo, r"([0-9]+)$", 1).cast("long")
+    idx = (n * 31 + 7) % 5
+    out = F.lit(_LICENSES[-1])
+    for i in range(len(_LICENSES) - 2, -1, -1):
+        out = F.when(idx == i, F.lit(_LICENSES[i])).otherwise(out)
+    return out
+
+
+def license_exposure(edges: DataFrame, max_hops: int = 4) -> DataFrame:
+    """Transitive license compliance (the SBOM question): for every
+    repo, the union of licenses across itself and every repo in its
+    <= max_hops dependency closure -> [repo, n_repos, n_licenses,
+    licenses (sorted ','-join), n_restrictive].
+
+    A repo vendoring a GPL or proprietary dep ANYWHERE downstream is
+    exposed — exactly the per-root set-union over the same
+    frontier-delta closure dep_impact uses (licenses ride the closure
+    pairs; the union is one distinct-agg per root, never per path).
+    ``n_restrictive`` counts closure members carrying a restrictive
+    license — 0 means the repo ships clean.
+    """
+    verts = (edges.select(F.col("src").alias("v"))
+             .union(edges.select(F.col("dst").alias("v"))).distinct())
+    members = (verts.select(F.col("v").alias("root"), "v")
+               .union(_khop_pairs(edges, max_hops)
+                      .select("root", "v")))
+    lic = verts.select("v", repo_license(F.col("v")).alias("license"))
+    restrictive = F.col("license").isin(*_RESTRICTIVE)
+    return (members.join(lic, "v")
+            .groupBy(F.col("root").alias("repo"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_repos"),
+                 F.countDistinct("license").cast("long")
+                 .alias("n_licenses"),
+                 F.array_join(F.sort_array(F.collect_set("license")), ",")
+                 .alias("licenses"),
+                 F.sum(F.when(restrictive, 1).otherwise(0)).cast("long")
+                 .alias("n_restrictive")))
+
+
+def license_exposure_sql(max_hops: int = 4, thin: int = 1) -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{l}'" for i, l in enumerate(_LICENSES[:-1]))
+    restrictive = ", ".join(f"'{l}'" for l in _RESTRICTIVE)
+    return f"""
+WITH {_khop_ctes(max_hops, thin)},
+verts AS (
+    SELECT src AS v FROM edges UNION SELECT dst FROM edges
+), members AS (
+    SELECT v AS root, v FROM verts
+    UNION
+    SELECT root, v FROM reach
+), lic AS (
+    SELECT v, CASE (CAST(regexp_extract(v, '([0-9]+)$', 1) AS BIGINT)
+                    * 31 + 7) % 5
+              {cases} ELSE '{_LICENSES[-1]}' END AS license
+    FROM verts
+)
+SELECT m.root AS repo,
+       CAST(count(*) AS BIGINT) AS n_repos,
+       CAST(count(DISTINCT l.license) AS BIGINT) AS n_licenses,
+       array_to_string(list_sort(list(DISTINCT l.license)), ',')
+           AS licenses,
+       CAST(sum(CASE WHEN l.license IN ({restrictive}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_restrictive
+FROM members m JOIN lic l ON l.v = m.v
+GROUP BY m.root
+""".strip()

@@ -264,3 +264,66 @@ def km_survival(spans: DataFrame) -> DataFrame:
          .otherwise(F.round(F.exp(F.col("lnsum")), 6)))
     return (curve.where(F.col("d") > 0)
             .select("t", "n_risk", "d", "s_hat"))
+
+
+def quantile_bins(df: DataFrame, value_col: str = "value",
+                  k: int = 4) -> DataFrame:
+    """Equi-depth discretizer (the relational QuantileDiscretizer):
+    k-1 interior cuts at exact interpolated percentiles of
+    ``value_col`` (6 dp-quantized), rows assigned bucket
+    1 + #{cuts strictly below the value}, reported per
+    (event_type, bucket) as [event_type, bucket, n, min_v, max_v,
+    mean_v (6 dp)] — the feature-binning step of a training pipeline,
+    value-checkable because the cut law is shared digit-for-digit
+    with the SQL twin.
+
+    Scale shape: ONE global percentile aggregate (at 100 TB the
+    one-line swap is percentile_approx — mergeable t-digest), cuts
+    broadcast onto the row stream, bucket assignment is a codegen
+    CASE chain, and the report is one partially-aggregated group-by.
+    Ties AT a cut go to the lower bucket (strict > comparisons, the
+    same on both engines over identical 6 dp cut doubles).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    v = F.col(value_col)
+    qs = [i / k for i in range(1, k)]
+    cuts = df.agg(*[
+        F.round(F.expr(f"percentile({value_col}, {q})"), 6)
+        .alias(f"c{i}") for i, q in enumerate(qs)])
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + F.when(v > F.col(f"c{i}"), 1).otherwise(0)
+    return (df.crossJoin(F.broadcast(cuts))
+            .select("event_type", v.alias("_v"),
+                    bucket.cast("long").alias("bucket"))
+            .groupBy("event_type", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.min("_v"), 6).alias("min_v"),
+                 F.round(F.max("_v"), 6).alias("max_v"),
+                 F.round(F.avg("_v"), 6).alias("mean_v")))
+
+
+def quantile_bins_sql(value_col: str = "value", k: int = 4) -> str:
+    qs = [i / k for i in range(1, k)]
+    cut_cols = ", ".join(
+        f"round(quantile_cont({value_col}, {q}), 6) AS c{i}"
+        for i, q in enumerate(qs))
+    bucket = " + ".join(
+        f"CASE WHEN {value_col} > c.c{i} THEN 1 ELSE 0 END"
+        for i in range(len(qs)))
+    return f"""
+WITH cuts AS (
+    SELECT {cut_cols} FROM events
+), tagged AS (
+    SELECT event_type, {value_col},
+           CAST(1 + {bucket} AS BIGINT) AS bucket
+    FROM events, cuts c
+)
+SELECT event_type, bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min({value_col}), 6) AS min_v,
+       round(max({value_col}), 6) AS max_v,
+       round(avg({value_col}), 6) AS mean_v
+FROM tagged GROUP BY 1, 2
+""".strip()

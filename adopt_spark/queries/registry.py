@@ -8339,6 +8339,45 @@ from adopt_spark.streaming.quota import (  # noqa: E402
 ORACLES["e_stream_quota"] = _quota_sql.format(quota=3, bucket_seconds=86400)
 
 
+def q_license_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive license compliance (the SBOM question): per repo,
+    the union of licenses across its <= 3-hop dependency closure on
+    the sparse manifest — a repo vendoring GPL/proprietary ANYWHERE
+    downstream is exposed; licenses ride the same frontier-delta
+    closure as dep_impact, one distinct-agg per root
+    (functions/deps.py:license_exposure)."""
+    from adopt_spark.functions.deps import dep_edges, license_exposure
+
+    return license_exposure(
+        dep_edges(_resolved_lockfile(spark, sf_dir, thin=13)), max_hops=3)
+
+
+from adopt_spark.functions.deps import (  # noqa: E402
+    license_exposure_sql as _lic_exp_sql,
+)
+
+ORACLES["t_license_exposure"] = _lic_exp_sql(max_hops=3, thin=13)
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature discretizer (relational
+    QuantileDiscretizer): exact interpolated quartile cuts (6 dp)
+    broadcast onto the event stream, bucket = 1 + #cuts strictly
+    below, per (event_type, bucket) stats
+    (functions/stats.py:quantile_bins; percentile_approx is the
+    100-TB one-line swap)."""
+    from adopt_spark.functions.stats import quantile_bins
+
+    return quantile_bins(_t(spark, sf_dir, "events"), "value", k=4)
+
+
+from adopt_spark.functions.stats import (  # noqa: E402
+    quantile_bins_sql as _qbins_sql,
+)
+
+ORACLES["r_quantile_bins"] = _qbins_sql("value", k=4)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8383,6 +8422,10 @@ def all_queries() -> dict[str, QueryFn]:
         #    streaming quota (bounded top-k state)
         "t_nb_confusion": q_nb_confusion,
         "e_stream_quota": q_stream_quota,
+        # -- (0t) round-3 session-26: SBOM license exposure +
+        #    equi-depth discretizer
+        "t_license_exposure": q_license_exposure,
+        "r_quantile_bins": q_quantile_bins,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

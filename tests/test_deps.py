@@ -308,3 +308,58 @@ def test_dep_conflicts_none_when_consistent(spark):
         "repo string, dep string, spec string, resolved string, "
         "n_candidates long")
     assert dep_conflicts(rdf, max_hops=3).count() == 0
+
+
+def test_license_exposure_vs_python(spark):
+    """Diamond fixture: root's closure unions licenses from every
+    branch; the law is replayed in python."""
+    from adopt_spark.functions.deps import (
+        _LICENSES, _RESTRICTIVE, license_exposure,
+    )
+
+    edges = [("repo1", "repo2"), ("repo1", "repo3"),
+             ("repo2", "repo4"), ("repo3", "repo4"),
+             ("repo4", "repo5"), ("repo9", "repo1")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def lic(r):
+        return _LICENSES[(int(r[4:]) * 31 + 7) % 5]
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    verts = {v for e in edges for v in e}
+
+    def closure(root, hops):
+        seen, frontier = set(), {root}
+        for _ in range(hops):
+            frontier = {d for v in frontier for d in adj.get(v, ())} \
+                - seen - {root}
+            if not frontier:
+                break
+            seen |= frontier
+        return seen
+
+    want = {}
+    for r in verts:
+        mem = {r} | closure(r, 3)
+        ls = sorted({lic(m) for m in mem})
+        want[r] = (len(mem), len(ls), ",".join(ls),
+                   sum(1 for m in mem if lic(m) in _RESTRICTIVE))
+    got = {r.repo: (r.n_repos, r.n_licenses, r.licenses, r.n_restrictive)
+           for r in license_exposure(df, max_hops=3).collect()}
+    assert got == want
+
+
+def test_license_exposure_clean_leaf(spark):
+    """A leaf repo's exposure is exactly its own license."""
+    from adopt_spark.functions.deps import license_exposure, repo_license
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("repo7", "repo8")],
+                               "src string, dst string")
+    rows = {r.repo: r for r in license_exposure(df).collect()}
+    own = spark.range(1).select(
+        repo_license(F.lit("repo8")).alias("l")).collect()[0].l
+    assert rows["repo8"].n_repos == 1
+    assert rows["repo8"].licenses == own

@@ -143,3 +143,43 @@ def test_ewma_tie_break_and_truncation(spark, tmp_path):
     v = np.arange(19, 3, -1, dtype=float)
     assert out[2].n_used == 16
     assert out[2].ewma == pytest.approx((w * v).sum() / w.sum(), abs=1e-6)
+
+
+def test_quantile_bins_vs_python(spark):
+    """Equi-depth bucket assignment replayed in python (numpy linear
+    interpolation == Spark percentile == DuckDB quantile_cont)."""
+    import numpy as np
+
+    from adopt_spark.functions.stats import quantile_bins
+
+    rows = [(f"t{i % 3}", float((i * 37) % 101) / 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    vals = np.array([v for _, v in rows])
+    cuts = [round(float(np.quantile(vals, q, method="linear")), 6)
+            for q in (0.25, 0.5, 0.75)]
+    agg = {}
+    for t, v in rows:
+        b = 1 + sum(1 for c in cuts if v > c)
+        key = (t, b)
+        agg.setdefault(key, []).append(v)
+    want = {k: (len(vs), round(min(vs), 6), round(max(vs), 6),
+                round(sum(vs) / len(vs), 6))
+            for k, vs in agg.items()}
+    got = {(r.event_type, r.bucket): (r.n, r.min_v, r.max_v, r.mean_v)
+           for r in quantile_bins(df).collect()}
+    assert got == want
+
+
+def test_quantile_bins_equi_depth_and_validation(spark):
+    import pytest as _pytest
+
+    from adopt_spark.functions.stats import quantile_bins
+
+    # distinct values -> buckets within 1 of n/k each
+    rows = [("a", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    sizes = {r.bucket: r.n for r in quantile_bins(df, k=4).collect()}
+    assert set(sizes) == {1, 2, 3, 4}
+    assert all(abs(n - 25) <= 1 for n in sizes.values())
+    with _pytest.raises(ValueError):
+        quantile_bins(df, k=1)
