@@ -159,3 +159,22 @@ def temporal_triangles(spark: SparkSession, contacts: DataFrame,
                         "delta", "left_anti")
                 .select("delta", F.lit(0).cast("long")
                         .alias("n_triangles"))))
+
+
+def decayed_contact_weights(contacts: DataFrame) -> DataFrame:
+    """Recency-weighted edge table from the contact stream:
+    (sid, tid, w) with w = round(Σ over contact hours of
+    1 / (1 + age), 6), age = hours before the stream head (max t).
+
+    Hyperbolic decay instead of exponential ON PURPOSE: 1/(1+age) is
+    pure rational arithmetic — no libm call, so both engines derive
+    bit-identical per-term values and the 6 dp quantization only has
+    to absorb summation order. Feed to pagerank(weight_col='w') for
+    freshness-aware ranking.
+    """
+    tmax = contacts.agg(F.max("t").alias("tmax"))
+    return (contacts.crossJoin(F.broadcast(tmax))
+            .groupBy(F.col("u").alias("sid"), F.col("v").alias("tid"))
+            .agg(F.round(F.sum(
+                F.lit(1.0) / (1 + F.col("tmax") - F.col("t"))), 6)
+                .alias("w")))

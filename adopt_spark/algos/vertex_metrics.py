@@ -519,3 +519,52 @@ def structural_equiv(edges: DataFrame, min_size: int = 2) -> DataFrame:
             .select(F.col("class_rep").cast("long"),
                     F.col("n_members").cast("long"),
                     F.size("adj").cast("long").alias("deg")))
+
+
+def quotient_graph(edges: DataFrame) -> DataFrame:
+    """Structural-equivalence quotient (graph compression report):
+    collapse every false-twin class (identical undirected neighbor
+    sets — see structural_equiv) to its min-id representative and
+    count the quotient graph -> one row [n_vertices, n_classes,
+    n_edges, n_quotient_edges, vertex_ratio, edge_ratio] (ratios at
+    6 dp).
+
+    The compression a web/dependency graph admits from mirrors and
+    template-generated pages: any topology-only algorithm can run on
+    the quotient with per-class multiplicities and be projected back
+    exactly. Twins are never adjacent, so the quotient has no
+    self-loops and mapped edges stay well-defined.
+
+    Scale shape: the adjacency group-by of structural_equiv, one
+    vertex->rep map join onto each edge endpoint (two bounded-key
+    equi-joins), one distinct + two count aggregates.
+    """
+    lt = _lt(edges)
+    adj = (_sym(lt).groupBy("v")
+           .agg(F.sort_array(F.collect_set("nbr")).alias("adj")))
+    from pyspark.sql import Window
+
+    rep = (adj.withColumn(
+        "rep", F.min("v").over(Window.partitionBy("adj")))
+        .select("v", "rep"))
+    mapped = (lt.join(rep.withColumnRenamed("v", "sid")
+                      .withColumnRenamed("rep", "rs"), "sid")
+              .join(rep.withColumnRenamed("v", "tid")
+                    .withColumnRenamed("rep", "rt"), "tid")
+              .select(F.least("rs", "rt").alias("qs"),
+                      F.greatest("rs", "rt").alias("qt"))
+              .dropDuplicates(["qs", "qt"]))
+    counts = (adj.agg(F.count(F.lit(1)).alias("n_vertices"),
+                      F.countDistinct("adj").alias("n_classes"))
+              .crossJoin(lt.agg(F.count(F.lit(1)).alias("n_edges")))
+              .crossJoin(mapped.agg(
+                  F.count(F.lit(1)).alias("n_quotient_edges"))))
+    return counts.select(
+        F.col("n_vertices").cast("long"),
+        F.col("n_classes").cast("long"),
+        F.col("n_edges").cast("long"),
+        F.col("n_quotient_edges").cast("long"),
+        F.round(F.col("n_classes") / F.col("n_vertices"), 6)
+        .alias("vertex_ratio"),
+        F.round(F.col("n_quotient_edges") / F.col("n_edges"), 6)
+        .alias("edge_ratio"))

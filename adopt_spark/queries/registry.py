@@ -8378,6 +8378,80 @@ from adopt_spark.functions.stats import (  # noqa: E402
 ORACLES["r_quantile_bins"] = _qbins_sql("value", k=4)
 
 
+def q_graph_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence QUOTIENT graph (compression report):
+    false-twin classes collapse to min-id representatives; one row of
+    vertex/edge counts + compression ratios — what mirror collapse
+    buys a topology-only algorithm on the sparse graph
+    (algos/vertex_metrics.py:quotient_graph)."""
+    from adopt_spark.algos.vertex_metrics import quotient_graph
+
+    return quotient_graph(derived_edges_sparse(spark, sf_dir))
+
+
+ORACLES["g_graph_compress"] = f"""
+{_SPARSE_CTE}, lt AS (
+    SELECT DISTINCT sid, tid FROM edge_sparse WHERE sid < tid
+), sym AS (
+    SELECT sid AS v, tid AS nbr FROM lt
+    UNION ALL
+    SELECT tid AS v, sid AS nbr FROM lt
+), adj AS (
+    SELECT v, list_sort(list(DISTINCT nbr)) AS adj FROM sym GROUP BY v
+), rep AS (
+    SELECT v, min(v) OVER (PARTITION BY adj) AS rep FROM adj
+), mapped AS (
+    SELECT DISTINCT least(rs.rep, rt.rep) AS qs,
+                    greatest(rs.rep, rt.rep) AS qt
+    FROM lt
+    JOIN rep rs ON rs.v = lt.sid
+    JOIN rep rt ON rt.v = lt.tid
+), c AS (
+    SELECT (SELECT count(*) FROM adj) AS n_vertices,
+           (SELECT count(DISTINCT adj) FROM adj) AS n_classes,
+           (SELECT count(*) FROM lt) AS n_edges,
+           (SELECT count(*) FROM mapped) AS n_quotient_edges
+)
+SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+       CAST(n_classes AS BIGINT) AS n_classes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_quotient_edges AS BIGINT) AS n_quotient_edges,
+       round(n_classes / CAST(n_vertices AS DOUBLE), 6) AS vertex_ratio,
+       round(n_quotient_edges / CAST(n_edges AS DOUBLE), 6) AS edge_ratio
+FROM c
+""".strip()
+
+
+def q_pagerank_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted PageRank over the hourly contact stream (the
+    freshness-aware ranking a web/link pipeline runs): per-pair edge
+    weight = round(Σ over contact hours of 1/(1 + age), 6) with age =
+    hours before the stream head — pure rational arithmetic, NO libm,
+    so both engines derive identical weights; then the standard
+    weighted power iteration at PR_ITERS supersteps."""
+    from adopt_spark.algos.temporal import (
+        decayed_contact_weights, hourly_contacts,
+    )
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    w_edges = decayed_contact_weights(
+        hourly_contacts(_t(spark, sf_dir, "events")))
+    ranks, _ = pagerank(spark, w_edges, tol=0.0, max_iter=PR_ITERS,
+                        weight_col="w")
+    return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
+_DECAY_EDGE_SQL = f"""
+WITH {_og.CONTACTS_CTE_SQL}
+SELECT u AS sid, v AS tid,
+       round(sum(1.0 / (1 + (SELECT max(t) FROM contacts) - t)), 6) AS w
+FROM contacts GROUP BY 1, 2
+""".strip()
+
+ORACLES["a_pagerank_decayed"] = _og.pagerank_fixed_sql(
+    _DECAY_EDGE_SQL, weighted_inline=True)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8426,6 +8500,10 @@ def all_queries() -> dict[str, QueryFn]:
         #    equi-depth discretizer
         "t_license_exposure": q_license_exposure,
         "r_quantile_bins": q_quantile_bins,
+        # -- (0u) round-3 session-27: quotient compression +
+        #    recency-weighted PageRank
+        "g_graph_compress": q_graph_compress,
+        "a_pagerank_decayed": q_pagerank_decayed,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -154,3 +154,19 @@ def test_temporal_triangles_strict_time_and_direction(spark):
     got = {r.delta: r.n_triangles
            for r in temporal_triangles(spark, far, deltas=(24, 72)).collect()}
     assert got == {24: 0, 72: 1}
+
+
+def test_decayed_contact_weights_law(spark):
+    from adopt_spark.algos.temporal import decayed_contact_weights
+
+    # (u, v) touched at hours 10 (head) and 8: w = 1/1 + 1/3
+    contacts = spark.createDataFrame(
+        [(1, 2, 10), (1, 2, 8), (2, 1, 10), (3, 1, 5)],
+        "u long, v long, t long")
+    got = {(r.sid, r.tid): r.w
+           for r in decayed_contact_weights(contacts).collect()}
+    assert got[(1, 2)] == round(1 / 1 + 1 / 3, 6)
+    assert got[(2, 1)] == 1.0
+    assert got[(3, 1)] == round(1 / 6, 6)
+    # fresher contact -> strictly larger weight
+    assert got[(2, 1)] > got[(3, 1)]

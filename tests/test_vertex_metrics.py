@@ -293,3 +293,43 @@ def test_structural_equiv_vs_python(spark, powerlaw_small):
     got = sorted((r.class_rep, r.n_members, r.deg)
                  for r in structural_equiv(df).collect())
     assert got == want
+
+
+def test_quotient_graph_vs_python(spark, powerlaw_small):
+    from collections import defaultdict
+
+    from adopt_spark.algos.vertex_metrics import quotient_graph
+
+    df, pairs = powerlaw_small
+    adj = defaultdict(set)
+    lt = {(a, b) for a, b in pairs if a < b}
+    for a, b in lt:
+        adj[a].add(b)
+        adj[b].add(a)
+    rep = {}
+    by_adj = defaultdict(list)
+    for v, ns in adj.items():
+        by_adj[frozenset(ns)].append(v)
+    for vs in by_adj.values():
+        for v in vs:
+            rep[v] = min(vs)
+    q_edges = {(min(rep[a], rep[b]), max(rep[a], rep[b])) for a, b in lt}
+    row = quotient_graph(df).collect()[0]
+    assert row.n_vertices == len(adj)
+    assert row.n_classes == len(by_adj)
+    assert row.n_edges == len(lt)
+    assert row.n_quotient_edges == len(q_edges)
+    assert row.vertex_ratio == round(len(by_adj) / len(adj), 6)
+
+
+def test_quotient_graph_collapses_mirrors(spark):
+    from adopt_spark.algos.vertex_metrics import quotient_graph
+
+    # 3 mirrors of {1,2,3} + their duals: 6 vertices, 2 classes,
+    # 9 edges, 1 quotient edge
+    pairs = [(v, n) for v in (10, 11, 12) for n in (1, 2, 3)]
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "sid long, tid long")
+    row = quotient_graph(df).collect()[0]
+    assert (row.n_vertices, row.n_classes) == (6, 2)
+    assert (row.n_edges, row.n_quotient_edges) == (9, 1)
