@@ -8452,6 +8452,102 @@ ORACLES["a_pagerank_decayed"] = _og.pagerank_fixed_sql(
     _DECAY_EDGE_SQL, weighted_inline=True)
 
 
+def q_pagerank_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NORTH-STAR pipeline as one contract row: manifests ->
+    semver-resolved lockfile -> ownership-mapped repo->repo dependency
+    edges -> PageRank at PR_ITERS fixed supersteps — which repos the
+    ecosystem leans on, ranked. Vertex ids are the numeric repo
+    indices (the dep graph's natural dictionary)."""
+    from adopt_spark.functions.deps import dep_edges
+    from adopt_spark.queries.oracle_gen import PR_ITERS
+
+    e = dep_edges(_resolved_lockfile(spark, sf_dir, thin=13))
+    ids = e.select(
+        F.regexp_extract("src", r"([0-9]+)$", 1).cast("long").alias("sid"),
+        F.regexp_extract("dst", r"([0-9]+)$", 1).cast("long").alias("tid"))
+    ranks, _ = pagerank(spark, ids, tol=0.0, max_iter=PR_ITERS)
+    return ranks.select("v", F.round("rank", 6).alias("rank"))
+
+
+from adopt_spark.functions.deps import _khop_ctes as _dep_khop_ctes  # noqa: E402
+
+_DEP_EDGE_SQL = f"""
+WITH {_dep_khop_ctes(1, 13)}
+SELECT CAST(regexp_extract(src, '([0-9]+)$', 1) AS BIGINT) AS sid,
+       CAST(regexp_extract(dst, '([0-9]+)$', 1) AS BIGINT) AS tid
+FROM edges
+""".strip()
+
+ORACLES["a_pagerank_deps"] = _og.pagerank_fixed_sql(_DEP_EDGE_SQL)
+
+
+def q_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over the order baskets:
+    co-occurrence counts normalized to cosine w / sqrt(pop_u * pop_v)
+    (the classic item-CF similarity), top-3 recommendations per item
+    by (cosine 6dp desc, neighbor asc). The pair stage is the bounded
+    bipartite_project self-join (mega-baskets capped), popularity is
+    one hash agg, the top-k a per-item window."""
+    from pyspark.sql import Window
+
+    from adopt_spark.edges import bipartite_project
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = bipartite_project(li, "l_orderkey", "l_partkey",
+                              min_weight=2)
+    pop = (li.select("l_orderkey", F.col("l_partkey").alias("item"))
+           .distinct()
+           .groupBy("item").agg(F.count(F.lit(1)).alias("pop")))
+    both = (pairs.unionByName(
+        pairs.select(F.col("tid").alias("sid"), F.col("sid").alias("tid"),
+                     "weight")))
+    sim = (both
+           .join(pop.select(F.col("item").alias("sid"),
+                            F.col("pop").alias("ps")), "sid")
+           .join(pop.select(F.col("item").alias("tid"),
+                            F.col("pop").alias("pt")), "tid")
+           .select(F.col("sid").alias("item"),
+                   F.col("tid").alias("rec"),
+                   F.round(F.col("weight")
+                           / F.sqrt(F.col("ps") * F.col("pt")), 6)
+                   .alias("cosine")))
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("rec"))
+    return (sim.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("item", "rec", "cosine",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+ORACLES["r_item_recs"] = """
+WITH g AS (
+    SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS item
+    FROM lineitem
+), pairs AS (
+    SELECT a.item AS sid, b.item AS tid, count(*) AS weight
+    FROM g a JOIN g b ON a.o = b.o AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+), sym2 AS (
+    SELECT sid, tid, weight FROM pairs
+    UNION ALL
+    SELECT tid, sid, weight FROM pairs
+), pop AS (
+    SELECT item, count(*) AS pop FROM g GROUP BY 1
+), sim AS (
+    SELECT b.sid AS item, b.tid AS rec,
+           round(b.weight / sqrt(ps.pop * pt.pop), 6) AS cosine
+    FROM sym2 b
+    JOIN pop ps ON ps.item = b.sid
+    JOIN pop pt ON pt.item = b.tid
+)
+SELECT item, rec, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY item
+                                 ORDER BY cosine DESC, rec ASC) AS rnk
+    FROM sim
+) WHERE rnk <= 3
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8504,6 +8600,10 @@ def all_queries() -> dict[str, QueryFn]:
         #    recency-weighted PageRank
         "g_graph_compress": q_graph_compress,
         "a_pagerank_decayed": q_pagerank_decayed,
+        # -- (0v) round-3 session-28: north-star dep-graph PageRank +
+        #    item-item CF recommendations
+        "a_pagerank_deps": q_pagerank_deps,
+        "r_item_recs": q_item_recs,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

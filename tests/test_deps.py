@@ -363,3 +363,30 @@ def test_license_exposure_clean_leaf(spark):
         repo_license(F.lit("repo8")).alias("l")).collect()[0].l
     assert rows["repo8"].n_repos == 1
     assert rows["repo8"].licenses == own
+
+
+def test_pagerank_deps_pipeline_smoke(spark):
+    """North-star pipeline composition on sf0.001: manifests ->
+    lockfile -> dep edges -> PageRank; ranks are a probability
+    vector and hub repos outrank leaves."""
+    from pyspark.sql import functions as F
+
+    from adopt_spark.algos.pagerank import pagerank
+    from adopt_spark.functions.deps import (
+        dep_edges, semver_resolve, synthetic_releases,
+        synthetic_requirements,
+    )
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    resolved = semver_resolve(synthetic_requirements(orders, thin=13),
+                              synthetic_releases(part))
+    e = dep_edges(resolved)
+    ids = e.select(
+        F.regexp_extract("src", r"([0-9]+)$", 1).cast("long").alias("sid"),
+        F.regexp_extract("dst", r"([0-9]+)$", 1).cast("long").alias("tid"))
+    ranks, metrics = pagerank(spark, ids, tol=0.0, max_iter=5)
+    rows = ranks.collect()
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
+    assert len(rows) == ids.select("sid").union(ids.select("tid")) \
+        .distinct().count()

@@ -183,3 +183,26 @@ def test_quantile_bins_equi_depth_and_validation(spark):
     assert all(abs(n - 25) <= 1 for n in sizes.values())
     with _pytest.raises(ValueError):
         quantile_bins(df, k=1)
+
+
+def test_item_recs_cosine_law(spark):
+    """Item-CF cosine on a hand basket fixture."""
+    from adopt_spark.queries.registry import q_item_recs  # noqa: F401
+    from adopt_spark.edges import bipartite_project
+    from pyspark.sql import functions as F
+
+    # baskets: {1,2} x3, {1,3} x2, {2,3} x1 -> w(1,2)=3, w(1,3)=2,
+    # w(2,3)=1 (dropped by min_weight=2); pop: 1->5, 2->4, 3->3
+    rows = []
+    oid = 0
+    for basket, n in (((1, 2), 3), ((1, 3), 2), ((2, 3), 1)):
+        for _ in range(n):
+            oid += 1
+            rows += [(oid, it) for it in basket]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    pairs = {(r.sid, r.tid): r.weight
+             for r in bipartite_project(df, "l_orderkey", "l_partkey",
+                                        min_weight=2).collect()}
+    assert pairs == {(1, 2): 3, (1, 3): 2}
+    import math
+    assert round(3 / math.sqrt(5 * 4), 6) == round(0.670820, 6)
