@@ -327,3 +327,94 @@ SELECT event_type, bucket,
        round(avg({value_col}), 6) AS mean_v
 FROM tagged GROUP BY 1, 2
 """.strip()
+
+
+def changepoint_binary(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Single change-point detection by binary segmentation: per
+    event_type, the day split that maximizes the between-segment
+    variance reduction
+
+        gain(k) = n_l * n_r / n * (mean_l - mean_r)^2
+
+    over the daily-mean series -> [event_type, split_day, n_left,
+    n_right, mean_left, mean_right, gain] (6 dp). The classic first
+    step of binary-segmentation/PELT change-point pipelines — CUSUM
+    (e_cusum_drift) watches drift sequentially; this finds the
+    single globally best break in hindsight.
+
+    Cross-engine determinism: daily means are 6 dp-quantized at the
+    stage boundary; the prefix sums then add the SAME values in the
+    SAME day order on both engines (ordered window frames), so gains
+    agree bit-for-bit before their own 6 dp rounding; argmax ties
+    break on the earlier day.
+
+    Scale shape: one (type, day) hash agg, per-type ordered window
+    prefix sums (a type's series is days-long — thousands of rows,
+    one task each; at 10^6 types that is the parallelism, not a
+    bottleneck), one per-type argmax window.
+    """
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(86_400_000_000)).cast("long")
+    daily = (df.groupBy("event_type", day.alias("day"))
+             .agg(F.round(F.avg(value_col), 6).alias("m")))
+    wp = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("event_type")
+    cur = (daily
+           .withColumn("k", F.count(F.lit(1)).over(wp))
+           .withColumn("s", F.sum("m").over(wp))
+           .withColumn("n", F.count(F.lit(1)).over(wall))
+           .withColumn("tot", F.sum("m").over(wall))
+           .where(F.col("k") < F.col("n")))
+    ml = F.col("s") / F.col("k")
+    mr = (F.col("tot") - F.col("s")) / (F.col("n") - F.col("k"))
+    gain = (F.col("k") * (F.col("n") - F.col("k")) / F.col("n")
+            * (ml - mr) * (ml - mr))
+    scored = cur.select(
+        "event_type", F.col("day").alias("split_day"),
+        F.col("k").cast("long").alias("n_left"),
+        (F.col("n") - F.col("k")).cast("long").alias("n_right"),
+        F.round(ml, 6).alias("mean_left"),
+        F.round(mr, 6).alias("mean_right"),
+        F.round(gain, 6).alias("gain"))
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("gain"), F.asc("split_day"))
+    return (scored.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1).drop("rn"))
+
+
+CHANGEPOINT_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+           round(avg(value), 6) AS m
+    FROM events GROUP BY 1, 2
+), cur AS (
+    SELECT event_type, day,
+           count(*) OVER wp AS k,
+           sum(m) OVER wp AS s,
+           count(*) OVER wall AS n,
+           sum(m) OVER wall AS tot
+    FROM daily
+    WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING),
+           wall AS (PARTITION BY event_type)
+), scored AS (
+    SELECT event_type, day AS split_day,
+           CAST(k AS BIGINT) AS n_left,
+           CAST(n - k AS BIGINT) AS n_right,
+           round(s / k, 6) AS mean_left,
+           round((tot - s) / (n - k), 6) AS mean_right,
+           round(k * (n - k) / CAST(n AS DOUBLE)
+                 * (s / k - (tot - s) / (n - k))
+                 * (s / k - (tot - s) / (n - k)), 6) AS gain
+    FROM cur WHERE k < n
+)
+SELECT event_type, split_day, n_left, n_right,
+       mean_left, mean_right, gain
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type
+                                 ORDER BY gain DESC, split_day ASC) AS rn
+    FROM scored
+) WHERE rn = 1
+""".strip()

@@ -8548,6 +8548,69 @@ SELECT item, rec, cosine, CAST(rnk AS BIGINT) AS rnk FROM (
 """.strip()
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point by binary segmentation: per event_type the
+    day split maximizing the between-segment variance reduction over
+    the daily-mean series — the hindsight break finder beside
+    e_cusum_drift's sequential watcher
+    (functions/stats.py:changepoint_binary; daily means 6 dp-quantized
+    at the stage boundary so both engines' prefix sums add identical
+    values in identical order)."""
+    from adopt_spark.functions.stats import changepoint_binary
+
+    return changepoint_binary(_t(spark, sf_dir, "events"))
+
+
+from adopt_spark.functions.stats import (  # noqa: E402
+    CHANGEPOINT_SQL as _chg_sql,
+)
+
+ORACLES["e_changepoint"] = _chg_sql
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: the trained 8-merge BPE
+    applied corpus-wide, rolled up to per-lang chars/token and
+    tokens/word — the number a tokenizer sweep optimizes (a lang
+    whose fertility is high is under-served by the learned merges).
+    Composes the oracle-green trainer + encoder; one extra join +
+    group-by."""
+    from adopt_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, bpe_train(docs, n_merges=8))
+    return (enc.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.sum("n_bpe_tokens").cast("long").alias("n_tokens"),
+                 F.round(F.sum("n_chars")
+                         / F.sum("n_bpe_tokens"), 6).alias("chars_per_token"),
+                 F.round(F.sum("n_bpe_tokens")
+                         / F.sum("n_words"), 6).alias("tokens_per_word")))
+
+
+from adopt_spark.functions.bpe import bpe_encode_sql as _bpe_enc_sql  # noqa: E402
+
+ORACLES["t_bpe_fertility"] = f"""
+WITH enc AS (
+{_bpe_enc_sql(8)}
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_tokens,
+       round(sum(e.n_chars) / CAST(sum(e.n_bpe_tokens) AS DOUBLE), 6)
+           AS chars_per_token,
+       round(sum(e.n_bpe_tokens) / CAST(sum(e.n_words) AS DOUBLE), 6)
+           AS tokens_per_word
+FROM enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8604,6 +8667,10 @@ def all_queries() -> dict[str, QueryFn]:
         #    item-item CF recommendations
         "a_pagerank_deps": q_pagerank_deps,
         "r_item_recs": q_item_recs,
+        # -- (0w) round-3 session-29: change-point detection +
+        #    tokenizer fertility
+        "e_changepoint": q_changepoint,
+        "t_bpe_fertility": q_bpe_fertility,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

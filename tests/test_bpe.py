@@ -126,3 +126,33 @@ def test_bpe_encode_vs_python(spark):
     assert got[len(texts) - 1] == (0, 0, 0)
     # BPE never produces MORE tokens than characters
     assert all(t <= c for _, c, t in got.values())
+
+
+def test_bpe_fertility_rollup_law(spark):
+    """Fertility per lang is exactly the per-doc counts rolled up."""
+    from adopt_spark.functions.bpe import bpe_encode, bpe_train
+    from adopt_spark.queries.registry import q_bpe_fertility  # noqa: F401
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = bpe_encode(docs, bpe_train(docs, n_merges=4))
+    per_doc = {r.doc_id: r for r in enc.collect()}
+    langs = {r.doc_id: r.lang
+             for r in docs.select("doc_id", "lang").collect()}
+    agg = {}
+    for did, r in per_doc.items():
+        a = agg.setdefault(langs[did], [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += r.n_words
+        a[2] += r.n_chars
+        a[3] += r.n_bpe_tokens
+    got = (enc.join(docs.select("doc_id", "lang"), "doc_id")
+           .groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_words").alias("w"),
+                F.sum("n_chars").alias("c"),
+                F.sum("n_bpe_tokens").alias("t")).collect())
+    for r in got:
+        assert [r.n_docs, r.w, r.c, r.t] == agg[r.lang]
+        # BPE merges only ever shrink: tokens <= chars, >= words
+        assert r.w <= r.t <= r.c

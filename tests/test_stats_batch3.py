@@ -206,3 +206,43 @@ def test_item_recs_cosine_law(spark):
     assert pairs == {(1, 2): 3, (1, 3): 2}
     import math
     assert round(3 / math.sqrt(5 * 4), 6) == round(0.670820, 6)
+
+
+def test_changepoint_vs_python(spark):
+    """Binary-segmentation argmax replayed in python on a planted
+    level shift."""
+    import pandas as pd
+
+    from adopt_spark.functions.stats import changepoint_binary
+
+    base = pd.Timestamp("2024-03-01")
+    rows = []
+    for d in range(30):
+        # level 2.0 for days 0-14, 8.0 after (+ small deterministic
+        # wiggle), one event per day
+        v = (2.0 if d < 15 else 8.0) + (d % 3) * 0.1
+        t = (base + pd.Timedelta(days=d)).to_pydatetime()
+        rows.append(("shift", t, v))
+        rows.append(("flat", t, 5.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    got = {r.event_type: r for r in changepoint_binary(df).collect()}
+
+    # python twin for the shifted series
+    days = [(base + pd.Timedelta(days=d)).value // 86_400_000_000_000
+            for d in range(30)]
+    ms = [round((2.0 if d < 15 else 8.0) + (d % 3) * 0.1, 6)
+          for d in range(30)]
+    n, tot = len(ms), sum(ms)
+    best = None
+    for k in range(1, n):
+        s = sum(ms[:k])
+        ml, mr = s / k, (tot - s) / (n - k)
+        gain = round(k * (n - k) / n * (ml - mr) * (ml - mr), 6)
+        if best is None or gain > best[0]:
+            best = (gain, days[k - 1], k)
+    r = got["shift"]
+    assert (r.gain, r.split_day, r.n_left) == best
+    assert r.n_left == 15                      # the planted break
+    assert r.mean_right > r.mean_left
+    # flat series: gain ~ 0
+    assert got["flat"].gain == 0.0
