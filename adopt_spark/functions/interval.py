@@ -33,13 +33,26 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               by: list[str], right_cols: list[str],
-              prefix: str = "r_") -> DataFrame:
+              prefix: str = "r_",
+              tolerance: float | None = None) -> DataFrame:
     """Left as-of join; result = all left columns + prefixed right_cols
-    (NULL where no right row precedes)."""
+    (NULL where no right row precedes).
+
+    ``tolerance`` (same units as ``on``) bounds staleness like
+    pandas.merge_asof: a preceding right row older than
+    ``tolerance`` is treated as NO match (all right fields NULL) —
+    the standard guard against joining a quote from last week onto
+    today's trade. The matched right row's own ``on`` value rides in
+    the carried struct, so the bound is one CASE on the output — the
+    window plan is unchanged.
+    """
+    if tolerance is not None and not tolerance >= 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
     left_struct_t = left.select(F.struct(*left.columns).alias("s")) \
                         .schema["s"].dataType
-    right_struct_t = right.select(F.struct(*right_cols).alias("s")) \
-                          .schema["s"].dataType
+    right_struct_t = right.select(
+        F.struct(*right_cols, F.col(on).alias("_rt")).alias("s")) \
+        .schema["s"].dataType
     # The right payload travels as ONE struct (non-null for every right
     # row even when its fields are null), so the window carry picks the
     # latest right ROW atomically — carrying columns independently with
@@ -57,7 +70,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         F.col(on).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(left_struct_t).alias("_l"),
-        F.struct(*right_cols).alias("_r"),
+        F.struct(*right_cols, F.col(on).alias("_rt")).alias("_r"),
     )
     # right rows sort before left rows at equal time -> inclusive <=
     w = (Window.partitionBy(*by).orderBy(F.col("_t"), F.col("_is_left"))
@@ -66,9 +79,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         "_is_left", "_l",
         F.last("_r", ignorenulls=True).over(w).alias("_c"),
     )
+    # numeric `on` required when tolerance is set (pass an epoch
+    # column for timestamps) — the subtraction stays exact integer/
+    # double arithmetic instead of engine-specific interval algebra
+    fresh = (F.lit(True) if tolerance is None else
+             (F.col(f"_l.{on}") - F.col("_c._rt")) <= F.lit(tolerance))
     return carried.where(F.col("_is_left") == 1).select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_c.{c}").alias(f"{prefix}{c}") for c in right_cols],
+        *[F.when(fresh, F.col(f"_c.{c}")).alias(f"{prefix}{c}")
+          for c in right_cols],
     )
 
 

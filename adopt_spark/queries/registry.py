@@ -8611,6 +8611,46 @@ GROUP BY d.lang
 """.strip()
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (pandas merge_asof
+    tolerance): each click matched to the user's latest view at or
+    before it, but views older than 1 hour are NO match — the guard
+    against joining last week's quote onto today's trade. Epoch-µs
+    numeric key so the bound is exact integer arithmetic
+    (functions/interval.py:asof_join(tolerance=...))."""
+    from adopt_spark.functions.interval import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    clicks = e.where(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "ts_us")
+    views = (e.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts_us")
+             .agg(F.max("event_id").alias("view_id")))
+    out = asof_join(clicks, views, on="ts_us", by=["user_id"],
+                    right_cols=["view_id"], prefix="prev_",
+                    tolerance=3_600_000_000)
+    return out.select("event_id", "user_id", "ts_us", "prev_view_id")
+
+
+ORACLES["e_asof_tolerance"] = """
+WITH clicks AS (
+    SELECT event_id, user_id,
+           CAST(floor(epoch_us(ts)) AS BIGINT) AS ts_us
+    FROM events WHERE event_type = 'click'
+), views AS (
+    SELECT user_id, CAST(floor(epoch_us(ts)) AS BIGINT) AS ts_us,
+           max(event_id) AS view_id
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts_us,
+       CASE WHEN c.ts_us - v.ts_us <= 3600000000
+            THEN v.view_id END AS prev_view_id
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8671,6 +8711,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    tokenizer fertility
         "e_changepoint": q_changepoint,
         "t_bpe_fertility": q_bpe_fertility,
+        # -- (0x) round-3 session-30: as-of tolerance bound
+        "e_asof_tolerance": q_asof_tolerance,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -221,3 +221,36 @@ def test_sessionize_batch_vs_python(spark):
     df2 = spark.createDataFrame(rows2, "event_id long, ts timestamp, user_id long")
     got2 = sessionize_batch(df2, gap_seconds=1800).collect()
     assert {(r.session_idx, r.n_events) for r in got2} == {(1, 2), (2, 1)}
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    from adopt_spark.functions.interval import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 250), (3, "k", 1000)],
+        "id long, k string, t long")
+    right = spark.createDataFrame(
+        [("k", 90, 9.0), ("k", 240, 24.0)],
+        "k string, t long, px double")
+    out = {r.id: r.r_px for r in
+           asof_join(left, right, on="t", by=["k"],
+                     right_cols=["px"], tolerance=50).collect()}
+    # id=1: view at 90, age 10 <= 50 -> match; id=2: 240, age 10;
+    # id=3: latest right is 240, age 760 > 50 -> masked NULL
+    assert out == {1: 9.0, 2: 24.0, 3: None}
+    # without tolerance id=3 keeps the stale match
+    out2 = {r.id: r.r_px for r in
+            asof_join(left, right, on="t", by=["k"],
+                      right_cols=["px"]).collect()}
+    assert out2[3] == 24.0
+
+
+def test_asof_tolerance_validation(spark):
+    import pytest as _pytest
+
+    from adopt_spark.functions.interval import asof_join
+
+    df = spark.createDataFrame([(1, "k", 1)], "id long, k string, t long")
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on="t", by=["k"], right_cols=["id"],
+                  tolerance=-1)
