@@ -8651,6 +8651,111 @@ FROM clicks c ASOF LEFT JOIN views v
 """.strip()
 
 
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily value series per
+    event_type: trend = centered 7-day moving average (full windows
+    only), seasonal = per-(type, day%7) mean of the detrended series,
+    residual = the rest. The anomaly-hunting decomposition beside
+    e_dow_seasonality's raw profile; daily means 6 dp-quantized at
+    the stage boundary, windows add identical values in identical
+    order on both engines; season index is day%7 (a pure phase
+    index — no calendar semantics needed for the decomposition)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(86_400_000_000)).cast("long")
+    daily = (e.groupBy("event_type", day.alias("day"))
+             .agg(F.round(F.avg("value"), 6).alias("m")))
+    w7 = (Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3))
+    trended = (daily
+               .withColumn("nw", F.count(F.lit(1)).over(w7))
+               .withColumn("trend", F.round(F.avg("m").over(w7), 6))
+               .where(F.col("nw") == 7))
+    seas = (trended
+            .withColumn("dow", F.col("day") % 7)
+            .groupBy("event_type", "dow")
+            .agg(F.round(F.avg(F.col("m") - F.col("trend")), 6)
+                 .alias("seasonal")))
+    return (trended.withColumn("dow", F.col("day") % 7)
+            .join(seas, ["event_type", "dow"])
+            .select("event_type", "day", "m", "trend", "seasonal",
+                    F.round(F.col("m") - F.col("trend")
+                            - F.col("seasonal"), 6).alias("resid")))
+
+
+ORACLES["e_stl_decompose"] = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+           round(avg(value), 6) AS m
+    FROM events GROUP BY 1, 2
+), trended AS (
+    SELECT * FROM (
+        SELECT event_type, day, m,
+               count(*) OVER w AS nw,
+               round(avg(m) OVER w, 6) AS trend
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ) WHERE nw = 7
+), seas AS (
+    SELECT event_type, day % 7 AS dow,
+           round(avg(m - trend), 6) AS seasonal
+    FROM trended GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.m, t.trend, s.seasonal,
+       round(t.m - t.trend - s.seasonal, 6) AS resid
+FROM trended t JOIN seas s
+  ON s.event_type = t.event_type AND s.dow = t.day % 7
+""".strip()
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD (the datasheet a corpus release ships):
+    docs, langs, whitespace tokens, exact-dup rate on normalized
+    text, mean quality, median tokens/doc — six pipeline stages
+    recomposed into one wide report row, so stage-interaction bugs
+    fail even when each stage is individually green (the
+    t_pipeline_e2e pattern, report-shaped)."""
+    from adopt_spark.functions.text import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    return (d.select(
+        "lang", token_count("text").alias("nt"),
+        F.round(quality_score("text"), 4).alias("q"),
+        norm.alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.countDistinct("lang").cast("long").alias("n_langs"),
+             F.sum("nt").cast("long").alias("total_tokens"),
+             F.round(F.lit(1) - F.countDistinct("k")
+                     / F.count(F.lit(1)), 6).alias("dup_rate"),
+             F.round(F.avg("q"), 6).alias("mean_quality"),
+             F.round(F.expr("percentile(nt, 0.5)"), 6)
+             .alias("median_tokens")))
+
+
+ORACLES["t_dataset_card"] = f"""
+WITH d AS (
+    SELECT lang,
+           {_TOKENS_SQL} AS nt,
+           {_QUALITY_SQL} AS q,
+           regexp_replace(trim(text), '\\s+', ' ', 'g') AS k
+    FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(1 - count(DISTINCT k) / CAST(count(*) AS DOUBLE), 6)
+           AS dup_rate,
+       round(avg(q), 6) AS mean_quality,
+       round(quantile_cont(nt, 0.5), 6) AS median_tokens
+FROM d
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8713,6 +8818,9 @@ def all_queries() -> dict[str, QueryFn]:
         "t_bpe_fertility": q_bpe_fertility,
         # -- (0x) round-3 session-30: as-of tolerance bound
         "e_asof_tolerance": q_asof_tolerance,
+        # -- (0y) round-3 session-31: STL decomposition + dataset card
+        "e_stl_decompose": q_stl_decompose,
+        "t_dataset_card": q_dataset_card,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -203,3 +203,23 @@ def test_collocations_vs_python(spark):
          for (w1, w2), c in bi.items() if c >= 2),
         key=lambda r: (-r[3], r[0], r[1]))[:3]
     assert got == scored
+
+
+def test_dataset_card_recomposition(spark):
+    """The card's fields equal the independently computed stages."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    rows = [(1, "en", "the cat and the dog"),
+            (2, "en", "the cat  and the dog"),     # dup after norm
+            (3, "de", "der hund"),
+            (4, "de", "")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        card = R.q_dataset_card(spark, "ignored").collect()[0]
+    assert card.n_docs == 4
+    assert card.n_langs == 2
+    assert card.total_tokens == 5 + 5 + 2 + 0
+    assert card.dup_rate == 0.25           # docs 1 and 2 collapse
+    assert card.median_tokens == 3.5
