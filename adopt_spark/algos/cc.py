@@ -182,3 +182,54 @@ def cc_incremental(spark: SparkSession, base_edges: DataFrame,
                  .select("v", F.coalesce("new_c", "v").alias("component")))
     return (relabeled.unionByName(extra_lab),
             {"contracted_edges": int(n_contracted)})
+
+
+def percolation_profile(
+    spark: SparkSession,
+    edges: DataFrame,
+    ps: tuple[int, ...] = (30, 60, 90),
+) -> DataFrame:
+    """Random-FAILURE percolation curve: keep each undirected edge
+    with probability p (deterministic LCG gate on the canonical
+    pair — the DOULION coin, replayable in SQL), run connected
+    components on the survivors, report per p: [p_pct, n_edges,
+    n_vertices, n_components, largest] (vertices = endpoints of
+    surviving edges).
+
+    The complement of a_hub_robustness's targeted-attack probe — the
+    Albert-Barabási asymmetry: scale-free graphs shrug off random
+    failure (the curve stays near-connected down to small p) but
+    shatter under hub attack. Each p level is one filtered scan +
+    one CC run; levels are independent jobs.
+    """
+    from adopt_spark.algos.triangles import DOULION_A, DOULION_B, DOULION_M
+
+    und = (edges.select(F.least("sid", "tid").alias("a"),
+                        F.greatest("sid", "tid").alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    rows = []
+    for p in ps:
+        if not 0 < p <= 100:
+            raise ValueError(f"p_pct must be in (0, 100], got {p}")
+        gate = ((F.col("a") * DOULION_A + F.col("b") * DOULION_B)
+                % DOULION_M) % 100 < p
+        samp = und.where(gate).select(F.col("a").alias("sid"),
+                                      F.col("b").alias("tid"))
+        labels, _ = connected_components(spark, samp)
+        stats = (labels.groupBy("component")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .agg(F.count(F.lit(1)).alias("n_components"),
+                      F.coalesce(F.max("n"), F.lit(0)).alias("largest")))
+        counts = samp.agg(
+            F.count(F.lit(1)).alias("n_edges")).crossJoin(
+            labels.agg(F.count(F.lit(1)).alias("n_vertices")))
+        rows.append(counts.crossJoin(stats).select(
+            F.lit(p).cast("long").alias("p_pct"),
+            F.col("n_edges").cast("long"),
+            F.col("n_vertices").cast("long"),
+            F.col("n_components").cast("long"),
+            F.col("largest").cast("long")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -8756,6 +8756,56 @@ FROM d
 """.strip()
 
 
+def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-failure percolation curve at p = 30/60/90% kept edges
+    (deterministic DOULION coin): components + largest-component size
+    per level — the Albert-Barabási complement of the targeted
+    a_hub_robustness probe. Bounded to ids < 600 so the oracle's
+    three recursive closures stay cheap; the Spark side has no such
+    limit at scale (algos/cc.py:percolation_profile)."""
+    from adopt_spark.algos.cc import percolation_profile
+
+    e = derived_edges(spark, sf_dir).where(
+        (F.col("sid") < 600) & (F.col("tid") < 600))
+    return percolation_profile(spark, e, ps=(30, 60, 90))
+
+
+def _perc_level_sql(p: int) -> str:
+    from adopt_spark.algos.triangles import DOULION_A, DOULION_B, DOULION_M
+
+    return f"""
+WITH RECURSIVE edge AS (
+SELECT sid, tid FROM ({DERIVED_EDGE_SQL}) WHERE sid < 600 AND tid < 600
+), und AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM edge WHERE sid <> tid
+), samp AS MATERIALIZED (
+    SELECT a, b FROM und
+    WHERE ((a * {DOULION_A} + b * {DOULION_B}) % {DOULION_M}) % 100 < {p}
+), sym AS MATERIALIZED (
+    SELECT a AS u, b AS v FROM samp UNION SELECT b, a FROM samp
+), reach(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v, w.r FROM reach w JOIN sym s ON s.u = w.v
+), comp AS (
+    SELECT v, min(r) AS component FROM reach GROUP BY v
+), sizes AS (
+    SELECT component, count(*) AS n FROM comp GROUP BY component
+)
+SELECT CAST({p} AS BIGINT) AS p_pct,
+       (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM comp) AS n_vertices,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(coalesce(max(n), 0) AS BIGINT) AS largest
+FROM sizes
+""".strip()
+
+
+ORACLES["a_percolation"] = "\nUNION ALL\n".join(
+    f"SELECT * FROM ({_perc_level_sql(p)})" for p in (30, 60, 90))
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8821,6 +8871,8 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (0y) round-3 session-31: STL decomposition + dataset card
         "e_stl_decompose": q_stl_decompose,
         "t_dataset_card": q_dataset_card,
+        # -- (0z) round-3 session-32: random-failure percolation
+        "a_percolation": q_percolation,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

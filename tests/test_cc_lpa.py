@@ -219,3 +219,42 @@ def test_streaming_cc_matches_batch_and_is_split_invariant(spark):
     sizes = Counter(comp_min[find(v)] for v in verts)
     want = set(sizes.items())
     assert got4 == got1 == want
+
+
+def test_percolation_profile_vs_python(spark, powerlaw_small):
+    """Gate + CC replayed in python (union-find) per level."""
+    from adopt_spark.algos.cc import percolation_profile
+    from adopt_spark.algos.triangles import DOULION_A, DOULION_B, DOULION_M
+
+    df, pairs = powerlaw_small
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+
+    def level(p):
+        samp = [(a, b) for a, b in und
+                if ((a * DOULION_A + b * DOULION_B) % DOULION_M) % 100 < p]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in samp:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for v in {x for e in samp for x in e}:
+            comps.setdefault(find(v), []).append(v)
+        sizes = [len(vs) for vs in comps.values()]
+        return (len(samp), sum(sizes), len(sizes),
+                max(sizes) if sizes else 0)
+
+    got = {r.p_pct: (r.n_edges, r.n_vertices, r.n_components, r.largest)
+           for r in percolation_profile(spark, df, ps=(40, 80)).collect()}
+    assert got == {40: level(40), 80: level(80)}
+    # monotonicity: more surviving edges -> fewer, larger components
+    assert got[80][0] > got[40][0]
+    assert got[80][3] >= got[40][3]
