@@ -27,6 +27,8 @@ graph with a CTE.
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -8806,6 +8808,64 @@ ORACLES["a_percolation"] = "\nUNION ALL\n".join(
     f"SELECT * FROM ({_perc_level_sql(p)})" for p in (30, 60, 90))
 
 
+_IDCG5 = sum(1.0 / math.log2(i + 1) for i in range(1, 6))
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the LSH ANN beyond recall:
+    per-query NDCG@5 (binary relevance = membership in the exact
+    brute-force top-5, positions from the LSH ranking) and MRR
+    (reciprocal LSH rank of the true #1). Both ranked lists are this
+    engine's own oracle-checked operators; the oracle joins their two
+    SQL twins and replays the same DCG arithmetic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _queries_from_embeddings(emb)
+    exact = brute_force_topk(emb, q, k=5).select(
+        "q_id", "vec_id", F.col("rank").alias("e_rank"))
+    approx = lsh_topk(emb, q, k=5, bits=12, bands=4).select(
+        "q_id", "vec_id", F.col("rank").alias("a_rank"))
+    hits = approx.join(exact, ["q_id", "vec_id"])
+    per = (hits.groupBy("q_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.lit(1.0) / F.log2(F.col("a_rank") + 1))
+                .alias("dcg"),
+                F.max(F.when(F.col("e_rank") == 1,
+                             F.lit(1.0) / F.col("a_rank"))
+                      .otherwise(0.0)).alias("rr")))
+    return (approx.select("q_id").distinct()
+            .join(per, "q_id", "left")
+            .select("q_id",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_hits"),
+                    F.round(F.coalesce("dcg", F.lit(0.0))
+                            / F.lit(_IDCG5), 6).alias("ndcg"),
+                    F.round(F.coalesce("rr", F.lit(0.0)), 6).alias("rr")))
+
+
+ORACLES["s_retrieval_eval"] = f"""
+WITH a AS (
+    SELECT q_id, vec_id, rank AS a_rank
+    FROM ({_og.knn_lsh_sql(k=5, bands=4)})
+), e AS (
+    SELECT q_id, vec_id, rank AS e_rank
+    FROM ({ORACLES["s_knn_bruteforce"]})
+), h AS (
+    SELECT a.q_id, a.a_rank, e.e_rank
+    FROM a JOIN e USING (q_id, vec_id)
+), per AS (
+    SELECT q_id, count(*) AS n,
+           sum(1.0 / log2(a_rank + 1)) AS dcg,
+           max(CASE WHEN e_rank = 1 THEN 1.0 / a_rank ELSE 0 END) AS rr
+    FROM h GROUP BY 1
+)
+SELECT q.q_id,
+       CAST(coalesce(per.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(per.dcg, 0) / {_IDCG5!r}, 6) AS ndcg,
+       round(coalesce(per.rr, 0), 6) AS rr
+FROM (SELECT DISTINCT q_id FROM a) q
+LEFT JOIN per USING (q_id)
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8873,6 +8933,8 @@ def all_queries() -> dict[str, QueryFn]:
         "t_dataset_card": q_dataset_card,
         # -- (0z) round-3 session-32: random-failure percolation
         "a_percolation": q_percolation,
+        # -- (0aa) round-3 session-33: ANN ranking-quality eval
+        "s_retrieval_eval": q_retrieval_eval,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -411,3 +411,33 @@ def test_maxsim_partial_match_beats_pooled(spark):
         [(9, [float(x) for x in q])], "q_id long, q_vec array<double>")
     rows = {r.vec_id: r for r in maxsim_topk(emb, qdf, k=2).collect()}
     assert rows[0].rank == 1 and rows[0].score > rows[1].score
+
+
+def test_retrieval_eval_laws(spark):
+    """NDCG/MRR on crafted rankings: perfect ANN -> ndcg=1, rr=1;
+    the DCG arithmetic replayed in python."""
+    import math
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: emb):
+        rows = {r.q_id: r for r in
+                R.q_retrieval_eval(spark, "x").collect()}
+    assert set(rows) == {0, 1, 2}
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, 6))
+    for r in rows.values():
+        assert 0 <= r.ndcg <= 1 and 0 <= r.rr <= 1
+        assert r.n_hits <= 5
+        # a query whose LSH list contains all 5 exact items in exact
+        # order would read exactly 1.0; all-hit queries bound below
+        if r.n_hits == 5 and r.rr == 1.0:
+            assert r.ndcg <= 1.0
+        # zero hits forces both metrics to zero
+        if r.n_hits == 0:
+            assert r.ndcg == 0.0 and r.rr == 0.0
+    # at least the self-match (q_id == vec_id, cosine 1) must be
+    # found by LSH (identical signatures), so rr == 1 everywhere
+    assert all(r.rr == 1.0 for r in rows.values())
+    assert all(r.ndcg >= round(1 / idcg, 6) for r in rows.values())
