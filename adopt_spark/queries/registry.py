@@ -8866,6 +8866,92 @@ LEFT JOIN per USING (q_id)
 """.strip()
 
 
+_TFIDF_SIM_MAX_DF = 60
+_TFIDF_SIM_MIN_COS = 0.3
+
+
+def q_tfidf_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine document-similarity join — the IR-side
+    sibling of the dense ANN and the Jaccard dedup: tf·idf weights
+    (6 dp-quantized BEFORE the dot product), boilerplate terms with
+    df > {max_df} dropped (the prefix-filter-style fan-out cap: a
+    term's candidate contribution is df², so the cap bounds the join
+    exactly like winnowing's max_df), candidate pairs from ONE term
+    equi-join, cosine ≥ {min_cos} emitted. At 100 TB this is the
+    standard sparse similarity self-join: term-keyed, never
+    doc × doc."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+         .alias("term")).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = _t(spark, sf_dir, "documents").count()
+    kept = (tf.join(df_.where(F.col("df") <= _TFIDF_SIM_MAX_DF), "term")
+            .select("doc_id", "term",
+                    F.round(F.col("tf")
+                            * F.log(F.lit(float(n_docs)) / F.col("df")),
+                            6).alias("w")))
+    norms = kept.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = kept.select(F.col("doc_id").alias("da"), "term",
+                    F.col("w").alias("wa"))
+    b = kept.select(F.col("doc_id").alias("db"), "term",
+                    F.col("w").alias("wb"))
+    dots = (a.join(b, "term").where(F.col("da") < F.col("db"))
+            .groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("n_shared"),
+                 F.sum(F.col("wa") * F.col("wb")).alias("dot")))
+    out = (dots
+           .join(norms.select(F.col("doc_id").alias("da"),
+                              F.col("nrm").alias("na")), "da")
+           .join(norms.select(F.col("doc_id").alias("db"),
+                              F.col("nrm").alias("nb")), "db")
+           .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                   F.col("n_shared").cast("long").alias("n_shared"),
+                   F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+                   .alias("cosine")))
+    return out.where(F.col("cosine") >= _TFIDF_SIM_MIN_COS)
+
+
+ORACLES["t_tfidf_sim"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+    FROM documents
+), toks_f AS (
+    SELECT doc_id, term FROM toks WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks_f GROUP BY 1, 2
+), dfq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY 1
+), nd AS (
+    SELECT count(*) AS n FROM documents
+), kept AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln((SELECT n FROM nd) / CAST(dfq.df AS DOUBLE)),
+                 6) AS w
+    FROM tf JOIN dfq USING (term)
+    WHERE dfq.df <= {_TFIDF_SIM_MAX_DF}
+), norms AS (
+    SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM kept GROUP BY 1
+), dots AS (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           count(*) AS n_shared, sum(a.w * b.w) AS dot
+    FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d.da AS doc_a, d.db AS doc_b,
+       CAST(d.n_shared AS BIGINT) AS n_shared,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.doc_id = d.da
+JOIN norms nb ON nb.doc_id = d.db
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_SIM_MIN_COS}
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -8935,6 +9021,8 @@ def all_queries() -> dict[str, QueryFn]:
         "a_percolation": q_percolation,
         # -- (0aa) round-3 session-33: ANN ranking-quality eval
         "s_retrieval_eval": q_retrieval_eval,
+        # -- (0ab) round-3 session-34: sparse TF-IDF similarity join
+        "t_tfidf_sim": q_tfidf_sim,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

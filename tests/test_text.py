@@ -223,3 +223,55 @@ def test_dataset_card_recomposition(spark):
     assert card.total_tokens == 5 + 5 + 2 + 0
     assert card.dup_rate == 0.25           # docs 1 and 2 collapse
     assert card.median_tokens == 3.5
+
+
+def test_tfidf_sim_vs_python(spark):
+    """Sparse cosine join replayed with Counter/math on a small
+    corpus with planted near-duplicates."""
+    import math
+    import re
+    from collections import Counter
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    rows = [
+        (1, "en", "alpha beta gamma delta"),
+        (2, "en", "alpha beta gamma delta epsilon"),   # near-dup of 1
+        (3, "en", "zeta eta theta"),
+        (4, "en", "zeta eta theta iota"),              # near-dup of 3
+        (5, "en", "completely different words here"),
+        (6, "en", "alpha zeta mixed bag content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        got = {(r.doc_a, r.doc_b): (r.n_shared, r.cosine)
+               for r in R.q_tfidf_sim(spark, "x").collect()}
+
+    n = len(rows)
+    tf = {}
+    dfc = Counter()
+    for did, _, text in rows:
+        c = Counter(t for t in re.split(r"\s+", text.strip().lower()) if t)
+        tf[did] = c
+        for t in c:
+            dfc[t] += 1
+    w = {did: {t: round(c * math.log(n / dfc[t]), 6)
+               for t, c in cs.items() if dfc[t] <= R._TFIDF_SIM_MAX_DF}
+         for did, cs in tf.items()}
+    nrm = {d: math.sqrt(sum(x * x for x in ws.values()))
+           for d, ws in w.items()}
+    want = {}
+    for a in w:
+        for b in w:
+            if a < b:
+                shared = set(w[a]) & set(w[b])
+                if not shared:
+                    continue
+                cos = round(sum(w[a][t] * w[b][t] for t in shared)
+                            / (nrm[a] * nrm[b]), 6)
+                if cos >= R._TFIDF_SIM_MIN_COS:
+                    want[(a, b)] = (len(shared), cos)
+    assert got == want
+    assert (1, 2) in got and (3, 4) in got      # planted near-dups
+    assert got[(1, 2)][1] > 0.7
