@@ -2031,3 +2031,47 @@ FROM (
     {rep('hash_direct', 'assign_h')}
 )
 ORDER BY strategy"""
+
+
+def markov_absorb_sql(k_iters: int = MARKOV_ITERS) -> str:
+    """Unrolled absorption-probability recurrence, the twin of
+    queries/registry.py:q_markov_absorb: same restricted/renormalized
+    chain as markov_stationary_sql, absorber = lexicographically
+    largest state with its row overridden to 1 every step:
+      p_{t+1}(s) = 1 if s = absorber else sum_d T(s, d) * p_t(d)
+    — P(hit absorber within t steps), monotone in t."""
+    steps = []
+    for i in range(1, k_iters + 1):
+        steps.append(f"""p{i} AS MATERIALIZED (
+    SELECT s.state,
+           CASE WHEN s.state = (SELECT a FROM absorber) THEN 1.0
+                ELSE coalesce(h.p, 0.0) END AS p
+    FROM states s LEFT JOIN (
+        SELECT t.src AS state, sum(t.n / t.tot * q.p) AS p
+        FROM trans t JOIN p{i-1} q ON q.state = t.dst
+        GROUP BY t.src
+    ) h ON h.state = s.state
+)""")
+    return f"""WITH pairs AS MATERIALIZED (
+    SELECT src, dst, count(*) AS n FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ) WHERE dst IS NOT NULL GROUP BY src, dst
+), states AS MATERIALIZED (SELECT DISTINCT src AS state FROM pairs),
+absorber AS MATERIALIZED (SELECT max(state) AS a FROM states),
+trans AS MATERIALIZED (
+    SELECT p.src, p.dst, CAST(p.n AS DOUBLE) AS n, t.tot
+    FROM (SELECT * FROM pairs
+          WHERE dst IN (SELECT state FROM states)) p
+    JOIN (SELECT src, CAST(sum(n) AS DOUBLE) AS tot
+          FROM pairs WHERE dst IN (SELECT state FROM states)
+          GROUP BY src) t USING (src)
+), p0 AS MATERIALIZED (
+    SELECT state,
+           CASE WHEN state = (SELECT a FROM absorber)
+                THEN 1.0 ELSE 0.0 END AS p
+    FROM states
+), {', '.join(steps)}
+SELECT state, CAST(round(p, 6) AS DOUBLE) AS p_absorb FROM p{k_iters}"""

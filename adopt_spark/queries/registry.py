@@ -8952,6 +8952,49 @@ WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_SIM_MIN_COS}
 """.strip()
 
 
+def q_markov_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorption probabilities of the event-type Markov chain: the
+    lexicographically largest state declared absorbing (its row
+    overridden to 1 every step), p_t(s) = P(hit absorber within t
+    steps) after MARKOV_ITERS supersteps — the 'probability a
+    session ends in purchase' analysis beside e_markov_stationary's
+    long-run profile. Same restricted/renormalized chain, monotone
+    recurrence (oracle_gen.markov_absorb_sql)."""
+    from adopt_spark.queries.oracle_gen import MARKOV_ITERS
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("src"),
+                       F.lead("event_type").over(w).alias("dst"))
+             .where(F.col("dst").isNotNull())
+             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n")))
+    states = pairs.select(F.col("src").alias("state")).distinct()
+    rp = pairs.join(states.withColumnRenamed("state", "dst"), "dst",
+                    "left_semi")
+    tot = rp.groupBy("src").agg(F.sum("n").alias("tot"))
+    trans = (rp.join(tot, "src")
+             .select("src", "dst", F.col("n").cast("double").alias("n"),
+                     F.col("tot").cast("double").alias("tot"))
+             .localCheckpoint(eager=True))
+    absorber = states.agg(F.max("state")).collect()[0][0]
+    p = states.select(
+        "state",
+        F.when(F.col("state") == absorber, 1.0).otherwise(0.0).alias("p"))
+    for _ in range(MARKOV_ITERS):
+        hit = (trans.join(p, p["state"] == trans["dst"])
+               .groupBy(F.col("src").alias("_s"))
+               .agg(F.sum(F.col("n") / F.col("tot") * F.col("p"))
+                    .alias("hp")))
+        p = (states.join(hit, states["state"] == hit["_s"], "left")
+             .select("state",
+                     F.when(F.col("state") == absorber, 1.0)
+                     .otherwise(F.coalesce("hp", F.lit(0.0))).alias("p")))
+    return p.select("state", F.round("p", 6).alias("p_absorb"))
+
+
+ORACLES["e_markov_absorb"] = _og.markov_absorb_sql()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9023,6 +9066,8 @@ def all_queries() -> dict[str, QueryFn]:
         "s_retrieval_eval": q_retrieval_eval,
         # -- (0ab) round-3 session-34: sparse TF-IDF similarity join
         "t_tfidf_sim": q_tfidf_sim,
+        # -- (0ac) round-3 session-35: Markov absorption
+        "e_markov_absorb": q_markov_absorb,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

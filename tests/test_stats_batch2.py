@@ -160,3 +160,50 @@ def test_conductance_two_cliques_bridge(spark):
     assert out[0].vol == 13 and out[1].vol == 13
     assert out[0].cut == 1 and out[1].cut == 1
     assert out[0].conductance == pytest.approx(1 / 13, abs=1e-6)
+
+
+def test_markov_absorb_vs_numpy(spark, tmp_path):
+    """Absorption recurrence replayed with numpy on a crafted chain:
+    states a->b->c (absorbing 'c' = max), with a backloop b->a."""
+    import datetime
+
+    import numpy as np
+
+    from adopt_spark.queries import registry as R
+    from unittest import mock
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # user sequences encode transitions: a->b, b->c, b->a
+    seqs = [["a", "b", "c"], ["a", "b", "a", "b", "c"], ["b", "a", "b"]]
+    rows, eid = [], 0
+    for uid, seq in enumerate(seqs):
+        for i, s in enumerate(seq):
+            rows.append((eid, t0 + datetime.timedelta(minutes=i), uid,
+                         s, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        got = {r.state: r.p_absorb
+               for r in R.q_markov_absorb(spark, "x").collect()}
+
+    # transition counts: a->b x4, b->c x2, b->a x2; states {a, b}
+    # as sources; dst restricted to {a, b, c}? c never a source ->
+    # states = {a, b}; transitions into c DROPPED by the state
+    # restriction... then absorber = max(state) = 'b'
+    T = {("a", "b"): 1.0, ("b", "a"): 0.5}
+    states = ["a", "b"]
+    absorber = "b"
+    p = {s: 1.0 if s == absorber else 0.0 for s in states}
+    for _ in range(20):
+        new = {}
+        for s in states:
+            if s == absorber:
+                new[s] = 1.0
+            else:
+                new[s] = sum(w * p[d] for (src, d), w in T.items()
+                             if src == s and d in p)
+        p = new
+    assert got == {s: round(p[s], 6) for s in states}
+    assert got["a"] == 1.0      # a always reaches b
