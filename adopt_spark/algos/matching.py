@@ -89,3 +89,72 @@ def greedy_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
                .localCheckpoint(eager=True)
         )
     raise RuntimeError(f"greedy_matching did not converge in {max_rounds} rounds")
+
+
+def weighted_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Locally-dominant weighted matching (Preis / Manne-Bisseling):
+    an active edge joins when its (weight, tie) is the strict MAX
+    among all active edges sharing either endpoint — the distributed
+    1/2-approximation of maximum weight matching, and the weighted
+    generalization of greedy_matching (same one-explode + per-vertex
+    extremum + two equi-joins round shape; a locally-dominant edge
+    always exists, so rounds are O(log E) like the unweighted case).
+
+    Edge weights are the deterministic contract law
+    (paths.contract_weight on the canonical (a, b)); ties break on
+    (a, b), so the matching is unique and the unrolled SQL twin
+    (oracle_gen.weighted_matching_sql) replays it exactly. Returns
+    DataFrame[sid, tid, w] — the matched edges, sid < tid.
+    """
+    from adopt_spark.algos.paths import contract_weight
+
+    e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
+             .where(F.col("sid") != F.col("tid"))
+    act = (
+        e.select(F.least("sid", "tid").alias("a"),
+                 F.greatest("sid", "tid").alias("b"))
+        .distinct()
+        .withColumn("w", contract_weight(F.col("a"), F.col("b"))
+                    .cast("long"))
+        .withColumn("pk", F.struct((-F.col("w")).alias("nw"),
+                                   F.col("a"), F.col("b")))
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    matched_parts: list[DataFrame] = []
+
+    for _ in range(max_rounds):
+        if act.isEmpty():
+            if not matched_parts:
+                return spark.createDataFrame([], "sid long, tid long, w long")
+            out = matched_parts[0]
+            for part in matched_parts[1:]:
+                out = out.unionAll(part)
+            return out
+        inc = (
+            act.select(F.col("a").alias("v"), "pk")
+               .unionAll(act.select(F.col("b").alias("v"), "pk"))
+        )
+        vmin = inc.groupBy("v").agg(F.min("pk").alias("mpk"))
+        winners = (
+            act.join(vmin.select(F.col("v").alias("a"),
+                                 F.col("mpk").alias("mpk_a")), "a")
+               .join(vmin.select(F.col("v").alias("b"),
+                                 F.col("mpk").alias("mpk_b")), "b")
+               .where((F.col("pk") == F.col("mpk_a"))
+                      & (F.col("pk") == F.col("mpk_b")))
+               .select(F.col("a").alias("sid"), F.col("b").alias("tid"),
+                       "w")
+               .localCheckpoint(eager=True)
+        )
+        matched_parts.append(winners)
+        mv = (winners.select(F.col("sid").alias("v"))
+              .unionAll(winners.select(F.col("tid").alias("v")))
+              .distinct())
+        act = (
+            act.join(mv.withColumnRenamed("v", "a"), "a", "left_anti")
+               .join(mv.withColumnRenamed("v", "b"), "b", "left_anti")
+               .select("a", "b", "w", "pk")
+               .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"weighted_matching did not converge in {max_rounds} rounds")

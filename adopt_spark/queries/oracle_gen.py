@@ -2075,3 +2075,53 @@ trans AS MATERIALIZED (
     FROM states
 ), {', '.join(steps)}
 SELECT state, CAST(round(p, 6) AS DOUBLE) AS p_absorb FROM p{k_iters}"""
+
+
+WEIGHTED_MATCHING_ROUNDS = 24
+
+
+def weighted_matching_sql(edge_sql: str,
+                          rounds: int = WEIGHTED_MATCHING_ROUNDS) -> str:
+    """Unrolled locally-dominant weighted matching, the exact twin of
+    algos/matching.py:weighted_matching — matching_fixed_sql with the
+    hash priority replaced by (weight DESC, a, b) and the weight
+    emitted."""
+    pri = "1 + (a * 7 + b * 13) % 10"
+    parts = []
+    prev = "a0"
+    win_names = []
+    for i in range(1, rounds + 1):
+        w, mv, a = f"w{i}", f"mv{i}", f"a{i}"
+        parts.append(f"""{w} AS MATERIALIZED (
+    SELECT a, b, min(wt) AS wt FROM (
+        SELECT v, a, b, wt,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY wt DESC, a, b) AS rn
+        FROM (SELECT a AS v, a, b, wt FROM {prev}
+              UNION ALL
+              SELECT b, a, b, wt FROM {prev})
+    ) WHERE rn = 1 GROUP BY a, b HAVING count(*) = 2
+)""")
+        parts.append(f"""{mv} AS MATERIALIZED (
+    SELECT a AS v FROM {w} UNION SELECT b FROM {w}
+)""")
+        parts.append(f"""{a} AS MATERIALIZED (
+    SELECT e.a, e.b, e.wt FROM {prev} e
+    WHERE e.a NOT IN (SELECT v FROM {mv})
+      AND e.b NOT IN (SELECT v FROM {mv})
+)""")
+        win_names.append(w)
+        prev = a
+    union = "\nUNION ALL\n".join(
+        f"SELECT a, b, wt FROM {w}" for w in win_names)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), und AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM edge WHERE sid <> tid
+), a0 AS MATERIALIZED (
+    SELECT a, b, CAST({pri} AS BIGINT) AS wt FROM und
+), {', '.join(parts)}
+SELECT a AS sid, b AS tid, wt AS w FROM (
+{union}
+)"""

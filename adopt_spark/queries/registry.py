@@ -8995,6 +8995,21 @@ def q_markov_absorb(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["e_markov_absorb"] = _og.markov_absorb_sql()
 
 
+def q_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locally-dominant WEIGHTED matching (Preis/Manne-Bisseling
+    1/2-approx of maximum weight matching) with contract weights —
+    the weighted generalization of a_matching, unique by the
+    (weight desc, a, b) tie order on both engines
+    (algos/matching.py:weighted_matching)."""
+    from adopt_spark.algos.matching import weighted_matching
+
+    return weighted_matching(derived_edges(spark, sf_dir))
+
+
+ORACLES["a_weighted_matching"] = _og.weighted_matching_sql(
+    DERIVED_EDGE_SQL)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9066,8 +9081,10 @@ def all_queries() -> dict[str, QueryFn]:
         "s_retrieval_eval": q_retrieval_eval,
         # -- (0ab) round-3 session-34: sparse TF-IDF similarity join
         "t_tfidf_sim": q_tfidf_sim,
-        # -- (0ac) round-3 session-35: Markov absorption
+        # -- (0ac) round-3 session-35: Markov absorption + weighted
+        #    matching
         "e_markov_absorb": q_markov_absorb,
+        "a_weighted_matching": q_weighted_matching,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -62,3 +62,63 @@ def test_matching_random_graph(spark):
 def test_matching_empty(spark):
     out = greedy_matching(edge_df(spark, []))
     assert out.count() == 0 and out.columns == ["sid", "tid"]
+
+
+def _py_weighted_matching(pairs):
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    wt = {(a, b): 1 + (a * 7 + b * 13) % 10 for a, b in und}
+    act = set(und)
+    matched = {}
+    while act:
+        # per-vertex best incident edge by (w desc, a, b)
+        best = {}
+        for (a, b) in act:
+            key = (-wt[(a, b)], a, b)
+            for v in (a, b):
+                if v not in best or key < best[v]:
+                    best[v] = key
+        winners = {(a, b) for (a, b) in act
+                   if best[a] == (-wt[(a, b)], a, b)
+                   and best[b] == (-wt[(a, b)], a, b)}
+        assert winners, "locally-dominant edge must exist"
+        for e in winners:
+            matched[e] = wt[e]
+        dead = {v for e in winners for v in e}
+        act = {(a, b) for (a, b) in act
+               if a not in dead and b not in dead}
+    return matched
+
+
+def test_weighted_matching_vs_python(spark, powerlaw_small):
+    from adopt_spark.algos.matching import weighted_matching
+
+    df, pairs = powerlaw_small
+    want = _py_weighted_matching(pairs)
+    got = {(r.sid, r.tid): r.w
+           for r in weighted_matching(df).collect()}
+    assert got == want
+
+
+def test_weighted_matching_is_maximal_and_valid(spark, powerlaw_small):
+    from adopt_spark.algos.matching import weighted_matching
+
+    df, pairs = powerlaw_small
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    got = {(r.sid, r.tid) for r in weighted_matching(df).collect()}
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))            # vertex-disjoint
+    matched_v = set(used)
+    for a, b in und:                              # maximal
+        assert a in matched_v or b in matched_v
+
+
+def test_weighted_matching_prefers_heavy_edge(spark):
+    from adopt_spark.algos.matching import weighted_matching
+
+    # path 1-2-3: w(1,2) = 1+(7+26)%10 = 4, w(2,3) = 1+(14+39)%10 = 4
+    # tie -> (a, b) order picks (1, 2); but with a heavier (2, 3)
+    # alternative the heavy edge must win: use (0, 9): w = 1+117%10=8
+    # path 0-9, 9-10: w(9,10) = 1+(63+130)%10 = 4 -> (0,9) wins
+    df = spark.createDataFrame([(0, 9), (9, 10)], "sid long, tid long")
+    got = {(r.sid, r.tid): r.w for r in weighted_matching(df).collect()}
+    assert got == {(0, 9): 8}
