@@ -9010,6 +9010,71 @@ ORACLES["a_weighted_matching"] = _og.weighted_matching_sql(
     DERIVED_EDGE_SQL)
 
 
+def q_core_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community CORES: connected components of the induced 3-core of
+    the sparse graph — the peel-then-cluster recipe that strips the
+    tree-like periphery before community detection (the planted K25
+    surfaces as one dense core component). Composes the engine's own
+    k-core peel and CC kernels; oracle = bounded-depth peel to the
+    k=3 fixpoint + recursive closure on the induced subgraph."""
+    from adopt_spark.algos.cc import connected_components
+    from adopt_spark.algos.kcore import k_core
+
+    e = derived_edges_sparse(spark, sf_dir)
+    core = k_core(spark, e, k=3)
+    lt = (e.select(F.least("sid", "tid").alias("sid"),
+                   F.greatest("sid", "tid").alias("tid"))
+          .where(F.col("sid") != F.col("tid")).distinct())
+    ind = (lt.join(core.withColumnRenamed("v", "sid"), "sid", "left_semi")
+           .join(core.withColumnRenamed("v", "tid"), "tid", "left_semi"))
+    labels, _ = connected_components(spark, ind)
+    return (labels.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("size")))
+
+
+_CORE3_PEEL_ROUNDS = 24
+
+
+def _core_community_sql() -> str:
+    parts = []
+    prev = "a0"
+    for r in range(1, _CORE3_PEEL_ROUNDS + 1):
+        name = f"p{r}"
+        parts.append(f"""{name} AS MATERIALIZED (
+    SELECT v FROM (
+        SELECT s.v, count(*) AS c FROM sym s
+        JOIN {prev} a ON a.v = s.v
+        JOIN {prev} b ON b.v = s.nbr
+        GROUP BY s.v
+    ) WHERE c >= 3
+)""")
+        prev = name
+    return f"""WITH RECURSIVE edge AS (
+{SPARSE_EDGE_SQL}
+), sym AS (
+    SELECT sid AS v, tid AS nbr FROM edge WHERE sid <> tid
+    UNION
+    SELECT tid, sid FROM edge WHERE sid <> tid
+), a0 AS (
+    SELECT DISTINCT v FROM sym
+), {', '.join(parts)},
+ind AS (
+    SELECT s.v AS u, s.nbr AS v FROM sym s
+    JOIN {prev} a ON a.v = s.v
+    JOIN {prev} b ON b.v = s.nbr
+), reach(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM ind)
+    UNION
+    SELECT i.v, w.r FROM reach w JOIN ind i ON i.u = w.v
+)
+SELECT comp AS component, CAST(count(*) AS BIGINT) AS size FROM (
+    SELECT v, min(r) AS comp FROM reach GROUP BY v
+) GROUP BY comp"""
+
+
+ORACLES["a_core_community"] = _core_community_sql()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9085,6 +9150,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    matching
         "e_markov_absorb": q_markov_absorb,
         "a_weighted_matching": q_weighted_matching,
+        # -- (0ad) round-3 session-36: peel-then-cluster cores
+        "a_core_community": q_core_community,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

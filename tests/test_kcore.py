@@ -125,3 +125,21 @@ def test_onion_layers_path_and_clique(spark):
     rows = onion_layers(spark, df).collect()
     assert {(r.core, r.layer) for r in rows} == {(3, 1)}
     assert len(rows) == 4
+
+
+def test_core_community_two_planted_cores(spark):
+    """3-core CC: two disjoint K4s survive the peel (each a
+    component); trees and pendants peel away entirely."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a + 10, b + 10) for a in range(4) for b in range(a + 1, 4)]
+    tree = [(20, 21), (21, 22), (22, 23), (0, 20)]
+    df = spark.createDataFrame(k4a + k4b + tree, "sid long, tid long")
+    with mock.patch.object(R, "derived_edges_sparse",
+                           lambda s_, sf: df):
+        got = {r.component: r.size
+               for r in R.q_core_community(spark, "x").collect()}
+    assert got == {0: 4, 10: 4}
