@@ -9075,6 +9075,142 @@ SELECT comp AS component, CAST(count(*) AS BIGINT) AS size FROM (
 ORACLES["a_core_community"] = _core_community_sql()
 
 
+def q_nb_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the trained NB classifier
+    — the standard classifier report derived from the t_nb_confusion
+    matrix by two marginal rollups (true-row and pred-column sums);
+    F1 = 0 where undefined (no predictions or no support)."""
+    from adopt_spark.functions.classify import nb_lang_confusion
+
+    conf = nb_lang_confusion(_t(spark, sf_dir, "documents"))
+    tp = (conf.where(F.col("lang") == F.col("pred"))
+          .select(F.col("lang").alias("cls"), F.col("n").alias("tp")))
+    sup = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("support"))
+    predn = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("n").alias("n_pred"))
+    j = (sup.join(predn, "cls", "full")
+         .join(tp, "cls", "left")
+         .select("cls",
+                 F.coalesce("support", F.lit(0)).cast("long")
+                 .alias("support"),
+                 F.coalesce("n_pred", F.lit(0)).cast("long")
+                 .alias("n_pred"),
+                 F.coalesce("tp", F.lit(0)).cast("long").alias("tp")))
+    prec = F.when(F.col("n_pred") > 0,
+                  F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("support") > 0,
+                 F.col("tp") / F.col("support")).otherwise(0.0)
+    f1 = F.when(prec + rec > 0,
+                2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return j.select("cls", "support", "n_pred", "tp",
+                    F.round(prec, 6).alias("precision"),
+                    F.round(rec, 6).alias("recall"),
+                    F.round(f1, 6).alias("f1"))
+
+
+ORACLES["t_nb_prf"] = f"""
+WITH conf AS (
+{_nb_sql}
+), tp AS (
+    SELECT lang AS cls, n AS tp FROM conf WHERE lang = pred
+), sup AS (
+    SELECT lang AS cls, sum(n) AS support FROM conf GROUP BY 1
+), predn AS (
+    SELECT pred AS cls, sum(n) AS n_pred FROM conf GROUP BY 1
+), j AS (
+    SELECT coalesce(s.cls, p.cls) AS cls,
+           CAST(coalesce(s.support, 0) AS BIGINT) AS support,
+           CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(coalesce(t.tp, 0) AS BIGINT) AS tp
+    FROM sup s
+    FULL JOIN predn p ON p.cls = s.cls
+    LEFT JOIN tp t ON t.cls = coalesce(s.cls, p.cls)
+)
+SELECT cls, support, n_pred, tp,
+       round(CASE WHEN n_pred > 0
+                  THEN tp / CAST(n_pred AS DOUBLE) ELSE 0 END, 6)
+           AS precision,
+       round(CASE WHEN support > 0
+                  THEN tp / CAST(support AS DOUBLE) ELSE 0 END, 6)
+           AS recall,
+       round(CASE WHEN (CASE WHEN n_pred > 0
+                             THEN tp / CAST(n_pred AS DOUBLE) ELSE 0 END
+                        + CASE WHEN support > 0
+                               THEN tp / CAST(support AS DOUBLE)
+                               ELSE 0 END) > 0
+                  THEN 2 * (CASE WHEN n_pred > 0
+                                 THEN tp / CAST(n_pred AS DOUBLE)
+                                 ELSE 0 END)
+                         * (CASE WHEN support > 0
+                                 THEN tp / CAST(support AS DOUBLE)
+                                 ELSE 0 END)
+                       / ((CASE WHEN n_pred > 0
+                                THEN tp / CAST(n_pred AS DOUBLE)
+                                ELSE 0 END)
+                          + (CASE WHEN support > 0
+                                  THEN tp / CAST(support AS DOUBLE)
+                                  ELSE 0 END))
+                  ELSE 0 END, 6) AS f1
+FROM j
+""".strip()
+
+
+def q_c4_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed 4-cycles vs the configuration-model expectation
+    E[C_n] = r^n / (2n) with r = Σd(d-1)/Σd (the g_triangle_null
+    family extended to the reference's 4-cycle workload): composes
+    the oracle-green cycle DP kernel with two degree aggregates;
+    r·r·r·r, never pow(r, 4) (IEEE multiply is bit-stable cross-
+    engine, libm pow is not)."""
+    from adopt_spark.algos.cycles import cycle_count_cogroup
+
+    e = derived_edges(spark, sf_dir)
+    lt = (e.where(F.col("sid") < F.col("tid"))
+          .dropDuplicates(["sid", "tid"]))
+    sym = lt.select(F.col("sid").alias("v")).unionAll(
+        lt.select(F.col("tid").alias("v")))
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    mom = deg.agg(
+        F.sum("d").cast("double").alias("s1"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("double").alias("s2"))
+    c4 = cycle_count_cogroup(e, 4).select(
+        F.col("n_cycles").cast("double").alias("c4"))
+    r = F.col("s2") / F.col("s1")
+    exp_null = r * r * r * r / F.lit(8.0)
+    return (c4.crossJoin(mom)
+            .select(F.col("c4").cast("long").alias("n_4cycles"),
+                    F.round(exp_null, 6).alias("expected_null"),
+                    F.round(F.col("c4") / exp_null, 6).alias("ratio")))
+
+
+ORACLES["g_c4_null"] = f"""
+WITH edge AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), lt AS (
+    SELECT DISTINCT sid, tid FROM edge WHERE sid < tid
+), degs AS (
+    SELECT v, count(*) AS d FROM (
+        SELECT sid AS v FROM lt UNION ALL SELECT tid FROM lt
+    ) GROUP BY v
+), mom AS (
+    SELECT CAST(sum(d) AS DOUBLE) AS s1,
+           CAST(sum(d * (d - 1)) AS DOUBLE) AS s2
+    FROM degs
+), c4 AS (
+    {cycle_sql(4)}
+)
+SELECT CAST(c4.n AS BIGINT) AS n_4cycles,
+       round((mom.s2 / mom.s1) * (mom.s2 / mom.s1)
+             * (mom.s2 / mom.s1) * (mom.s2 / mom.s1) / 8.0, 6)
+           AS expected_null,
+       round(c4.n / ((mom.s2 / mom.s1) * (mom.s2 / mom.s1)
+             * (mom.s2 / mom.s1) * (mom.s2 / mom.s1) / 8.0), 6)
+           AS ratio
+FROM c4, mom
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9152,6 +9288,9 @@ def all_queries() -> dict[str, QueryFn]:
         "a_weighted_matching": q_weighted_matching,
         # -- (0ad) round-3 session-36: peel-then-cluster cores
         "a_core_community": q_core_community,
+        # -- (0ae) round-3 session-37: classifier report + C4 null
+        "t_nb_prf": q_nb_prf,
+        "g_c4_null": q_c4_null,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -163,3 +163,36 @@ def test_quota_validates(spark):
 
     with pytest.raises(ValueError):
         quota_stream(spark, SF, quota=0)
+
+
+def test_nb_prf_laws(spark):
+    """P/R/F1 from a known confusion matrix via the same doc fixture
+    as the confusion test: metrics recomputed by hand from the
+    engine's own matrix."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    rows = [(i, "aa" if i % 2 else "bb",
+             "alpha beta gamma" if i % 2 else "uno dos tres")
+            for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        conf = {(r.lang, r.pred): r.n
+                for r in R.q_nb_confusion(spark, "x").collect()}
+        prf = {r.cls: r for r in R.q_nb_prf(spark, "x").collect()}
+    for cls in prf:
+        tp = conf.get((cls, cls), 0)
+        sup = sum(n for (t, _), n in conf.items() if t == cls)
+        npred = sum(n for (_, p), n in conf.items() if p == cls)
+        assert prf[cls].tp == tp
+        assert prf[cls].support == sup
+        assert prf[cls].n_pred == npred
+        p_ = tp / npred if npred else 0.0
+        r_ = tp / sup if sup else 0.0
+        f_ = 2 * p_ * r_ / (p_ + r_) if p_ + r_ > 0 else 0.0
+        assert prf[cls].precision == round(p_, 6)
+        assert prf[cls].recall == round(r_, 6)
+        assert prf[cls].f1 == round(f_, 6)
+    # disjoint vocab -> perfect scores
+    assert all(r.f1 == 1.0 for r in prf.values())
