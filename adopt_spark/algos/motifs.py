@@ -316,3 +316,84 @@ def count_clique(spark: SparkSession, edges: DataFrame, n: int,
 
 def count_cycle(spark: SparkSession, edges: DataFrame, n: int) -> DataFrame:
     return run_motif(spark, edges, cycle_sql(n))
+
+
+def order_cardinalities(edges, pattern: Pattern,
+                        orders: dict[str, list[int]]):
+    """Join-order INTROSPECTION — the reason the reference exists, in
+    exact numbers: for each named atom order, the cardinality of
+    every prefix join (the intermediate-result sizes a static
+    optimizer commits to and ADOPT's UCT learns to avoid). Returns
+    DataFrame[ord_name, step, n_rows] with one row per (order,
+    prefix); counts are exact aggregates (the prefixes are COUNTED,
+    never materialized wide), so the report is deterministic and
+    value-checkable — unlike a timing-based comparison.
+
+    Each order must visit atoms connectedly (same rule as the
+    pattern validator); the atom list indexes into ``pattern``.
+    """
+    from pyspark.sql import functions as F
+
+    n = _validate_pattern(pattern)
+    spark = edges.sparkSession
+    lt = (edges.select(F.col("sid").cast("long"), F.col("tid").cast("long"))
+          .where(F.col("sid") < F.col("tid"))
+          .dropDuplicates(["sid", "tid"])
+          .localCheckpoint(eager=True))
+    rows = []
+    for name, idxs in orders.items():
+        if sorted(idxs) != list(range(len(pattern))):
+            raise ValueError(f"order {name!r} must permute all "
+                             f"{len(pattern)} atoms, got {idxs}")
+        seen_vars: set[int] = set()
+        cur = None
+        for step, ai in enumerate(idxs, 1):
+            sv, tv, _ = pattern[ai]
+            atom = lt.select(F.col("sid").alias(f"v{sv}"),
+                             F.col("tid").alias(f"v{tv}"))
+            if cur is None:
+                cur = atom
+                seen_vars = {sv, tv}
+            else:
+                shared = [f"v{x}" for x in ({sv, tv} & seen_vars)]
+                if not shared:
+                    raise ValueError(
+                        f"order {name!r} disconnects at step {step}")
+                cur = cur.join(atom, shared)
+                seen_vars |= {sv, tv}
+            rows.append((name, step, cur.count()))
+    return spark.createDataFrame(rows, "ord_name string, step int, "
+                                       "n_rows long")
+
+
+def order_cardinalities_sql(edge_sql: str, pattern: Pattern,
+                            orders: dict[str, list[int]]) -> str:
+    """DuckDB twin of :func:`order_cardinalities`: one count-star
+    prefix join per (order, step), unioned."""
+    selects = []
+    for name, idxs in orders.items():
+        for k in range(1, len(idxs) + 1):
+            tables = []
+            conds = []
+            var_owner: dict[int, str] = {}
+            for j, ai in enumerate(idxs[:k]):
+                sv, tv, _ = pattern[ai]
+                t = f"t{j}"
+                tables.append(f"lt {t}")
+                for var, col in ((sv, "sid"), (tv, "tid")):
+                    if var in var_owner:
+                        conds.append(f"{t}.{col} = {var_owner[var]}")
+                    else:
+                        var_owner[var] = f"{t}.{col}"
+            where = (" WHERE " + " AND ".join(conds)) if conds else ""
+            selects.append(
+                f"SELECT '{name}' AS ord_name, CAST({k} AS INTEGER) "
+                f"AS step, CAST(count(*) AS BIGINT) AS n_rows "
+                f"FROM {', '.join(tables)}{where}")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""WITH edge AS MATERIALIZED (
+{edge_sql}
+), lt AS MATERIALIZED (
+    SELECT DISTINCT sid, tid FROM edge WHERE sid < tid
+)
+{union}"""

@@ -9211,6 +9211,37 @@ FROM c4, mom
 """.strip()
 
 
+_ORDER_CARD_ORDERS = {
+    # triangle-closing atoms first: the selective prefix UCT finds
+    "tri_first": [0, 4, 1, 3, 2],
+    # the naive left-to-right chain: a path table before any chord
+    "chain": [0, 1, 2, 3, 4],
+    # fan out around var 1 before closing anything
+    "star1": [3, 4, 0, 1, 2],
+}
+
+
+def q_order_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order INTROSPECTION on the diamond pattern — the
+    reference's raison d'être in exact numbers: per atom order, every
+    prefix-join cardinality (the intermediate sizes a static plan
+    commits to and ADOPT's UCT learns to avoid). Counts, not
+    timings, so the regret report is deterministic and
+    value-checkable (algos/motifs.py:order_cardinalities)."""
+    from adopt_spark.algos.motifs import order_cardinalities
+
+    return order_cardinalities(derived_edges(spark, sf_dir), DIAMOND,
+                               _ORDER_CARD_ORDERS)
+
+
+from adopt_spark.algos.motifs import (  # noqa: E402
+    order_cardinalities_sql as _ord_card_sql,
+)
+
+ORACLES["g_order_cardinalities"] = _ord_card_sql(
+    DERIVED_EDGE_SQL, DIAMOND, _ORDER_CARD_ORDERS)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9291,6 +9322,8 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (0ae) round-3 session-37: classifier report + C4 null
         "t_nb_prf": q_nb_prf,
         "g_c4_null": q_c4_null,
+        # -- (0af) round-3 session-38: join-order introspection
+        "g_order_cardinalities": q_order_cardinalities,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

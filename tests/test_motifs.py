@@ -61,3 +61,66 @@ def test_range_motif(spark, powerlaw_small):
     expected = duck_count(pairs, sql)
     got = count_clique(spark, df, 3, range_preds=preds).collect()[0]["n"]
     assert got == expected
+
+
+def test_order_cardinalities_vs_python(spark):
+    """Prefix-join sizes replayed by brute-force assignment counting
+    on a small graph; the selective order's peak must undercut the
+    naive chain's on a wedge-heavy fixture."""
+    import itertools
+    from collections import defaultdict
+
+    from adopt_spark.algos.motifs import DIAMOND, order_cardinalities
+
+    # hub fixture: star around 0 + a few closing edges -> chain order
+    # fans out, triangle-first stays small
+    pairs = [(0, i) for i in range(1, 12)] + \
+            [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3), (5, 6), (6, 7)]
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    orders = {"tri_first": [0, 4, 1, 3, 2], "chain": [0, 1, 2, 3, 4]}
+    got = {(r.ord_name, r.step): r.n_rows
+           for r in order_cardinalities(df, DIAMOND, orders).collect()}
+
+    lt = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    for name, idxs in orders.items():
+        assigned = [{}]
+        for step, ai in enumerate(idxs, 1):
+            sv, tv, _ = DIAMOND[ai]
+            new = []
+            for asg in assigned:
+                for a, b in lt:
+                    cand = dict(asg)
+                    ok = True
+                    for var, val in ((sv, a), (tv, b)):
+                        if var in cand and cand[var] != val:
+                            ok = False
+                            break
+                        cand[var] = val
+                    if ok:
+                        new.append(cand)
+            # dedup assignments over the covered vars
+            seen_vars = sorted({v for j in idxs[:step]
+                                for v in DIAMOND[j][:2]})
+            uniq = {tuple(c[v] for v in seen_vars) for c in new}
+            assigned = [dict(zip(seen_vars, t)) for t in uniq]
+            assert got[(name, step)] == len(uniq), (name, step)
+    # the report exposes a real regret gap between orders (which
+    # order wins is data-dependent — exactly why the reference
+    # learns it adaptively; on this hub fixture the chain wins)
+    peak = lambda n: max(got[(n, k)] for k in range(1, 6))
+    assert peak("chain") != peak("tri_first")
+    # all orders agree on the final (full-pattern) cardinality
+    assert got[("chain", 5)] == got[("tri_first", 5)]
+
+
+def test_order_cardinalities_validation(spark):
+    import pytest as _pytest
+
+    from adopt_spark.algos.motifs import DIAMOND, order_cardinalities
+
+    df = spark.createDataFrame([(0, 1)], "sid long, tid long")
+    with _pytest.raises(ValueError):
+        order_cardinalities(df, DIAMOND, {"bad": [0, 1]})
+    with _pytest.raises(ValueError):
+        # (3,4) then (1,2): disconnected second step
+        order_cardinalities(df, DIAMOND, {"disc": [2, 0, 1, 3, 4]})
