@@ -9242,6 +9242,52 @@ ORACLES["g_order_cardinalities"] = _ord_card_sql(
     DERIVED_EDGE_SQL, DIAMOND, _ORDER_CARD_ORDERS)
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly days: STL residuals scored against
+    the per-type residual median/MAD (robust — a few true outliers
+    cannot inflate their own threshold), |resid - med| > 2 * MAD
+    flagged. The compose-three-stages detector (decompose -> robust
+    scale -> threshold) that naive z-scores-on-raw-values gets wrong
+    on seasonal series; every stage is individually oracle-green."""
+    curve = q_stl_decompose(spark, sf_dir)
+    rob = (curve.groupBy("event_type")
+           .agg(F.round(F.percentile("resid", F.lit(0.5)), 6)
+                .alias("med")))
+    d1 = curve.join(rob, "event_type")
+    mad = (d1.groupBy("event_type")
+           .agg(F.round(F.percentile(
+               F.abs(F.col("resid") - F.col("med")), F.lit(0.5)), 6)
+               .alias("mad")))
+    return (d1.join(mad, "event_type")
+            .where(F.col("mad") > 0)
+            .withColumn("score",
+                        F.round(F.abs(F.col("resid") - F.col("med"))
+                                / F.col("mad"), 6))
+            .where(F.col("score") > 2)
+            .select("event_type", "day", "m", "resid", "score"))
+
+
+ORACLES["e_seasonal_anomaly"] = f"""
+WITH curve AS (
+{ORACLES["e_stl_decompose"]}
+), rob AS (
+    SELECT event_type, round(quantile_cont(resid, 0.5), 6) AS med
+    FROM curve GROUP BY 1
+), d1 AS (
+    SELECT c.*, r.med FROM curve c JOIN rob r USING (event_type)
+), mad AS (
+    SELECT event_type,
+           round(quantile_cont(abs(resid - med), 0.5), 6) AS mad
+    FROM d1 GROUP BY 1
+)
+SELECT d.event_type, d.day, d.m, d.resid,
+       round(abs(d.resid - d.med) / m2.mad, 6) AS score
+FROM d1 d JOIN mad m2 USING (event_type)
+WHERE m2.mad > 0
+  AND round(abs(d.resid - d.med) / m2.mad, 6) > 2
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9322,8 +9368,10 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (0ae) round-3 session-37: classifier report + C4 null
         "t_nb_prf": q_nb_prf,
         "g_c4_null": q_c4_null,
-        # -- (0af) round-3 session-38: join-order introspection
+        # -- (0af) round-3 session-38: join-order introspection +
+        #    seasonal anomaly
         "g_order_cardinalities": q_order_cardinalities,
+        "e_seasonal_anomaly": q_seasonal_anomaly,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -281,3 +281,32 @@ def test_stl_decompose_vs_python(spark):
     seas = {r.day % 7: r.seasonal for r in rows_by_day.values()}
     assert max(seas, key=seas.get) in (0, 1, 2, 3, 4, 5, 6)
     assert seas[min(seas, key=seas.get)] < seas[max(seas, key=seas.get)]
+
+
+def test_seasonal_anomaly_planted_spike(spark):
+    """A planted one-day spike on an otherwise perfectly seasonal
+    series is the detector's top hit; clean days stay under the
+    threshold."""
+    import pandas as pd
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    base = pd.Timestamp("2024-05-01")
+    season = [0.0, 1.0, 2.0, 3.0, -1.0, -2.0, -3.0]
+    rows = []
+    for d in range(35):
+        v = 10.0 + season[d % 7] + (0.01 * (d % 5))   # tiny noise
+        if d == 17:
+            v += 50.0                                  # the spike
+        rows.append(("s", (base + pd.Timedelta(days=d)).to_pydatetime(), v))
+    df = spark.createDataFrame(rows,
+                               "event_type string, ts timestamp, value double")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        got = R.q_seasonal_anomaly(spark, "x").collect()
+    assert got, "spike must be flagged"
+    days = sorted(r.day for r in got)
+    spike_day = (base + pd.Timedelta(days=17)).value // 86_400_000_000_000
+    assert spike_day in days
+    top = max(got, key=lambda r: r.score)
+    assert top.day == spike_day
