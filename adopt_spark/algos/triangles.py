@@ -434,3 +434,67 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS sampled_edges,
        CAST(et.n AS BIGINT) AS exact_triangles
 FROM st CROSS JOIN et
 """.strip()
+
+
+def triangle_count_incremental(edges: DataFrame, new_flag) -> DataFrame:
+    """Incremental triangle maintenance: given the merged edge table
+    and a Column flagging NEWLY-INSERTED edges, count the triangles
+    the delta created by probing ONLY the delta edges against the
+    full adjacency — work proportional to |delta| x degree, never a
+    full recount (the streaming-graph view-maintenance primitive).
+
+    Each new triangle contains >= 1 delta edge, so enumerating
+    common neighbors of every delta edge finds each new triangle
+    once per delta edge it contains; the id-ordered triple dedup
+    collapses multi-delta triangles exactly. Base count rides along
+    by difference from the (independently oracle-checked) cogroup
+    kernel. Output one row: (n_edges, n_delta_edges,
+    n_new_triangles, n_base_triangles, n_total_triangles).
+
+    ``new_flag``: boolean Column over (sid, tid) of the lt-canonical
+    pair — deterministic on both engines (the contract uses
+    (sid + tid) % 10 = 0).
+    """
+    lt = (edges.select(F.least("sid", "tid").alias("a"),
+                       F.greatest("sid", "tid").alias("b"))
+          .where(F.col("a") != F.col("b")).distinct()
+          .withColumn("new", new_flag)
+          .localCheckpoint(eager=True))
+    adj = (lt.select(F.col("a").alias("v"), F.col("b").alias("nbr"))
+           .unionAll(lt.select(F.col("b").alias("v"),
+                               F.col("a").alias("nbr")))
+           .groupBy("v")
+           .agg(F.sort_array(F.collect_set("nbr")).alias("adj")))
+    delta = lt.where("new")
+    probe = (delta
+             .join(adj.select(F.col("v").alias("a"),
+                              F.col("adj").alias("adj_a")), "a")
+             .join(adj.select(F.col("v").alias("b"),
+                              F.col("adj").alias("adj_b")), "b")
+             .select("a", "b",
+                     F.explode(F.array_intersect("adj_a", "adj_b"))
+                     .alias("c")))
+    triples = (probe.select(
+        F.least(F.least("a", "b"), "c").alias("x"),
+        F.greatest(F.greatest("a", "b"), "c").alias("z"),
+        (F.col("a") + F.col("b") + F.col("c")
+         - F.least(F.least("a", "b"), "c")
+         - F.greatest(F.greatest("a", "b"), "c")).alias("y"))
+        .select("x", "y", "z").distinct())
+    n_new = triples.agg(F.count(F.lit(1)).alias("n_new_triangles"))
+    total = triangle_count(lt.select(F.col("a").alias("sid"),
+                                     F.col("b").alias("tid")),
+                           "cogroup").select(
+        F.col("n_triangles").alias("n_total_triangles"))
+    counts = lt.agg(F.count(F.lit(1)).alias("n_edges"),
+                    F.sum(F.when(F.col("new"), 1).otherwise(0))
+                    .cast("long").alias("n_delta_edges"))
+    return (counts.crossJoin(n_new).crossJoin(total)
+            .select("n_edges", "n_delta_edges",
+                    F.col("n_new_triangles").cast("long")
+                    .alias("n_new_triangles"),
+                    (F.col("n_total_triangles")
+                     - F.col("n_new_triangles")).cast("long")
+                    .alias("n_base_triangles"),
+                    F.col("n_total_triangles").cast("long")
+                    .alias("n_total_triangles")))

@@ -9288,6 +9288,45 @@ WHERE m2.mad > 0
 """.strip()
 
 
+def q_triangle_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle MAINTENANCE: delta edges ((a+b)%10 = 0 —
+    ~10% of the graph) probed against the full adjacency; work
+    proportional to delta x degree, never a recount; id-ordered
+    triple dedup collapses multi-delta triangles exactly
+    (algos/triangles.py:triangle_count_incremental)."""
+    from adopt_spark.algos.triangles import triangle_count_incremental
+
+    return triangle_count_incremental(
+        derived_edges(spark, sf_dir),
+        (F.col("a") + F.col("b")) % 10 == 0)
+
+
+ORACLES["g_triangle_incremental"] = f"""
+WITH edge AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), lt AS MATERIALIZED (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b,
+           (least(sid, tid) + greatest(sid, tid)) % 10 = 0 AS new
+    FROM edge WHERE sid <> tid
+), tris AS MATERIALIZED (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z,
+           (e1.new OR e2.new OR e3.new) AS any_new
+    FROM lt e1
+    JOIN lt e2 ON e2.a = e1.a AND e1.b < e2.b
+    JOIN lt e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM lt) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM lt WHERE new)
+           AS n_delta_edges,
+       CAST(sum(CASE WHEN any_new THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_triangles,
+       CAST(sum(CASE WHEN any_new THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_base_triangles,
+       CAST(count(*) AS BIGINT) AS n_total_triangles
+FROM tris
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9372,6 +9411,7 @@ def all_queries() -> dict[str, QueryFn]:
         #    seasonal anomaly
         "g_order_cardinalities": q_order_cardinalities,
         "e_seasonal_anomaly": q_seasonal_anomaly,
+        "g_triangle_incremental": q_triangle_incremental,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -74,3 +74,30 @@ def test_triangle_sampled_p100_is_exact(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         triangle_count_sampled(e, 0)
+
+
+def test_triangle_incremental_vs_python(spark, powerlaw_small):
+    """Delta accounting replayed in python: triangles with >= 1 new
+    edge + base/total identities."""
+    from pyspark.sql import functions as F
+
+    from adopt_spark.algos.triangles import triangle_count_incremental
+
+    df, pairs = powerlaw_small
+    lt = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    adj = {}
+    for a, b in lt:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = {tuple(sorted((a, b, c)))
+            for a, b in lt for c in adj[a] & adj[b]}
+    new = lambda e: (e[0] + e[1]) % 7 == 0
+    n_new = sum(1 for (x, y, z) in tris
+                if new((x, y)) or new((x, z)) or new((y, z)))
+    row = triangle_count_incremental(
+        df, (F.col("a") + F.col("b")) % 7 == 0).collect()[0]
+    assert row.n_edges == len(lt)
+    assert row.n_delta_edges == sum(1 for e in lt if new(e))
+    assert row.n_new_triangles == n_new
+    assert row.n_total_triangles == len(tris)
+    assert row.n_base_triangles == len(tris) - n_new
