@@ -2125,3 +2125,19 @@ def weighted_matching_sql(edge_sql: str,
 SELECT a AS sid, b AS tid, wt AS w FROM (
 {union}
 )"""
+
+
+def pagerank_deltas_sql(edge_sql: str, k_iters: int = 8,
+                        damping: float = PR_DAMPING) -> str:
+    """Per-superstep L1 convergence curve: reuse pagerank_fixed_sql's
+    unrolled r0..rk chain, replace the final vector SELECT with one
+    delta row per step — sum over v of |r_i - r_{i-1}| (6 dp). The
+    oracle for the engine's own convergence telemetry."""
+    base = pagerank_fixed_sql(edge_sql, k_iters=k_iters, damping=damping)
+    head, _ = base.rsplit("\nSELECT v, CAST(round(r, 6) AS DOUBLE)", 1)
+    deltas = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS INTEGER) AS iteration, "
+        f"round((SELECT sum(abs(a.r - b.r)) FROM r{i} a "
+        f"JOIN r{i-1} b USING (v)), 6) AS l1_delta"
+        for i in range(1, k_iters + 1))
+    return f"{head}\n{deltas}"

@@ -9327,6 +9327,24 @@ FROM tris
 """.strip()
 
 
+def q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's own convergence TELEMETRY, oracle-checked: the
+    per-superstep L1 delta the production loop records (the north
+    rule's convergence criterion) for 8 fixed supersteps, compared
+    against the unrolled recurrence's |r_i - r_{i-1}| sums — so the
+    monitoring a cluster operator alerts on is itself value-verified
+    (oracle_gen.pagerank_deltas_sql)."""
+    e = derived_edges(spark, sf_dir)
+    _, metrics = pagerank(spark, e, tol=0.0, max_iter=8)
+    rows = [(m["iteration"] + 1, round(m["l1_delta"], 6))
+            for m in metrics]
+    return spark.createDataFrame(rows, "iteration int, l1_delta double")
+
+
+ORACLES["a_pagerank_convergence"] = _og.pagerank_deltas_sql(
+    DERIVED_EDGE_SQL, 8)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9412,6 +9430,8 @@ def all_queries() -> dict[str, QueryFn]:
         "g_order_cardinalities": q_order_cardinalities,
         "e_seasonal_anomaly": q_seasonal_anomaly,
         "g_triangle_incremental": q_triangle_incremental,
+        # -- (0ag) round-3 session-40: convergence telemetry oracle
+        "a_pagerank_convergence": q_pagerank_convergence,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -55,3 +55,15 @@ def test_spam_mass_separates_farm_from_trusted(spark):
         assert mass[good] < 0.5
         for spam in (10, 11, 12, 13):
             assert mass[good] < mass[spam]
+
+
+def test_convergence_telemetry_contracts(spark, powerlaw_small):
+    """The recorded L1 deltas are positive and contract overall (the
+    value-level parity with the unrolled recurrence is the contract
+    gate's job; this pins the telemetry's shape)."""
+    df, _ = powerlaw_small
+    _, metrics = pagerank(spark, df, tol=0.0, max_iter=8)
+    deltas = [m["l1_delta"] for m in metrics]
+    assert len(deltas) == 8
+    assert all(d > 0 for d in deltas)
+    assert deltas[-1] < deltas[0] / 3     # geometric-ish contraction
