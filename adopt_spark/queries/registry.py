@@ -9345,6 +9345,60 @@ ORACLES["a_pagerank_convergence"] = _og.pagerank_deltas_sql(
     DERIVED_EDGE_SQL, 8)
 
 
+_CL_N = 400
+_CL_A, _CL_B, _CL_M = 1_103_515_245, 12_345, 2_147_483_647
+
+
+def q_chung_lu_gen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Chung-Lu-style graph GENERATOR, oracle-checked —
+    the law behind the repo's scale benchmarks, published as an
+    operator: harmonic weights w_i = 1 + n//(i+1) (heavy tail, exact
+    integers, no libm), pair (i, j) kept iff
+    LCG(i, j) % S < w_i * w_j (expected degree ∝ w); output = the
+    generated graph's degree histogram. Enumerating the n² pair
+    space is the fixture-scale path; the benchmarks' generator
+    samples per-vertex instead (same law, linear work)."""
+    n = _CL_N
+    v = spark.range(n)
+    pairs = (v.select(F.col("id").alias("i"))
+             .crossJoin(v.select(F.col("id").alias("j")))
+             .where(F.col("i") < F.col("j")))
+    # integral div, not floor(double /): bit-exact on both engines
+    wi = 1 + F.expr(f"{n} div (i + 1)")
+    wj = 1 + F.expr(f"{n} div (j + 1)")
+    s = sum(1 + n // (k + 1) for k in range(n))
+    gate = (F.col("i") * _CL_A + F.col("j") * _CL_B) % _CL_M % s
+    edges = pairs.where(gate < wi * wj)
+    deg = (edges.select(F.col("i").alias("v"))
+           .unionAll(edges.select(F.col("j").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    return (deg.groupBy("deg")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+            .select(F.col("deg").cast("long"), "n_vertices"))
+
+
+_CL_S = sum(1 + _CL_N // (k + 1) for k in range(_CL_N))
+
+ORACLES["g_chung_lu_gen"] = f"""
+WITH pairs AS (
+    SELECT a.i, b.i AS j
+    FROM range({_CL_N}) a(i), range({_CL_N}) b(i)
+    WHERE a.i < b.i
+), edges AS (
+    SELECT i, j FROM pairs
+    WHERE (i * {_CL_A} + j * {_CL_B}) % {_CL_M} % {_CL_S}
+          < (1 + {_CL_N} // (i + 1)) * (1 + {_CL_N} // (j + 1))
+), deg AS (
+    SELECT v, count(*) AS deg FROM (
+        SELECT i AS v FROM edges UNION ALL SELECT j FROM edges
+    ) GROUP BY v
+)
+SELECT CAST(deg AS BIGINT) AS deg,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY deg
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9430,8 +9484,10 @@ def all_queries() -> dict[str, QueryFn]:
         "g_order_cardinalities": q_order_cardinalities,
         "e_seasonal_anomaly": q_seasonal_anomaly,
         "g_triangle_incremental": q_triangle_incremental,
-        # -- (0ag) round-3 session-40: convergence telemetry oracle
+        # -- (0ag) round-3 session-40: convergence telemetry oracle +
+        #    generator law
         "a_pagerank_convergence": q_pagerank_convergence,
+        "g_chung_lu_gen": q_chung_lu_gen,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -80,3 +80,31 @@ def test_partition_quality_validation(spark):
     df = spark.createDataFrame([(0, 1)], "sid long, tid long")
     with pytest.raises(ValueError):
         partition_quality(df, 1)
+
+
+def test_chung_lu_gen_heavy_tail_and_python_parity(spark):
+    """The generator law replayed in python; the weight law must
+    produce a heavy tail (hub degrees >> median)."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    with mock.patch.object(R, "_t", lambda s_, sf, name: None):
+        hist = {r.deg: r.n_vertices
+                for r in R.q_chung_lu_gen(spark, "x").collect()}
+
+    n, A, B, M = R._CL_N, R._CL_A, R._CL_B, R._CL_M
+    s = sum(1 + n // (k + 1) for k in range(n))
+    deg = {}
+    for i in range(n):
+        wi = 1 + n // (i + 1)
+        for j in range(i + 1, n):
+            wj = 1 + n // (j + 1)
+            if (i * A + j * B) % M % s < wi * wj:
+                deg[i] = deg.get(i, 0) + 1
+                deg[j] = deg.get(j, 0) + 1
+    want = {}
+    for d in deg.values():
+        want[d] = want.get(d, 0) + 1
+    assert hist == want
+    assert max(deg.values()) > 10 * sorted(deg.values())[len(deg) // 2]
