@@ -9399,6 +9399,64 @@ FROM deg GROUP BY deg
 """.strip()
 
 
+def q_relabel_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locality-aware vertex RELABELING (BFS order from the min-sid
+    source, rank by (hop, id) — the Cuthill-McKee idea without the
+    degree refinement) and its payoff: the graph's edge bandwidth
+    max|label(u) - label(v)| before vs after. Small bandwidth means
+    adjacent vertices land in the same CSR block / partition range —
+    the layout lever behind layout.py's sorted adjacency at 10^12
+    edges. One BFS + one rank window + one edge join."""
+    from pyspark.sql import Window
+
+    from adopt_spark.algos.paths import shortest_paths
+
+    e = derived_edges_sparse(spark, sf_dir)
+    src = int(e.agg(F.min("sid")).collect()[0][0])
+    dist, _ = shortest_paths(spark, e, src, weighted=False,
+                             directed=False)
+    w = Window.orderBy("dist", "v")
+    relab = dist.withColumn("r", F.row_number().over(w))
+    lt = (e.select(F.least("sid", "tid").alias("a"),
+                   F.greatest("sid", "tid").alias("b"))
+          .where(F.col("a") != F.col("b")).distinct())
+    j = (lt.join(relab.select(F.col("v").alias("a"),
+                              F.col("r").alias("ra")), "a")
+         .join(relab.select(F.col("v").alias("b"),
+                            F.col("r").alias("rb")), "b"))
+    return (j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.max(F.abs(F.col("a") - F.col("b"))).cast("long")
+        .alias("bw_before"),
+        F.max(F.abs(F.col("ra") - F.col("rb"))).cast("long")
+        .alias("bw_after"))
+        .crossJoin(relab.agg(F.count(F.lit(1)).cast("long")
+                             .alias("n_reached"))))
+
+
+ORACLES["g_relabel_bandwidth"] = f"""
+WITH dist AS (
+{_og.shortest_path_sql(SPARSE_EDGE_SQL, _og.BFS_ROUNDS,
+                       weighted=False, directed=False)}
+), relab AS (
+    SELECT v, row_number() OVER (ORDER BY dist, v) AS r FROM dist
+), lt AS (
+    SELECT DISTINCT least(sid, tid) AS a, greatest(sid, tid) AS b
+    FROM ({SPARSE_EDGE_SQL}) WHERE sid <> tid
+), j AS (
+    SELECT l.a, l.b, ra.r AS ra, rb.r AS rb
+    FROM lt l
+    JOIN relab ra ON ra.v = l.a
+    JOIN relab rb ON rb.v = l.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(max(abs(a - b)) AS BIGINT) AS bw_before,
+       CAST(max(abs(ra - rb)) AS BIGINT) AS bw_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM relab) AS n_reached
+FROM j
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9488,6 +9546,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    generator law
         "a_pagerank_convergence": q_pagerank_convergence,
         "g_chung_lu_gen": q_chung_lu_gen,
+        # -- (0ah) round-3 session-41: locality relabeling
+        "g_relabel_bandwidth": q_relabel_bandwidth,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -281,3 +281,25 @@ def test_widest_paths_bottleneck_law(spark):
            widest_paths(spark, df, 0, directed=True)[0].collect()}
     assert got[2] == max(w02, min(w01, w12))
     assert got[1] == w01
+
+
+def test_relabel_bandwidth_on_a_path_graph(spark):
+    """BFS relabeling of a scrambled path graph recovers bandwidth 1
+    (consecutive labels along the path) from a big original
+    bandwidth."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    # path over scrambled ids: bandwidth_before is large, after = 1
+    ids = [5, 900, 17, 3000, 42, 77, 12345, 8]
+    pairs = [(min(a, b), max(a, b)) for a, b in zip(ids, ids[1:])]
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    with mock.patch.object(R, "derived_edges_sparse",
+                           lambda s_, sf: df):
+        row = R.q_relabel_bandwidth(spark, "x").collect()[0]
+    assert row.n_reached == len(ids)
+    assert row.n_edges == len(pairs)
+    assert row.bw_before == max(abs(a - b) for a, b in pairs)
+    # BFS from min id (5) walks the path in order -> consecutive ranks
+    assert row.bw_after == 1
