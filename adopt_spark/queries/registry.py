@@ -9457,6 +9457,24 @@ FROM j
 """.strip()
 
 
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-user EWMA (alpha = 0.5): three scalars of state
+    per key drive the online recursion e_t = ax_t + (1-a)e_{t-1};
+    at completion the stream equals the batch closed form with
+    pow(0.5, k) weights — exact on both engines since powers of two
+    are exact doubles (streaming/ewma.py:ewma_stream)."""
+    from adopt_spark.streaming.ewma import ewma_stream
+
+    return ewma_stream(spark, sf_dir)
+
+
+from adopt_spark.streaming.ewma import (  # noqa: E402
+    EWMA_STREAM_SQL as _sewma_sql,
+)
+
+ORACLES["e_stream_ewma"] = _sewma_sql
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9546,8 +9564,10 @@ def all_queries() -> dict[str, QueryFn]:
         #    generator law
         "a_pagerank_convergence": q_pagerank_convergence,
         "g_chung_lu_gen": q_chung_lu_gen,
-        # -- (0ah) round-3 session-41: locality relabeling
+        # -- (0ah) round-3 session-41: locality relabeling +
+        #    streaming EWMA
         "g_relabel_bandwidth": q_relabel_bandwidth,
+        "e_stream_ewma": q_stream_ewma,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
