@@ -9475,6 +9475,119 @@ from adopt_spark.streaming.ewma import (  # noqa: E402
 ORACLES["e_stream_ewma"] = _sewma_sql
 
 
+def q_balance_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-balance census (Heider/Cartwright-Harary): edges
+    signed by the deterministic law sign = +1 iff contract weight is
+    even, triangles classified by their negative-edge count — a
+    triangle is BALANCED iff #neg is even (the product of signs is
+    +). The signed-network analysis layer over the same id-ordered
+    triangle join as the motif suite; one row out."""
+    from adopt_spark.algos.paths import contract_weight
+
+    e = derived_edges(spark, sf_dir)
+    lt = (e.where(F.col("sid") < F.col("tid"))
+          .dropDuplicates(["sid", "tid"])
+          .withColumn("neg", (contract_weight(F.col("sid"), F.col("tid"))
+                              % 2 == 1).cast("int")))
+    e1 = lt.select(F.col("sid").alias("a"), F.col("tid").alias("b"),
+                   F.col("neg").alias("n1"))
+    e2 = lt.select(F.col("sid").alias("a"), F.col("tid").alias("c"),
+                   F.col("neg").alias("n2"))
+    e3 = lt.select(F.col("sid").alias("b"), F.col("tid").alias("c"),
+                   F.col("neg").alias("n3"))
+    tris = (e1.join(e2, "a").where(F.col("b") < F.col("c"))
+            .join(e3, ["b", "c"])
+            .select((F.col("n1") + F.col("n2") + F.col("n3"))
+                    .alias("k_neg")))
+    agg = [F.sum(F.when(F.col("k_neg") == k, 1).otherwise(0))
+           .cast("long").alias(f"n_{k}neg") for k in range(4)]
+    return (tris.agg(*agg,
+                     F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .select("*",
+                    F.round((F.col("n_0neg") + F.col("n_2neg"))
+                            / F.col("n_triangles"), 6)
+                    .alias("balanced_frac")))
+
+
+ORACLES["g_balance_census"] = f"""
+WITH edge AS MATERIALIZED (
+{DERIVED_EDGE_SQL}
+), lt AS MATERIALIZED (
+    SELECT sid, tid,
+           CASE WHEN (1 + (sid * 7 + tid * 13) % 10) % 2 = 1
+                THEN 1 ELSE 0 END AS neg
+    FROM (SELECT DISTINCT sid, tid FROM edge WHERE sid < tid)
+), tris AS (
+    SELECT e1.neg + e2.neg + e3.neg AS k_neg
+    FROM lt e1
+    JOIN lt e2 ON e2.sid = e1.sid AND e1.tid < e2.tid
+    JOIN lt e3 ON e3.sid = e1.tid AND e3.tid = e2.tid
+)
+SELECT CAST(sum(CASE WHEN k_neg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_0neg,
+       CAST(sum(CASE WHEN k_neg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_1neg,
+       CAST(sum(CASE WHEN k_neg = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_2neg,
+       CAST(sum(CASE WHEN k_neg = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_3neg,
+       CAST(count(*) AS BIGINT) AS n_triangles,
+       round((sum(CASE WHEN k_neg = 0 THEN 1 ELSE 0 END)
+              + sum(CASE WHEN k_neg = 2 THEN 1 ELSE 0 END))
+             / CAST(count(*) AS DOUBLE), 6) AS balanced_frac
+FROM tris
+""".strip()
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (time-to-next): each click matched to the
+    user's EARLIEST view at-or-after it, plus the wait in seconds —
+    the time-to-next-event analysis (backward as-of can't answer
+    it). Implemented by running the engine's as-of carry on the
+    NEGATED epoch key (max of negated = min of original), a
+    composition rather than a second operator."""
+    from adopt_spark.functions.interval import asof_join
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "nts", -F.unix_micros(F.col("ts").cast("timestamp")))
+    clicks = e.where(F.col("event_type") == "click") \
+              .select("event_id", "user_id", "nts")
+    views = (e.where(F.col("event_type") == "view")
+             .groupBy("user_id", "nts")
+             .agg(F.max("event_id").alias("view_id")))
+    out = asof_join(clicks, views, on="nts", by=["user_id"],
+                    right_cols=["view_id", "nts"], prefix="nx_")
+    return out.select(
+        "event_id", "user_id",
+        (-F.col("nts")).alias("ts_us"),
+        F.col("nx_view_id").alias("next_view_id"),
+        F.round((F.col("nts") - F.col("nx_nts")) / 1_000_000.0, 6)
+        .alias("wait_s"))
+
+
+ORACLES["e_asof_forward"] = """
+WITH clicks AS (
+    SELECT event_id, user_id,
+           CAST(floor(epoch_us(ts)) AS BIGINT) AS ts_us
+    FROM events WHERE event_type = 'click'
+), views AS (
+    SELECT user_id, CAST(floor(epoch_us(ts)) AS BIGINT) AS ts_us,
+           max(event_id) AS view_id
+    FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), nxt AS (
+    SELECT c.event_id, c.user_id, c.ts_us,
+           min_by(v.view_id, v.ts_us) AS next_view_id,
+           min(v.ts_us) AS next_ts
+    FROM clicks c LEFT JOIN views v
+      ON v.user_id = c.user_id AND v.ts_us >= c.ts_us
+    GROUP BY 1, 2, 3
+)
+SELECT event_id, user_id, ts_us, next_view_id,
+       round((next_ts - ts_us) / 1000000.0, 6) AS wait_s
+FROM nxt
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9568,6 +9681,9 @@ def all_queries() -> dict[str, QueryFn]:
         #    streaming EWMA
         "g_relabel_bandwidth": q_relabel_bandwidth,
         "e_stream_ewma": q_stream_ewma,
+        # -- (0ai) round-3 session-43: signed balance + forward as-of
+        "g_balance_census": q_balance_census,
+        "e_asof_forward": q_asof_forward,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -254,3 +254,32 @@ def test_asof_tolerance_validation(spark):
     with _pytest.raises(ValueError):
         asof_join(df, df, on="t", by=["k"], right_cols=["id"],
                   tolerance=-1)
+
+
+def test_asof_forward_hand_case(spark):
+    """Forward as-of on a tiny timeline: next view at-or-after each
+    click, NULL when none follows."""
+    from unittest import mock
+
+    import pandas as pd
+
+    from adopt_spark.queries import registry as R
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, base + pd.Timedelta(seconds=10), 7, "click", 0.0),
+        (2, base + pd.Timedelta(seconds=30), 7, "view", 0.0),
+        (3, base + pd.Timedelta(seconds=40), 7, "click", 0.0),
+        (4, base + pd.Timedelta(seconds=40), 7, "view", 0.0),
+        (5, base + pd.Timedelta(seconds=99), 7, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t.to_pydatetime(), u, et, v) for i, t, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        got = {r.event_id: (r.next_view_id, r.wait_s)
+               for r in R.q_asof_forward(spark, "x").collect()}
+    assert got[1] == (2, 20.0)        # next view 20s later
+    assert got[3] == (4, 0.0)         # same-instant view matches
+    assert got[5] == (None, None)     # nothing follows

@@ -124,3 +124,30 @@ def test_order_cardinalities_validation(spark):
     with _pytest.raises(ValueError):
         # (3,4) then (1,2): disconnected second step
         order_cardinalities(df, DIAMOND, {"disc": [2, 0, 1, 3, 4]})
+
+
+def test_balance_census_vs_python(spark, powerlaw_small):
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    df, pairs = powerlaw_small
+    with mock.patch.object(R, "derived_edges", lambda s_, sf: df):
+        row = R.q_balance_census(spark, "x").collect()[0]
+
+    lt = {(a, b) for a, b in pairs if a < b}
+    adj = {}
+    for a, b in lt:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    neg = lambda a, b: (1 + (a * 7 + b * 13) % 10) % 2 == 1
+    counts = [0, 0, 0, 0]
+    for a, b in lt:
+        for c in (adj[a] & adj[b]):
+            if c > b:
+                k = sum([neg(a, b), neg(a, c), neg(b, c)])
+                counts[k] += 1
+    total = sum(counts)
+    assert [row.n_0neg, row.n_1neg, row.n_2neg, row.n_3neg] == counts
+    assert row.n_triangles == total
+    assert row.balanced_frac == round((counts[0] + counts[2]) / total, 6)
