@@ -9588,6 +9588,83 @@ FROM nxt
 """.strip()
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the modern
+    A/B analysis): pre-period covariate x = each user's mean value
+    before the median day, outcome y = mean after; theta = cov(x,y)
+    / var(x) fitted on users with both periods, adjusted outcome
+    y' = y - theta (x - mean_x). Per variant (user_id % 2): n,
+    mean_y, mean_adj, and the variance ratio var(y')/var(y) — the
+    whole estimator is closed-form aggregates; x and y are
+    6 dp-quantized BEFORE the moment sums so both engines feed the
+    normal equations identical values."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(86_400_000_000)).cast("long")
+    d = ev.select("user_id", "value", day.alias("day"))
+    med = d.agg(F.expr("percentile(day, 0.5)").alias("m"))
+    per_user = (d.crossJoin(F.broadcast(med))
+                .groupBy("user_id")
+                .agg(F.round(F.avg(F.when(F.col("day") < F.col("m"),
+                                          F.col("value"))), 6).alias("x"),
+                     F.round(F.avg(F.when(F.col("day") >= F.col("m"),
+                                          F.col("value"))), 6).alias("y"))
+                .where(F.col("x").isNotNull() & F.col("y").isNotNull()))
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    theta = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+             / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")))
+    adj = (per_user.crossJoin(F.broadcast(mom))
+           .withColumn("yadj",
+                       F.col("y") - theta
+                       * (F.col("x") - F.col("sx") / F.col("n"))))
+    return (adj.groupBy((F.col("user_id") % 2).cast("long")
+                        .alias("variant"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                 F.round(F.avg("y"), 6).alias("mean_y"),
+                 F.round(F.avg("yadj"), 6).alias("mean_adj"),
+                 F.round(F.var_samp("yadj") / F.var_samp("y"), 6)
+                 .alias("var_ratio")))
+
+
+ORACLES["e_cuped"] = """
+WITH d AS (
+    SELECT user_id, value,
+           CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+    FROM events
+), med AS (
+    SELECT quantile_cont(day, 0.5) AS m FROM d
+), per_user AS (
+    SELECT user_id,
+           round(avg(CASE WHEN day < (SELECT m FROM med)
+                          THEN value END), 6) AS x,
+           round(avg(CASE WHEN day >= (SELECT m FROM med)
+                          THEN value END), 6) AS y
+    FROM d GROUP BY user_id
+    HAVING x IS NOT NULL AND y IS NOT NULL
+), mom AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * y) AS sxy, sum(x * x) AS sxx
+    FROM per_user
+), adj AS (
+    SELECT p.user_id, p.y,
+           p.y - ((m.sxy - m.sx * m.sy / m.n)
+                  / (m.sxx - m.sx * m.sx / m.n))
+                 * (p.x - m.sx / m.n) AS yadj
+    FROM per_user p, mom m
+)
+SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 6) AS mean_y,
+       round(avg(yadj), 6) AS mean_adj,
+       round(var_samp(yadj) / var_samp(y), 6) AS var_ratio
+FROM adj GROUP BY 1
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9684,6 +9761,7 @@ def all_queries() -> dict[str, QueryFn]:
         # -- (0ai) round-3 session-43: signed balance + forward as-of
         "g_balance_census": q_balance_census,
         "e_asof_forward": q_asof_forward,
+        "e_cuped": q_cuped,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -207,3 +207,37 @@ def test_markov_absorb_vs_numpy(spark, tmp_path):
         p = new
     assert got == {s: round(p[s], 6) for s in states}
     assert got["a"] == 1.0      # a always reaches b
+
+
+def test_cuped_reduces_variance_on_correlated_fixture(spark):
+    """When pre and post are strongly correlated per user, CUPED's
+    adjusted variance drops well below raw; the adjusted mean is
+    unbiased (equals raw mean up to rounding since E[x - x_bar] = 0
+    within the fitted population)."""
+    import datetime
+
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    t_pre = datetime.datetime(2024, 1, 1)
+    t_post = datetime.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for uid in range(60):
+        base = 10.0 + (uid % 13)          # stable per-user level
+        for k in range(3):
+            rows.append((eid, t_pre + datetime.timedelta(hours=k),
+                         uid, "a", base + 0.1 * k))
+            eid += 1
+            rows.append((eid, t_post + datetime.timedelta(hours=k),
+                         uid, "a", base + 1.0 + 0.1 * k))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        got = {r.variant: r for r in R.q_cuped(spark, "x").collect()}
+    assert set(got) == {0, 1}
+    for r in got.values():
+        assert r.var_ratio < 0.05        # near-perfect covariate
+        assert abs(r.mean_adj - r.mean_y) < 0.5
