@@ -93,3 +93,55 @@ def test_ivf_degenerate_corpus(spark):
     import pytest
     with pytest.raises(ValueError, match="ragged"):
         ivf_topk(ragged, q, k=3)
+
+
+def test_round3_late_session_ops_on_empty_and_single(spark, empty, one_edge):
+    """Sessions 23-44 surfaces on empty / single-edge graphs: return
+    well-formed (possibly empty) results, never throw."""
+    from adopt_spark.algos.cc import percolation_profile
+    from adopt_spark.algos.cycles import cycle_count_cogroup
+    from adopt_spark.algos.matching import weighted_matching
+    from adopt_spark.algos.paths import widest_paths
+    from adopt_spark.algos.roles import refex_roles
+    from adopt_spark.algos.sparsify import local_sparsify, sparsify_report
+    from adopt_spark.algos.triangles import triangle_count_incremental
+    from adopt_spark.algos.vertex_metrics import (
+        quotient_graph, structural_equiv,
+    )
+
+    assert structural_equiv(empty).count() == 0
+    assert local_sparsify(empty).count() == 0
+    assert refex_roles(empty).count() == 0
+    assert weighted_matching(empty).count() == 0
+    # single edge: its two endpoints mirror each other (deg-1 twins
+    # with different neighbors -> NOT equivalent), sparsify keeps it,
+    # matching takes it
+    assert local_sparsify(one_edge).count() == 1
+    assert weighted_matching(one_edge).count() == 1
+    q = quotient_graph(one_edge).collect()[0]
+    assert (q.n_vertices, q.n_edges) == (2, 1)
+    w, _ = widest_paths(spark, empty, 0)
+    assert w.count() == 0
+    perc = percolation_profile(spark, one_edge, ps=(100,)).collect()[0]
+    assert perc.n_edges == 1 and perc.largest == 2
+    row = triangle_count_incremental(
+        one_edge, (F.col("a") + F.col("b")) % 2 == 0).collect()[0]
+    assert row.n_total_triangles == 0
+    assert cycle_count_cogroup(empty, 4).collect()[0][0] == 0
+
+
+def test_round3_text_ops_on_trivial_docs(spark):
+    """Classifier / DSIR / fertility on one-doc and empty-text
+    corpora: degrade gracefully."""
+    from adopt_spark.functions.classify import nb_lang_confusion
+    from adopt_spark.functions.sampling import dsir_sample
+
+    one = spark.createDataFrame([(1, "en", "hello world")],
+                                "doc_id long, lang string, text string")
+    # doc 1 lands in the train split -> empty test -> empty confusion
+    assert nb_lang_confusion(one).count() == 0
+    sel = dsir_sample(one, keep_pct=100)
+    assert sel.count() == 1
+    blank = spark.createDataFrame([(1, "en", ""), (2, "de", "x y")],
+                                  "doc_id long, lang string, text string")
+    assert dsir_sample(blank, keep_pct=100).count() >= 1
