@@ -9665,6 +9665,45 @@ FROM adj GROUP BY 1
 """.strip()
 
 
+def q_lpa_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community MIXING MATRIX: per unordered label pair (la <= lb)
+    the number of lt edges linking LPA communities — the
+    block-structure view behind modularity (diagonal mass = internal
+    edges), on the SPARSE graph where LPA finds real structure;
+    composes the fixed-iteration LPA labels with one
+    edge-label join + one aggregate."""
+    from adopt_spark.queries.oracle_gen import LPA_ITERS
+
+    e = derived_edges_sparse(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, max_iter=LPA_ITERS)
+    lt = (e.where(F.col("sid") < F.col("tid"))
+          .dropDuplicates(["sid", "tid"]))
+    j = (lt.join(labels.select(F.col("v").alias("sid"),
+                               F.col("label").alias("la")), "sid")
+         .join(labels.select(F.col("v").alias("tid"),
+                             F.col("label").alias("lb")), "tid"))
+    return (j.select(F.least("la", "lb").alias("label_a"),
+                     F.greatest("la", "lb").alias("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+
+
+ORACLES["a_lpa_mixing"] = f"""
+WITH labels AS (
+{_og.lpa_fixed_sql(SPARSE_EDGE_SQL, output="labels")}
+), lt AS (
+    SELECT DISTINCT sid, tid FROM ({SPARSE_EDGE_SQL}) WHERE sid < tid
+)
+SELECT least(a.label, b.label) AS label_a,
+       greatest(a.label, b.label) AS label_b,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM lt
+JOIN labels a ON a.v = lt.sid
+JOIN labels b ON b.v = lt.tid
+GROUP BY 1, 2
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9762,6 +9801,7 @@ def all_queries() -> dict[str, QueryFn]:
         "g_balance_census": q_balance_census,
         "e_asof_forward": q_asof_forward,
         "e_cuped": q_cuped,
+        "a_lpa_mixing": q_lpa_mixing,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -258,3 +258,24 @@ def test_percolation_profile_vs_python(spark, powerlaw_small):
     # monotonicity: more surviving edges -> fewer, larger components
     assert got[80][0] > got[40][0]
     assert got[80][3] >= got[40][3]
+
+
+def test_lpa_mixing_two_cliques(spark):
+    """Two K5s + one bridge: diagonal mass = 2x10 internal edges, one
+    off-diagonal cell with the bridge."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    k5a = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k5b = [(a + 10, b + 10) for a in range(5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k5a + k5b + [(0, 10)],
+                               "sid long, tid long")
+    with mock.patch.object(R, "derived_edges_sparse",
+                           lambda s_, sf: df):
+        got = {(r.label_a, r.label_b): r.n_edges
+               for r in R.q_lpa_mixing(spark, "x").collect()}
+    diag = {k: v for k, v in got.items() if k[0] == k[1]}
+    off = {k: v for k, v in got.items() if k[0] != k[1]}
+    assert sorted(diag.values()) == [10, 10]
+    assert sum(off.values()) == 1
