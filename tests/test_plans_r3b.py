@@ -103,3 +103,53 @@ def test_refex_roles_no_cartesian(spark):
     plan = physical_plan(refex_roles(_edges(spark)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_tfidf_sim_is_term_keyed_not_doc_cross(spark):
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: docs):
+        plan = physical_plan(R.q_tfidf_sim(spark, "x"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan     # term equi-joins only
+
+
+def test_item_recs_no_cartesian(spark):
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: li):
+        plan = physical_plan(R.q_item_recs(spark, "x"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_cuped_single_pass_aggregates(spark):
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: ev):
+        plan = physical_plan(R.q_cuped(spark, "x"))
+    assert "CartesianProduct" not in plan
+    # median (re-planned per consumer branch) + moments frames are
+    # 1-row broadcasts — never a data-sized side
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_balance_census_equi_join_triangle(spark):
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (0, 2)],
+                               "sid long, tid long")
+    with mock.patch.object(R, "derived_edges", lambda s_, sf: df):
+        plan = physical_plan(R.q_balance_census(spark, "x"))
+    assert "CartesianProduct" not in plan
