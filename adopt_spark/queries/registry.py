@@ -9704,6 +9704,27 @@ GROUP BY 1, 2
 """.strip()
 
 
+def q_edge_swap_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMPIRICAL configuration null beside the closed-form ones: one
+    deterministic double-edge-swap round (LCG pairing, crossed
+    rewiring, accept iff no self-loop / intra-pair duplicate /
+    pre-existing edge), triangles counted on the rewired graph;
+    degrees preserved exactly modulo the REPORTED cross-pair
+    collisions. Deterministic, so the null graph itself is
+    value-checked — a rand() swap chain never could be
+    (algos/nullmodel.py:edge_swap_null)."""
+    from adopt_spark.algos.nullmodel import edge_swap_null
+
+    return edge_swap_null(derived_edges(spark, sf_dir))
+
+
+from adopt_spark.algos.nullmodel import (  # noqa: E402
+    edge_swap_null_sql as _swap_sql,
+)
+
+ORACLES["g_edge_swap_null"] = _swap_sql(DERIVED_EDGE_SQL)
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9802,6 +9823,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_asof_forward": q_asof_forward,
         "e_cuped": q_cuped,
         "a_lpa_mixing": q_lpa_mixing,
+        "g_edge_swap_null": q_edge_swap_null,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -151,3 +151,54 @@ def test_balance_census_vs_python(spark, powerlaw_small):
     assert [row.n_0neg, row.n_1neg, row.n_2neg, row.n_3neg] == counts
     assert row.n_triangles == total
     assert row.balanced_frac == round((counts[0] + counts[2]) / total, 6)
+
+
+def test_edge_swap_null_vs_python(spark, powerlaw_small):
+    """The whole deterministic swap round replayed in python:
+    pairing, acceptance, collisions, triangle counts — plus the
+    degree-preservation law on the accepted swaps."""
+    from collections import Counter
+
+    from adopt_spark.algos.nullmodel import (
+        SWAP_A, SWAP_B, SWAP_M, edge_swap_null,
+    )
+
+    df, pairs = powerlaw_small
+    und = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b},
+                 key=lambda e: ((e[0] * SWAP_A + e[1] * SWAP_B) % SWAP_M,
+                                e[0], e[1]))
+    und_set = set(und)
+    rewired_all = []
+    n_acc = 0
+    for i in range(0, len(und) - 1, 2):
+        (a1, b1), (a2, b2) = und[i], und[i + 1]
+        f1 = (min(a1, b2), max(a1, b2))
+        f2 = (min(a2, b1), max(a2, b1))
+        ok = (f1[0] != f1[1] and f2[0] != f2[1] and f1 != f2
+              and f1 not in und_set and f2 not in und_set)
+        if ok:
+            n_acc += 1
+            rewired_all += [f1, f2]
+        else:
+            rewired_all += [(a1, b1), (a2, b2)]
+    if len(und) % 2:
+        rewired_all.append(und[-1])
+    rewired = set(rewired_all)
+
+    def tri(es):
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return sum(1 for a, b in es for c in adj[a] & adj[b] if c > b)
+
+    row = edge_swap_null(df).collect()[0]
+    assert row.n_edges == len(und)
+    assert row.n_pairs == len(und) // 2
+    assert row.n_accepted == n_acc
+    assert row.n_collisions == len(rewired_all) - len(rewired)
+    assert row.tri_before == tri(und_set)
+    assert row.tri_after == tri(rewired)
+    # degree preservation (pre-dedup): swaps never change degrees
+    assert Counter(v for e in rewired_all for v in e) == \
+        Counter(v for e in und for v in e)
