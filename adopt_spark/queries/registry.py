@@ -9725,6 +9725,89 @@ from adopt_spark.algos.nullmodel import (  # noqa: E402
 ORACLES["g_edge_swap_null"] = _swap_sql(DERIVED_EDGE_SQL)
 
 
+_SEEDQ_ROUNDS = 16
+_SEEDQ_N = 25
+
+
+def q_seed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence-seeding comparison (the heuristic layer of influence
+    maximization): the SAME bootstrap-percolation cascade run from
+    three deterministic 25-seed rules on the sparse graph — lowest
+    ids (= the planted K25), highest degree, and an LCG pseudo-random
+    pick — reporting spread and rounds per rule. Composes the
+    oracle-green cascade kernel; the oracle unrolls one chain per
+    rule with only the seed ORDER differing."""
+    from adopt_spark.algos.cascade import threshold_cascade
+
+    e = derived_edges_sparse(spark, sf_dir)
+    sym = (e.select(F.col("sid").alias("v"), F.col("tid").alias("nbr"))
+           .unionAll(e.select(F.col("tid").alias("v"),
+                              F.col("sid").alias("nbr")))
+           .where(F.col("v") != F.col("nbr")).distinct())
+    verts = sym.select("v").distinct()
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    rules = {
+        "min_id": verts.orderBy("v").limit(_SEEDQ_N),
+        "top_degree": deg.orderBy(F.desc("deg"), F.asc("v"))
+                         .limit(_SEEDQ_N).select("v"),
+        "lcg": verts.orderBy(((F.col("v") * 2654435761 + 97)
+                              % 2147483647).asc(), F.col("v").asc())
+                    .limit(_SEEDQ_N),
+    }
+    rows = []
+    for rule, seeds in rules.items():
+        active, _ = threshold_cascade(spark, e, seeds,
+                                      rounds=_SEEDQ_ROUNDS)
+        r = active.agg(F.count(F.lit(1)).alias("n"),
+                       F.max("round").alias("mr")).collect()[0]
+        rows.append((rule, _SEEDQ_N, int(r.n), int(r.mr)))
+    return spark.createDataFrame(
+        rows, "rule string, n_seeds int, n_active long, max_round int")
+
+
+def _seedq_chain(order_sql: str, rule: str) -> str:
+    steps = []
+    for i in range(1, _SEEDQ_ROUNDS + 1):
+        steps.append(f"""r{i} AS MATERIALIZED (
+    SELECT v, round FROM r{i-1}
+    UNION ALL
+    SELECT c.v, {i} AS round FROM (
+        SELECT s.v, count(*) AS n_active
+        FROM sym s JOIN r{i-1} a ON a.v = s.nbr
+        GROUP BY s.v
+    ) c
+    WHERE c.n_active >= 2
+      AND c.v NOT IN (SELECT v FROM r{i-1})
+)""")
+    return f"""SELECT '{rule}' AS rule, CAST({_SEEDQ_N} AS INTEGER)
+    AS n_seeds, CAST(count(*) AS BIGINT) AS n_active,
+    CAST(max(round) AS INTEGER) AS max_round
+FROM (
+WITH edge AS MATERIALIZED (
+{SPARSE_EDGE_SQL}
+), sym AS MATERIALIZED (
+    SELECT DISTINCT v, nbr FROM (
+        SELECT sid AS v, tid AS nbr FROM edge
+        UNION ALL SELECT tid, sid FROM edge
+    ) WHERE v <> nbr
+), deg AS MATERIALIZED (
+    SELECT v, count(*) AS deg FROM sym GROUP BY v
+), r0 AS MATERIALIZED (
+    SELECT v, 0 AS round FROM (
+        SELECT v FROM deg ORDER BY {order_sql} LIMIT {_SEEDQ_N}
+    )
+), {', '.join(steps)}
+SELECT v, round FROM r{_SEEDQ_ROUNDS}
+)"""
+
+
+ORACLES["a_seed_quality"] = "\nUNION ALL\n".join([
+    _seedq_chain("v", "min_id"),
+    _seedq_chain("deg DESC, v", "top_degree"),
+    _seedq_chain("(v * 2654435761 + 97) % 2147483647, v", "lcg"),
+])
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9824,6 +9907,7 @@ def all_queries() -> dict[str, QueryFn]:
         "e_cuped": q_cuped,
         "a_lpa_mixing": q_lpa_mixing,
         "g_edge_swap_null": q_edge_swap_null,
+        "a_seed_quality": q_seed_quality,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -73,3 +73,26 @@ def test_cascade_validates_theta(spark, tri6):
     df, _ = tri6
     with pytest.raises(ValueError):
         threshold_cascade(spark, df, _seed_df(spark, [0]), theta=0)
+
+
+def test_seed_quality_clique_seeds_dominate(spark):
+    """On a planted-K8 + sparse-background fixture, seeding INSIDE
+    the clique (min ids) ignites it, while the LCG rule's scattered
+    seeds activate nothing beyond themselves at theta=2."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    k8 = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    chain = [(100 + i, 101 + i) for i in range(40)]
+    df = spark.createDataFrame(k8 + chain, "sid long, tid long")
+    with mock.patch.object(R, "derived_edges_sparse",
+                           lambda s_, sf: df):
+        got = {r.rule: r for r in R.q_seed_quality(spark, "x").collect()}
+    assert set(got) == {"min_id", "top_degree", "lcg"}
+    # min-id seeds include the whole K8 -> clique fully active
+    assert got["min_id"].n_active >= 8
+    for r in got.values():
+        assert r.n_seeds == 25
+        assert r.n_active >= 25          # seeds stay active
+        assert r.max_round >= 0
