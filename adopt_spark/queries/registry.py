@@ -9808,6 +9808,73 @@ ORACLES["a_seed_quality"] = "\nUNION ALL\n".join([
 ])
 
 
+_SQ_PCT = 10       # keep 10% of rows in the estimation sample
+
+
+def q_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled quantile estimation with the exact answer riding
+    along (the DOULION/KMV validation pattern for quantiles): a
+    deterministic 10% hash-gate row sample (sample_gate on event_id
+    — uniform, replayable, SQL-replicable where rand() is neither),
+    interpolated quantiles on the sample vs exact, absolute error
+    reported per probe point. The at-scale shape: the gate is a
+    pushdown filter, both quantile passes are single aggregates."""
+    from adopt_spark.functions.sampling import sample_gate
+
+    ev = _t(spark, sf_dir, "events")
+    samp = ev.where(sample_gate(F.col("event_id")) < _SQ_PCT * 10)
+    probes = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    ex = ev.agg(*[F.round(F.expr(f"percentile(value, {q})"), 6)
+                  .alias(f"e_{n}") for q, n in probes])
+    es = samp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        *[F.round(F.expr(f"percentile(value, {q})"), 6)
+          .alias(f"s_{n}") for q, n in probes])
+    rows = []
+    j = es.crossJoin(ex)
+    for q, n in probes:
+        rows.append(j.select(
+            F.lit(n).alias("probe"),
+            F.col("n_sample"),
+            F.col(f"s_{n}").alias("estimate"),
+            F.col(f"e_{n}").alias("exact"),
+            F.round(F.abs(F.col(f"s_{n}") - F.col(f"e_{n}")), 6)
+            .alias("abs_err")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+ORACLES["r_sampled_quantiles"] = f"""
+WITH samp AS (
+    SELECT value FROM events
+    WHERE ((event_id % 100000007) * 2654435761 + 11)
+          % 1000000007 % 1000 < {_SQ_PCT * 10}
+), es AS (
+    SELECT count(*) AS n_sample,
+           round(quantile_cont(value, 0.5), 6) AS s_p50,
+           round(quantile_cont(value, 0.9), 6) AS s_p90,
+           round(quantile_cont(value, 0.99), 6) AS s_p99
+    FROM samp
+), ex AS (
+    SELECT round(quantile_cont(value, 0.5), 6) AS e_p50,
+           round(quantile_cont(value, 0.9), 6) AS e_p90,
+           round(quantile_cont(value, 0.99), 6) AS e_p99
+    FROM events
+)
+SELECT 'p50' AS probe, CAST(n_sample AS BIGINT) AS n_sample,
+       s_p50 AS estimate, e_p50 AS exact,
+       round(abs(s_p50 - e_p50), 6) AS abs_err FROM es, ex
+UNION ALL
+SELECT 'p90', CAST(n_sample AS BIGINT), s_p90, e_p90,
+       round(abs(s_p90 - e_p90), 6) FROM es, ex
+UNION ALL
+SELECT 'p99', CAST(n_sample AS BIGINT), s_p99, e_p99,
+       round(abs(s_p99 - e_p99), 6) FROM es, ex
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9908,6 +9975,7 @@ def all_queries() -> dict[str, QueryFn]:
         "a_lpa_mixing": q_lpa_mixing,
         "g_edge_swap_null": q_edge_swap_null,
         "a_seed_quality": q_seed_quality,
+        "r_sampled_quantiles": q_sampled_quantiles,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -431,3 +431,24 @@ def test_dsir_sample_validates_pct(spark):
                                "doc_id long, lang string, text string")
     with _pytest.raises(ValueError):
         dsir_sample(df, keep_pct=0)
+
+
+def test_sampled_quantiles_error_bound(spark):
+    """On a dense uniform distribution the 10% hash-sample quantile
+    estimate lands near the exact value; the gate is replayable."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        got = {r.probe: r for r in
+               R.q_sampled_quantiles(spark, "x").collect()}
+    assert set(got) == {"p50", "p90", "p99"}
+    n_sample = got["p50"].n_sample
+    # ~10% +- sampling noise
+    assert 300 < n_sample < 700
+    for r in got.values():
+        assert r.abs_err == round(abs(r.estimate - r.exact), 6)
+        assert r.abs_err < 50          # 5% of the value range
