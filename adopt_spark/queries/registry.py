@@ -9875,6 +9875,69 @@ SELECT 'p99', CAST(n_sample AS BIGINT), s_p99, e_p99,
 """.strip()
 
 
+def q_bfs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS WAVEFRONT profile from the min-sid source on the
+    undirected sparse graph: vertices per hop level — the frontier
+    curve that sizes every level-synchronous graph job (its peak is
+    the superstep memory high-water mark); one BFS + one histogram
+    aggregate."""
+    from adopt_spark.algos.paths import shortest_paths
+
+    e = derived_edges_sparse(spark, sf_dir)
+    src = int(e.agg(F.min("sid")).collect()[0][0])
+    dist, _ = shortest_paths(spark, e, src, weighted=False,
+                             directed=False)
+    return (dist.groupBy(F.col("dist").alias("hop"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vertices")))
+
+
+ORACLES["a_bfs_profile"] = f"""
+SELECT dist AS hop, CAST(count(*) AS BIGINT) AS n_vertices
+FROM (
+{_og.shortest_path_sql(SPARSE_EDGE_SQL, _og.BFS_ROUNDS,
+                       weighted=False, directed=False)}
+) GROUP BY dist
+""".strip()
+
+
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-growth curve: per day the NEW users (first-ever event)
+    and the cumulative registered base — the top-line product metric;
+    exact via one min-day-per-user aggregate + one histogram + one
+    ordered running sum (the two-level prefix-sum swap applies at
+    10^9 users, as everywhere)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                  / F.lit(86_400_000_000)).cast("long")
+    first = (ev.select("user_id", day.alias("day"))
+             .groupBy("user_id").agg(F.min("day").alias("d0")))
+    daily = first.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("total_users"))
+
+
+ORACLES["e_user_growth"] = """
+WITH first AS (
+    SELECT user_id,
+           min(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT))
+               AS d0
+    FROM events GROUP BY user_id
+), daily AS (
+    SELECT d0 AS day, count(*) AS new_users FROM first GROUP BY 1
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS total_users
+FROM daily
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -9976,6 +10039,8 @@ def all_queries() -> dict[str, QueryFn]:
         "g_edge_swap_null": q_edge_swap_null,
         "a_seed_quality": q_seed_quality,
         "r_sampled_quantiles": q_sampled_quantiles,
+        "a_bfs_profile": q_bfs_profile,
+        "e_user_growth": q_user_growth,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -303,3 +303,19 @@ def test_relabel_bandwidth_on_a_path_graph(spark):
     assert row.bw_before == max(abs(a - b) for a, b in pairs)
     # BFS from min id (5) walks the path in order -> consecutive ranks
     assert row.bw_after == 1
+
+
+def test_bfs_profile_star_and_chain(spark):
+    """Wavefront histogram on star-plus-chain: level sizes by hand."""
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    pairs = [(0, i) for i in range(1, 6)] + [(5, 10), (10, 11)]
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    with mock.patch.object(R, "derived_edges_sparse",
+                           lambda s_, sf: df):
+        got = {r.hop: r.n_vertices
+               for r in R.q_bfs_profile(spark, "x").collect()}
+    # from 0: hop0={0}, hop1={1..5}, hop2={10}, hop3={11}
+    assert got == {0: 1, 1: 5, 2: 1, 3: 1}

@@ -66,3 +66,28 @@ def test_powerlaw_alpha_known_degrees(spark):
          .alias("alpha")).collect()[0]
     assert out.n == 5
     assert out.alpha == pytest.approx(1 + 5 / math.log(4), abs=1e-6)
+
+
+def test_user_growth_laws(spark):
+    """New-user histogram + running total replayed by hand."""
+    import datetime
+
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # users 1-3 first appear day 0 (user 1 again day 2), user 4 day 1,
+    # user 5 day 2
+    for uid, d in ((1, 0), (2, 0), (3, 0), (1, 2), (4, 1), (5, 2)):
+        rows.append((eid, t0 + datetime.timedelta(days=d), uid, "a", 1.0))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        got = {r.day: (r.new_users, r.total_users)
+               for r in R.q_user_growth(spark, "x").collect()}
+    days = sorted(got)
+    assert [got[d] for d in days] == [(3, 3), (1, 4), (1, 5)]
