@@ -727,3 +727,25 @@ def maxsim_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(win))
             .where(F.col("rank") <= k)
             .select(q_id_col, id_col, "score", "rank"))
+
+
+# measured on this engine (BENCH/ann_scale.json): brute-force beats
+# IVF below ~1e5 vectors — centroid fit + assignment don't pay for
+# themselves until the scan they avoid is big enough
+KNN_AUTO_BRUTE_MAX = 100_000
+
+
+def knn_topk_auto(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                  **kwargs) -> DataFrame:
+    """Adaptive kNN dispatch — the vector-family twin of
+    triangle_count('auto'): measure the corpus size, run the
+    broadcast brute-force dot product below KNN_AUTO_BRUTE_MAX
+    vectors (the measured crossover, BENCH/ann_scale.json), else IVF
+    with cell pruning. Both strategies return the same schema; below
+    the bound the answer is exact by construction, above it IVF's
+    probe width is the recall/cost dial (s_ann_recall measures it).
+    """
+    n = embeddings.count()
+    if n <= KNN_AUTO_BRUTE_MAX:
+        return brute_force_topk(embeddings, queries, k=k, **kwargs)
+    return ivf_topk(embeddings, queries, k=k, **kwargs)

@@ -9938,6 +9938,24 @@ FROM daily
 """.strip()
 
 
+def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE kNN dispatch (the vector twin of g_auto_triangles):
+    corpus size measured, brute force below the MEASURED ~1e5
+    crossover (BENCH/ann_scale.json), IVF beyond; at contract scale
+    it picks brute force, so the oracle is the exact SQL — and the
+    dispatch decision itself is part of what's verified
+    (functions/similarity.py:knn_topk_auto)."""
+    from adopt_spark.functions.similarity import knn_topk_auto
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_topk_auto(emb, _queries_from_embeddings(emb), k=5)
+    return out.select("q_id", "vec_id",
+                      F.round("cos", 6).alias("cos"), "rank")
+
+
+ORACLES["s_knn_auto"] = ORACLES["s_knn_bruteforce"]
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -10041,6 +10059,7 @@ def all_queries() -> dict[str, QueryFn]:
         "r_sampled_quantiles": q_sampled_quantiles,
         "a_bfs_profile": q_bfs_profile,
         "e_user_growth": q_user_growth,
+        "s_knn_auto": q_knn_auto,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

@@ -441,3 +441,31 @@ def test_retrieval_eval_laws(spark):
     # found by LSH (identical signatures), so rr == 1 everywhere
     assert all(r.rr == 1.0 for r in rows.values())
     assert all(r.ndcg >= round(1 / idcg, 6) for r in rows.values())
+
+
+def test_knn_auto_dispatch_boundary(spark):
+    """Below the crossover auto == brute force exactly; the dispatch
+    threshold itself is exercised by monkeypatching it to 0 (forcing
+    the IVF branch) and checking full-probe IVF agreement."""
+    from unittest import mock
+
+    import adopt_spark.functions.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    from pyspark.sql import functions as F
+
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    bf = {(r.q_id, r.vec_id, r.rank)
+          for r in S.brute_force_topk(emb, qs, k=5).collect()}
+    auto = {(r.q_id, r.vec_id, r.rank)
+            for r in S.knn_topk_auto(emb, qs, k=5).collect()}
+    assert auto == bf
+    n_cells = 8
+    with mock.patch.object(S, "KNN_AUTO_BRUTE_MAX", 0):
+        ivf = {(r.q_id, r.vec_id, r.rank)
+               for r in S.knn_topk_auto(emb, qs, k=5,
+                                        n_centroids=n_cells,
+                                        n_probe=n_cells).collect()}
+    assert ivf == bf          # full probe is exact
