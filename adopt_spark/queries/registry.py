@@ -9956,6 +9956,101 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["s_knn_auto"] = ORACLES["s_knn_bruteforce"]
 
 
+def q_dep_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ecosystem ISLANDS: weakly-connected components of the repo
+    dependency graph (thin=13 sparse manifest) — which repos form
+    isolated dependency universes; min-member-id labels, per-island
+    size. Composes dep_edges with the CC kernel; oracle = recursive
+    reachability over the symmetrized dep edges."""
+    from adopt_spark.algos.cc import connected_components
+    from adopt_spark.functions.deps import dep_edges
+
+    e = dep_edges(_resolved_lockfile(spark, sf_dir, thin=13))
+    ids = e.select(
+        F.regexp_extract("src", r"([0-9]+)$", 1).cast("long").alias("sid"),
+        F.regexp_extract("dst", r"([0-9]+)$", 1).cast("long").alias("tid"))
+    labels, _ = connected_components(spark, ids)
+    return (labels.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_repos")))
+
+
+ORACLES["t_dep_islands"] = f"""
+WITH RECURSIVE base AS (
+{_DEP_EDGE_SQL}
+), sym AS (
+    SELECT sid AS u, tid AS v FROM base WHERE sid <> tid
+    UNION SELECT tid, sid FROM base WHERE sid <> tid
+), reach(v, r) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+    UNION
+    SELECT s.v, w.r FROM reach w JOIN sym s ON s.u = w.v
+)
+SELECT comp AS component, CAST(count(*) AS BIGINT) AS n_repos FROM (
+    SELECT v, min(r) AS comp FROM reach GROUP BY v
+) GROUP BY comp
+""".strip()
+
+
+def q_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preferential-attachment evidence on the contact stream: per
+    vertex x = distinct partners in the FIRST half of the time range,
+    y = NEW distinct partners gained in the second half; one
+    regr_slope/corr aggregate answers "do the already-connected gain
+    more?" (rich-get-richer, the generative assumption behind every
+    power-law fit this engine ships). Midpoint from the integer hour
+    range — exact on both engines."""
+    from adopt_spark.algos.temporal import hourly_contacts
+
+    c = hourly_contacts(_t(spark, sf_dir, "events"))
+    rng = c.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    cc2 = c.crossJoin(F.broadcast(rng)).withColumn(
+        "first_half",
+        F.col("t") * 2 < F.col("lo") + F.col("hi"))
+    d1 = (cc2.where("first_half")
+          .select("u", "v").distinct()
+          .groupBy("u").agg(F.count(F.lit(1)).alias("x")))
+    # partners in half 2 that were NOT partners in half 1
+    p2 = cc2.where(~F.col("first_half")).select("u", "v").distinct()
+    p1 = cc2.where("first_half").select("u", "v").distinct()
+    newp = (p2.join(p1, ["u", "v"], "left_anti")
+            .groupBy("u").agg(F.count(F.lit(1)).alias("y")))
+    j = (d1.join(newp, "u", "left")
+         .select("x", F.coalesce("y", F.lit(0)).alias("y")))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.round(F.corr("x", "y"), 6).alias("corr"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"))
+
+
+ORACLES["g_pref_attachment"] = f"""
+WITH {_og.CONTACTS_CTE_SQL}, rng AS (
+    SELECT min(t) AS lo, max(t) AS hi FROM contacts
+), tagged AS (
+    SELECT c.u, c.v, c.t * 2 < r.lo + r.hi AS first_half
+    FROM contacts c, rng r
+), d1 AS (
+    SELECT u, count(*) AS x FROM (
+        SELECT DISTINCT u, v FROM tagged WHERE first_half
+    ) GROUP BY u
+), p1 AS (
+    SELECT DISTINCT u, v FROM tagged WHERE first_half
+), p2 AS (
+    SELECT DISTINCT u, v FROM tagged WHERE NOT first_half
+), newp AS (
+    SELECT p2.u, count(*) AS y FROM p2
+    ANTI JOIN p1 ON p1.u = p2.u AND p1.v = p2.v
+    GROUP BY p2.u
+), j AS (
+    SELECT d1.x, coalesce(newp.y, 0) AS y
+    FROM d1 LEFT JOIN newp USING (u)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       round(corr(x, y), 6) AS corr,
+       round(regr_slope(y, x), 6) AS slope
+FROM j
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -10060,6 +10155,8 @@ def all_queries() -> dict[str, QueryFn]:
         "a_bfs_profile": q_bfs_profile,
         "e_user_growth": q_user_growth,
         "s_knn_auto": q_knn_auto,
+        "t_dep_islands": q_dep_islands,
+        "g_pref_attachment": q_pref_attachment,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs

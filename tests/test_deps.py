@@ -390,3 +390,59 @@ def test_pagerank_deps_pipeline_smoke(spark):
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
     assert len(rows) == ids.select("sid").union(ids.select("tid")) \
         .distinct().count()
+
+
+def test_dep_islands_two_universes(spark):
+    """The q_dep_islands composition (string repos -> numeric ids ->
+    CC -> sizes) on two disjoint dep universes."""
+    # two disjoint dep universes: {1->2->3} and {10->11}
+    e = spark.createDataFrame(
+        [("repo1", "repo2"), ("repo2", "repo3"), ("repo10", "repo11")],
+        "src string, dst string")
+    from adopt_spark.algos.cc import connected_components
+    from pyspark.sql import functions as F
+
+    ids = e.select(
+        F.regexp_extract("src", r"([0-9]+)$", 1).cast("long").alias("sid"),
+        F.regexp_extract("dst", r"([0-9]+)$", 1).cast("long").alias("tid"))
+    labels, _ = connected_components(spark, ids)
+    got = {r.component: r.n for r in
+           labels.groupBy("component")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {1: 3, 10: 2}
+
+
+def test_pref_attachment_planted_rich_get_richer(spark):
+    """Hub gains many new partners in half 2, leaves gain none ->
+    strong positive correlation."""
+    import datetime
+
+    from unittest import mock
+
+    from adopt_spark.queries import registry as R
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def contact(u, v, hour):
+        nonlocal eid
+        for uid in (u, v):
+            rows.append((eid, t0 + datetime.timedelta(hours=hour),
+                         uid, "m", 1.0))
+            eid += 1
+
+    # half 1 (hours 0-9): hub 0 meets 1..5; pair (20, 21) meets
+    for i in range(1, 6):
+        contact(0, i, i)
+    contact(20, 21, 2)
+    # half 2 (hours 11-19): hub 0 meets 6..10 (new); 20/21 meet again
+    for i in range(6, 11):
+        contact(0, i, 10 + i - 5)
+    contact(20, 21, 15)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    with mock.patch.object(R, "_t", lambda s_, sf, name: df):
+        row = R.q_pref_attachment(spark, "x").collect()[0]
+    assert row.n_vertices >= 2
+    assert row.slope > 0          # degree-proportional gains
