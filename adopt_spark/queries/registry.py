@@ -10051,6 +10051,31 @@ FROM j
 """.strip()
 
 
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/GROUPING_ID surface on a two-level rollup: the
+    marker columns that let a consumer tell a real NULL group from a
+    subtotal row — the piece of the rollup surface r_rollup's
+    plain aggregation doesn't exercise."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.grouping("l_returnflag").cast("long").alias("g_rf"),
+                 F.grouping("l_linestatus").cast("long").alias("g_ls"),
+                 F.grouping_id().cast("long").alias("gid")))
+
+
+ORACLES["r_grouping_id"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+            AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""".strip()
+
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -10157,6 +10182,7 @@ def all_queries() -> dict[str, QueryFn]:
         "s_knn_auto": q_knn_auto,
         "t_dep_islands": q_dep_islands,
         "g_pref_attachment": q_pref_attachment,
+        "r_grouping_id": q_grouping_id,
         # -- (0i) round-3 session-11: incremental MV maintenance
         #    (monoid partial-state merge vs full-recompute oracle) +
         #    Iceberg manifest-pruning effectiveness (clustered vs
