@@ -204,13 +204,14 @@ def percolation_profile(
     """
     from adopt_spark.algos.triangles import DOULION_A, DOULION_B, DOULION_M
 
+    for p in ps:                      # validate ALL levels up front —
+        if not 0 < p <= 100:          # no partial work before a raise
+            raise ValueError(f"p_pct must be in (0, 100], got {p}")
     und = (edges.select(F.least("sid", "tid").alias("a"),
                         F.greatest("sid", "tid").alias("b"))
            .where(F.col("a") != F.col("b")).distinct())
     rows = []
     for p in ps:
-        if not 0 < p <= 100:
-            raise ValueError(f"p_pct must be in (0, 100], got {p}")
         gate = ((F.col("a") * DOULION_A + F.col("b") * DOULION_B)
                 % DOULION_M) % 100 < p
         samp = und.where(gate).select(F.col("a").alias("sid"),

@@ -80,7 +80,12 @@ def refex_roles(edges: DataFrame, rounds: int = 2) -> DataFrame:
 
     cols = ["f1", "f2"] + [f"g{r}{i}" for r in range(rounds)
                            for i in (1, 2)]
-    names = ["b_deg", "b_tri", "b_nd", "b_nt", "b_nd2", "b_nt2"][:2 + 2 * rounds]
+    # programmatic per-round names (round 0 keeps the historical
+    # b_nd/b_nt, later rounds are b_nd2/b_nt2, b_nd3/b_nt3, ...) so
+    # any ``rounds`` value yields a complete, collision-free schema
+    names = ["b_deg", "b_tri"] + [
+        f"b_n{f}{'' if r == 0 else r + 1}"
+        for r in range(rounds) for f in ("d", "t")]
     binned = feats.select(
         "v", *[log_bin(F.col(c)).cast("long").alias(n)
                for c, n in zip(cols, names)])

@@ -433,7 +433,10 @@ def dsir_sample(docs: DataFrame, target_lang: str | None = None,
               .groupBy("doc_id", "lang")
               .agg(F.count(F.lit(1)).alias("n_tokens"),
                    F.round(F.avg(llr), 6).alias("score")))
-    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    # budget denominator = SCORED (tokenized) docs, not the raw corpus:
+    # zero-token docs are unselectable, so counting them in the budget
+    # would silently shrink the actual keep fraction below keep_pct
+    n = scored.select(F.count(F.lit(1)).alias("n_docs"))
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
             .crossJoin(F.broadcast(n))

@@ -8156,7 +8156,9 @@ WITH toks AS (
     FROM toks_f t JOIN cf c USING (term), tot tt
     GROUP BY t.doc_id, t.lang
 ), nd AS (
-    SELECT count(*) AS n_docs FROM documents
+    -- budget over SCORED (tokenized) docs, mirroring dsir_sample:
+    -- zero-token docs are unselectable and consume no budget
+    SELECT count(*) AS n_docs FROM scored
 ), ranked AS (
     SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
     FROM scored

@@ -67,6 +67,7 @@ def ewma_stream(spark: SparkSession, sf_dir: str,
     """Final per-user EWMA over the event stream ->
     [user_id, n_events, ewma (6 dp)]; update-mode re-emissions
     collapse by max n_events (the recursion only ever extends)."""
+    own_dir = source_dir is None
     if source_dir is None:
         source_dir = tempfile.mkdtemp(prefix="events_ewma_")
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
@@ -91,13 +92,26 @@ def ewma_stream(spark: SparkSession, sf_dir: str,
         q.stop()
     from pyspark.sql import Window
 
-    raw = spark.table(name)
-    w = Window.partitionBy("user_id")
-    return (raw.withColumn("_mx", F.max("n_events").over(w))
-            .where(F.col("n_events") == F.col("_mx"))
-            .dropDuplicates(["user_id"])
-            .select("user_id", "n_events",
-                    F.round("ewma", 6).alias("ewma")))
+    # materialize the collapsed result, then drop the per-call memory
+    # sink table and the symlink dir we created — a gate run calls
+    # this repeatedly and must not accumulate temp state
+    try:
+        raw = spark.table(name)
+        w = Window.partitionBy("user_id")
+        final = (raw.withColumn("_mx", F.max("n_events").over(w))
+                 .where(F.col("n_events") == F.col("_mx"))
+                 .dropDuplicates(["user_id"])
+                 .select("user_id", "n_events",
+                         F.round("ewma", 6).alias("ewma")))
+        out_schema = final.schema
+        rows = final.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+        if own_dir:
+            import shutil
+
+            shutil.rmtree(source_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
 
 
 EWMA_STREAM_SQL = """

@@ -92,6 +92,7 @@ def quota_stream(spark: SparkSession, sf_dir: str, quota: int = 3,
     """
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
+    own_dir = source_dir is None
     if source_dir is None:
         source_dir = tempfile.mkdtemp(prefix="events_quota_")
         os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
@@ -123,13 +124,26 @@ def quota_stream(spark: SparkSession, sf_dir: str, quota: int = 3,
     # (n_total strictly increases per emission) via a window max —
     # a self-join on the memory view trips conflicting-reference
     # resolution, the window does not
-    raw = spark.table(name)
-    w = Window.partitionBy("user_id", "bucket_id")
-    return (raw.withColumn("_mx", F.max("n_total").over(w))
-            .where(F.col("n_total") == F.col("_mx"))
-            .dropDuplicates(["user_id", "bucket_id", "event_id"])
-            .select("user_id", "bucket_id", "event_id", "admit_rank",
-                    "n_total"))
+    # materialize the collapsed result, then drop the per-call memory
+    # sink table and the symlink dir we created — a gate run calls
+    # this repeatedly and must not accumulate temp state
+    try:
+        raw = spark.table(name)
+        w = Window.partitionBy("user_id", "bucket_id")
+        final = (raw.withColumn("_mx", F.max("n_total").over(w))
+                 .where(F.col("n_total") == F.col("_mx"))
+                 .dropDuplicates(["user_id", "bucket_id", "event_id"])
+                 .select("user_id", "bucket_id", "event_id", "admit_rank",
+                         "n_total"))
+        out_schema = final.schema
+        rows = final.collect()
+    finally:
+        spark.catalog.dropTempView(name)
+        if own_dir:
+            import shutil
+
+            shutil.rmtree(source_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
 
 
 QUOTA_SQL_TMPL = """
