@@ -1,23 +1,46 @@
-"""Connected components: large-star / small-star hash-min.
+"""Connected components: large-star / small-star hash-min, plus a
+delta-frontier min-label propagation variant.
 
-Algorithm (Kiveris et al., "Connected Components in MapReduce and
-Beyond"): alternate two vertex-local rewrites of the edge set until
-fixpoint, at which point the edges form a star forest with every
-vertex pointing at its component's minimum id.
+``method="star"`` (Kiveris et al., "Connected Components in MapReduce
+and Beyond"): alternate two vertex-local rewrites of the edge set
+until fixpoint, at which point the edges form a star forest with
+every vertex pointing at its component's minimum id.
 
   * large-star(u): m = min({u} ∪ N(u)); replace each (u, v) with
     v > u by (v, m).
   * small-star(u): over lower neighbors N<(u); m = min(N<(u));
     emit (v, m) for v ∈ N<(u) ∪ {u}, v ≠ m.
 
-Both are one shuffle each (groupBy(u).min + re-key) — O(log n) rounds
-on any graph, robust to supernode components (the min aggregate is
-partially aggregated map-side, so a 10^9-vertex component never
-funnels raw rows to one reducer).
+O(log n) rounds on any graph, robust to supernode components (the min
+aggregate is partially aggregated map-side). Round-4 physical plan:
+the edge set is kept CANONICAL (sid > tid, deduped) across rounds so
+symmetrization is a plain union (no dedup shuffle), each star phase is
+exactly one repartition-by-u of the symmetrized frame (the groupBy-min
+and the join both reuse that partitioning — zero further exchanges)
+plus one dedup of the emitted edges, and vertex ids are narrowed to
+int32 when they fit, halving every shuffle byte. Previous shape paid
+~7 full-frame exchanges per phase; this one pays ~3 at half width.
+
+``method="delta"`` — the frontier variant (the BFS pattern of
+algos/paths.py applied to min-label propagation): labels start at
+min(self, neighbors) and each round ONLY the vertices whose label
+changed last round push their new label to their neighbors, so the
+per-round shuffle is proportional to the frontier-incident edge
+volume, not E. The adjacency is hash-partitioned + sorted by the
+sending endpoint ONCE and cached; per round only the (small) frontier
+vector exchanges, plus the partially-aggregated min messages.
+Converges in O(component diameter) rounds — the right regime for
+real link graphs; a ``delta_rounds_cap`` guard contracts the graph by
+the current labels and finishes with star rounds if the frontier is
+still alive (high-diameter adversaries), so the result is exact for
+every input. Checkpoints are the LABEL VECTOR (+ changed flag), not
+the edge frame — O(V) per round instead of O(E).
 
 The reference has no CC (pure motif-count engine); this is north-rule
-surface. Convergence detection uses (count, xxhash64-sum) of the edge
-set — an O(1)-state fingerprint instead of a full set-difference join.
+surface. Star convergence detection uses (count, xxhash64-sum) of the
+edge set — an O(1)-state fingerprint instead of a full set-difference
+join; delta convergence is the changed-count riding the checkpoint's
+lineage scan (zero extra jobs).
 """
 
 from __future__ import annotations
@@ -26,18 +49,45 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from adopt_spark.checkpoint import CheckpointManager
 
-
-def _symmetrize(edges: DataFrame) -> DataFrame:
-    fwd = edges.select(F.col("sid").alias("u"), F.col("tid").alias("v"))
-    rev = edges.select(F.col("tid").alias("u"), F.col("sid").alias("v"))
-    return fwd.unionAll(rev).where(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+# int32 narrowing bounds; LO excludes INT_MIN so that -id (used by
+# LPA's tie-break) can never overflow under ANSI mode
+_I32_LO, _I32_HI = -(2 ** 31) + 1, 2 ** 31 - 1
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    both = _symmetrize(e)
+def _id_type(edges: DataFrame) -> str:
+    """"int" when every vertex id fits int32 (dictionary-encoded
+    graphs — this engine's own corpus pipeline — always qualify),
+    halving the bytes of every shuffle below; else "long"."""
+    row = edges.agg(F.min(F.least("sid", "tid")).alias("lo"),
+                    F.max(F.greatest("sid", "tid")).alias("hi")).collect()[0]
+    if row["lo"] is None:
+        return "long"
+    return "int" if _I32_LO <= row["lo"] and row["hi"] <= _I32_HI else "long"
+
+
+def _canonical(edges: DataFrame, idt: str) -> DataFrame:
+    """Undirected canonical (sid > tid) deduped loop-free pair set."""
+    return (edges.select(F.greatest("sid", "tid").cast(idt).alias("sid"),
+                         F.least("sid", "tid").cast(idt).alias("tid"))
+            .where(F.col("sid") != F.col("tid"))
+            .dropDuplicates(["sid", "tid"]))
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Both directions of a canonical deduped pair set — each
+    unordered pair contributes exactly one row per direction, so NO
+    dedup shuffle is needed (the old shape paid one per phase)."""
+    return (e.select(F.col("sid").alias("u"), F.col("tid").alias("v"))
+            .unionAll(e.select(F.col("tid").alias("u"),
+                               F.col("sid").alias("v"))))
+
+
+def _large_star(e: DataFrame, parts: int) -> DataFrame:
+    both = _sym(e).repartition(parts, "u")
     mins = both.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
     return (
         both.join(mins, "u")
@@ -48,8 +98,8 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
-    both = _symmetrize(e)
+def _small_star(e: DataFrame, parts: int) -> DataFrame:
+    both = _sym(e).repartition(parts, "u")
     lower = both.where(F.col("v") < F.col("u"))
     mins = lower.groupBy("u").agg(F.min("v").alias("m"))
     from_lower = lower.join(mins, "u").select(F.col("v").alias("sid"),
@@ -76,22 +126,44 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    method: str = "star",
+    delta_rounds_cap: int = 12,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (labels DataFrame[v: long, component: long], metrics).
 
     ``component`` is the minimum vertex id of each component — exact,
-    deterministic, parallelism-independent.
+    deterministic, parallelism-independent, IDENTICAL for both
+    methods (so they oracle-check against the same SQL).
+
+    ``method="star"`` — large-star/small-star; O(log n) rounds on any
+    graph. ``method="delta"`` — frontier min-label propagation
+    (shuffle ∝ changed labels per round, checkpoint ∝ V); after
+    ``delta_rounds_cap`` live rounds it contracts by the current
+    labels and finishes with star rounds, so high-diameter graphs
+    still terminate in O(cap + log n) rounds.
     """
-    e0 = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
-              .where(F.col("sid") != F.col("tid")).dropDuplicates(["sid", "tid"])
+    if method not in ("star", "delta"):
+        raise ValueError(f"unknown method: {method}")
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    idt = _id_type(edges)
+    e0 = _canonical(edges, idt)
+    cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="cc_ckpt_"))
+
+    if method == "delta":
+        labels, metrics = _cc_delta(spark, e0, parts, cm, max_iter,
+                                    delta_rounds_cap, resume)
+        return (labels.select(F.col("v").cast("long").alias("v"),
+                              F.col("component").cast("long")
+                              .alias("component")), metrics)
+
     vertices = (
         e0.select(F.col("sid").alias("v"))
         .unionAll(e0.select(F.col("tid").alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-
-    cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="cc_ckpt_"))
     start_iter = 0
     e = e0
     if resume and cm.latest() is not None:
@@ -103,7 +175,7 @@ def connected_components(
     prev_fp = _fingerprint(e)
     for it in range(start_iter, max_iter):
         t0 = time.time()
-        e = _small_star(_large_star(e))
+        e = _small_star(_large_star(e, parts), parts)
         e = cm.save(e, it, phase="large+small")
         fp = _fingerprint(e)
         metrics.append({"iteration": it, "edges": fp[0],
@@ -117,7 +189,101 @@ def connected_components(
     covered = labels.select("v")
     roots = vertices.join(covered, "v", "left_anti") \
                     .select("v", F.col("v").alias("component"))
-    return labels.unionAll(roots), metrics
+    return (labels.unionAll(roots)
+            .select(F.col("v").cast("long").alias("v"),
+                    F.col("component").cast("long").alias("component")),
+            metrics)
+
+
+def _cc_delta(spark: SparkSession, e0: DataFrame, parts: int,
+              cm: CheckpointManager, max_iter: int, cap: int,
+              resume: bool) -> tuple[DataFrame, list[dict]]:
+    """Frontier min-label propagation; see connected_components."""
+    links = (_sym(e0).repartition(parts, "u")
+             .sortWithinPartitions("u", "v")
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    metrics: list[dict] = []
+    if resume and cm.latest() is not None:
+        start_iter = cm.latest() + 1
+        snap = cm.load(spark, cm.latest())
+        labels = snap.select("v", "component")
+        frontier = (snap.where(F.col("changed") == 1)
+                    .select(F.col("v").alias("u"),
+                            F.col("component").alias("lab")))
+        changed_n = frontier.count()
+    else:
+        # fused round 0: label = min(self, neighbors) — equals one
+        # full propagation round over identity labels, with zero joins
+        t0 = time.time()
+        lab0 = (links.groupBy("u")
+                .agg(F.least(F.min("v"), F.col("u")).alias("component"))
+                .select(F.col("u").alias("v"), F.col("component"),
+                        (F.col("component") != F.col("u"))
+                        .cast("int").alias("changed")))
+        snap = cm.save(lab0, 0, sum_cols=("changed",), phase="delta")
+        changed_n = int(cm.metrics[-1]["sums"]["changed"])
+        metrics.append({"iteration": 0, "changed": changed_n,
+                        "sec": round(time.time() - t0, 4)})
+        labels = snap.select("v", "component")
+        frontier = (snap.where(F.col("changed") == 1)
+                    .select(F.col("v").alias("u"),
+                            F.col("component").alias("lab")))
+        start_iter = 1
+
+    it = start_iter
+    while changed_n > 0 and it < max_iter and it - start_iter < cap:
+        t0 = time.time()
+        # only frontier labels ship: links is cached hash(u)-partitioned
+        # so the join exchanges the frontier vector, never the edges
+        msgs = links.join(frontier, "u").select("v", "lab")
+        cand = msgs.groupBy("v").agg(F.min("lab").alias("cand"))
+        new = (labels.join(cand, "v", "left")
+               .select("v",
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("cand"), F.col("component"))
+                               ).alias("component"),
+                       (F.coalesce(F.col("cand"), F.col("component"))
+                        < F.col("component")).cast("int").alias("changed")))
+        snap = cm.save(new, it, sum_cols=("changed",), phase="delta")
+        changed_n = int(cm.metrics[-1]["sums"]["changed"])
+        metrics.append({"iteration": it, "changed": changed_n,
+                        "sec": round(time.time() - t0, 4)})
+        labels = snap.select("v", "component")
+        frontier = (snap.where(F.col("changed") == 1)
+                    .select(F.col("v").alias("u"),
+                            F.col("component").alias("lab")))
+        it += 1
+
+    labels = labels.select(F.col("v").cast("long").alias("v"),
+                           F.col("component").cast("long").alias("component"))
+    if changed_n > 0:
+        # frontier still alive at the cap/max_iter: contract by the
+        # current labels (each label group is a proven-connected set;
+        # every cross-group edge survives contraction) and finish with
+        # star rounds on the much smaller contracted graph. Component
+        # ids stay exact: the true min vertex m of a component always
+        # carries label m, so min-over-labels = min-over-vertices.
+        t0 = time.time()
+        ca = labels.select(F.col("v").alias("sid"), F.col("component").alias("ca"))
+        cb = labels.select(F.col("v").alias("tid"), F.col("component").alias("cb"))
+        contracted = (e0.select(F.col("sid").cast("long").alias("sid"),
+                                F.col("tid").cast("long").alias("tid"))
+                      .join(ca, "sid").join(cb, "tid")
+                      .where(F.col("ca") != F.col("cb"))
+                      .select(F.col("ca").alias("sid"),
+                              F.col("cb").alias("tid")))
+        merge, m_star = connected_components(spark, contracted,
+                                             max_iter=max_iter, method="star")
+        rename = merge.select(F.col("v").alias("component"),
+                              F.col("component").alias("new_c"))
+        labels = (labels.join(rename, "component", "left")
+                  .select("v", F.coalesce("new_c", "component")
+                          .alias("component")))
+        metrics.append({"iteration": it, "phase": "star_contracted",
+                        "star_rounds": len(m_star), "changed": 0,
+                        "sec": round(time.time() - t0, 4)})
+    links.unpersist()
+    return labels, metrics
 
 
 def cc_incremental(spark: SparkSession, base_edges: DataFrame,

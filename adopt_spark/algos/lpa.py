@@ -8,9 +8,28 @@ requirement). Stops at fixpoint (no label changed) or max_iter
 (synchronous LPA can 2-cycle on bipartite structures; max_iter bounds
 that).
 
-Plan per superstep: one join (neighbor labels), one two-key partial
-aggregation (label frequencies), one max_by aggregation (argmax with
-tie-break packed into a struct — no window, no sort). All JVM-side.
+Physical plan (round-4 revision). The symmetrized adjacency is
+hash-partitioned + sorted by its SOURCE endpoint once and cached;
+every superstep joins the (vertex-sized) label vector INTO that
+layout — the edge frame never re-exchanges — and aggregates by the
+OTHER endpoint, so the per-superstep wire is: label vector in, one
+partially-aggregated (v, label) frequency exchange, one argmax
+exchange. (The old shape re-exchanged + re-sorted the full 2E-row
+frame every round.) Vertex ids are narrowed to int32 when they fit
+(halves every shuffle byte); the changed-count rides the checkpoint's
+lineage scan instead of a separate join job.
+
+``mode="delta"`` — the frontier variant: after the first full vote,
+each round recomputes votes ONLY for vertices adjacent to a vertex
+whose label changed last round (the only votes that can move — their
+neighbor-label multisets are the only ones that changed). Per-round
+work and wire are proportional to the frontier's incident edge
+volume, not E, and the result is IDENTICAL to sync mode at every
+round (same vote, same tie-break). This is the LPA twin of
+algos/cc.py's delta method and algos/paths.py's BFS frontier.
+
+All label/argmax aggregation is JVM-side (max_by over a (cnt,
+-label) struct — no window, no sort, no Python).
 """
 
 from __future__ import annotations
@@ -19,7 +38,9 @@ import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
 
+from adopt_spark.algos.cc import _id_type
 from adopt_spark.checkpoint import CheckpointManager
 
 
@@ -30,6 +51,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     resume: bool = False,
     mode: str = "sync",
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
     """Returns (labels DataFrame[v: long, label: long], metrics).
 
@@ -41,50 +63,79 @@ def label_propagation(
     refreshed labels — still deterministic at any parallelism, and
     the two-phase schedule breaks bipartite oscillation so fixpoint
     is reached (the classic graph-coloring-schedule fix).
+    ``mode="delta"`` recomputes only frontier-adjacent votes per
+    round; its labels equal sync mode's at every round.
     """
-    if mode not in ("sync", "semi"):
+    if mode not in ("sync", "semi", "delta"):
         raise ValueError(f"unknown mode: {mode}")
-    e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    idt = _id_type(edges)
+    e = edges.select(F.col("sid").cast(idt).alias("sid"),
+                     F.col("tid").cast(idt).alias("tid")) \
              .where(F.col("sid") != F.col("tid"))
+    # one cached layout serves every superstep of every mode: the
+    # symmetrized deduped adjacency, hash-partitioned + sorted by v.
+    # Per round the label vector joins INTO this layout (on v — no
+    # exchange, no sort of the edge frame) and contributions aggregate
+    # at the other endpoint.
     both = (
         e.select(F.col("sid").alias("v"), F.col("tid").alias("nbr"))
         .unionAll(e.select(F.col("tid").alias("v"), F.col("sid").alias("nbr")))
         .dropDuplicates(["v", "nbr"])
-        .localCheckpoint(eager=True)
+        .repartition(parts, "v")
+        .sortWithinPartitions("v", "nbr")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vertices = both.select("v").distinct()
 
     cm = CheckpointManager(checkpoint_dir or tempfile.mkdtemp(prefix="lpa_ckpt_"))
     start_iter = 0
+    frontier: DataFrame | None = None     # delta mode: changed vertices
     if resume and cm.latest() is not None:
         start_iter = cm.latest() + 1
-        labels = cm.load(spark, cm.latest())
+        snap = cm.load(spark, cm.latest())
+        labels = snap.select("v", "label")
+        if mode == "delta" and "changed" in snap.columns:
+            frontier = snap.where(F.col("changed") == 1).select("v")
     else:
         labels = vertices.select("v", F.col("v").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+
+    _argmax = F.max_by("label", F.struct(F.col("cnt"), (-F.col("label"))))
 
     def vote(cur: DataFrame, parity: int | None) -> DataFrame:
         """Majority label per vertex (min-label tie-break); parity
-        restricts which vertices update, others keep their label."""
-        nbr_labels = both.join(
-            cur.select(F.col("v").alias("nbr"), F.col("label")), "nbr"
-        ).select("v", "label")
+        restricts which vertices update, others keep their label.
+        label(x) contributes to every neighbor of x, so the cached
+        layout is joined on its v side and grouped by nbr."""
+        contrib = both.join(cur, "v").select(F.col("nbr").alias("tv"),
+                                             "label")
         if parity is not None:
             # pmod, not %: Spark's % returns negative remainders for
             # negative ids, which would match neither phase and freeze
             # those vertices forever
-            nbr_labels = nbr_labels.where(F.pmod(F.col("v"), F.lit(2)) == parity)
-        freq = nbr_labels.groupBy("v", "label").agg(
+            contrib = contrib.where(F.pmod(F.col("tv"), F.lit(2)) == parity)
+        freq = contrib.groupBy("tv", "label").agg(
             F.count(F.lit(1)).alias("cnt"))
-        # argmax(cnt) with min-label tie-break: max_by over (cnt, -label)
-        voted = freq.groupBy("v").agg(
-            F.max_by("label", F.struct(F.col("cnt"), (-F.col("label"))))
-            .alias("label")
-        )
+        voted = (freq.groupBy("tv").agg(_argmax.alias("label"))
+                 .withColumnRenamed("tv", "v"))
         if parity is None:
             return voted
         kept = cur.where(F.pmod(F.col("v"), F.lit(2)) != parity)
         return voted.unionByName(kept)
+
+    def vote_frontier(cur: DataFrame, front: DataFrame) -> DataFrame:
+        """Recompute votes only for vertices adjacent to the frontier;
+        returns (v, label) for exactly that affected set."""
+        affected = (both.join(front, "v", "leftsemi")
+                    .select(F.col("nbr").alias("v")).distinct())
+        eff = both.join(affected, "v", "leftsemi")        # no exchange
+        contrib = (eff.join(cur.select(F.col("v").alias("nbr"),
+                                       F.col("label")), "nbr")
+                   .select("v", "label"))
+        freq = contrib.groupBy("v", "label").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        return freq.groupBy("v").agg(_argmax.alias("label"))
 
     metrics: list[dict] = []
     for it in range(start_iter, max_iter):
@@ -92,24 +143,36 @@ def label_propagation(
         if mode == "semi":
             half = vote(labels, parity=1).localCheckpoint(eager=True)
             new_labels = vote(half, parity=0)
+        elif mode == "delta" and frontier is not None:
+            upd = vote_frontier(labels, frontier)
+            new_labels = (labels.select("v", F.col("label").alias("_old"))
+                          .join(upd.withColumnRenamed("label", "_new"),
+                                "v", "left")
+                          .select("v", F.coalesce("_new", "_old")
+                                  .alias("label")))
         else:
             new_labels = vote(labels, parity=None)
-        # save FIRST (materializes the superstep plan exactly once and
-        # truncates lineage), then count changes against the parquet-
-        # backed output — same pattern as pagerank.py's save-then-agg.
-        new_labels = cm.save(new_labels, it)
-        changed = int(
-            new_labels.join(labels.withColumnRenamed("label", "old"), "v")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+        # one save materializes the superstep AND carries the changed
+        # count on its lineage scan — no separate count job
+        out = (labels.select("v", F.col("label").alias("_old"))
+               .join(new_labels, "v")
+               .select("v", "label",
+                       (F.col("label") != F.col("_old"))
+                       .cast("int").alias("changed")))
+        out = cm.save(out, it, sum_cols=("changed",))
+        changed = int(cm.metrics[-1]["sums"]["changed"])
         cm.amend_last(changed=changed)
-        labels = new_labels
+        labels = out.select("v", "label")
+        if mode == "delta":
+            frontier = out.where(F.col("changed") == 1).select("v")
         metrics.append({"iteration": it, "changed": changed,
                         "sec": round(time.time() - t0, 4)})
         if changed == 0:
             break
-    return labels, metrics
+    both.unpersist()
+    return (labels.select(F.col("v").cast("long").alias("v"),
+                          F.col("label").cast("long").alias("label")),
+            metrics)
 
 
 def directed_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:

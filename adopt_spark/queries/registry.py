@@ -195,6 +195,30 @@ def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
 
 
+def q_cc_delta_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-frontier CC (algos/cc.py:_cc_delta): frontier min-label
+    propagation — per-round shuffle ∝ changed labels, checkpoint ∝ V
+    — with a contraction-fallback guard. Labels are exact min-ids,
+    identical to the star method, so the same recursive-CC oracle
+    value-checks this physical strategy."""
+    e = derived_edges(spark, sf_dir)
+    labels, _ = connected_components(spark, e, method="delta")
+    return labels.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+
+
+def q_lpa_delta_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-recompute LPA (algos/lpa.py mode="delta"): only
+    vertices adjacent to last round's changed labels re-vote — labels
+    are round-for-round identical to sync mode, so the unrolled
+    fixed-iteration oracle value-checks this physical strategy."""
+    from adopt_spark.queries.oracle_gen import LPA_ITERS
+
+    e = derived_edges(spark, sf_dir)
+    labels, _ = label_propagation(spark, e, max_iter=LPA_ITERS,
+                                  mode="delta")
+    return labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard over a bounded doc block — every pair
     scored, fully SQL-expressible (the minhash pipeline's verify stage
@@ -7675,6 +7699,10 @@ ORACLES["g_rpq_reach"] = _rpq_sql(
     _RPQ_TRANS, _RPQ_ACCEPT)
 
 ORACLES["a_pregel_cc"] = ORACLES["a_cc_sizes"]
+# delta-frontier physical strategies produce byte-identical results to
+# their full-shuffle twins — same value-level oracles, checked per run
+ORACLES["a_cc_delta"] = ORACLES["a_cc_sizes"]
+ORACLES["a_lpa_delta"] = ORACLES["a_lpa_communities"]
 ORACLES["r_spatial_join"] = _sp_join_sql(
     "customer", *_SP_POINT_EXPRS, _SP_RADIUS)
 ORACLES["r_spatial_hotspots"] = _sp_hot_sql(
@@ -10106,6 +10134,10 @@ def all_queries() -> dict[str, QueryFn]:
     rows-only entries left.
     """
     return {
+        # -- (r4-1) round-4 session-1: delta-frontier supersteps (the
+        #    scaling-gate work — shuffle ∝ frontier, not E)
+        "a_cc_delta": q_cc_delta_sizes,
+        "a_lpa_delta": q_lpa_delta_communities,
         # -- (0q) round-3 session-23: structural equivalence (mirror
         #    detection), local sparsification, TrustRank spam mass,
         #    DSIR importance resampling

@@ -103,7 +103,17 @@ def main() -> None:
     timed("triangle_csr", lambda: triangle_count(edges, "csr").collect())
     extras["triangle_csr_sec"] = timings["triangle_csr"]
     timed("triangle_cogroup", lambda: triangle_count(edges, "cogroup").collect())
-    timed("triangle_auto", lambda: triangle_count(edges, "auto").collect())
+    # median-of-3 for the adaptivity headline: single reps on this VM's
+    # bursty CPU have produced 5x outliers (r03 driver artifact: 19.5s
+    # for a dispatch whose chosen plan cost 3.8s standalone in the same
+    # run); the raw reps are recorded alongside the median.
+    auto_secs = []
+    for _ in range(3):
+        t0 = time.time()
+        triangle_count(edges, "auto").collect()
+        auto_secs.append(round(time.time() - t0, 3))
+    timings["triangle_auto"] = sorted(auto_secs)[1]
+    extras["triangle_auto_secs"] = auto_secs
 
     # --- n-cycle DP kernels on the dense graph (the reference's hardest
     # workload; the generated SQL plan is infeasible here — it would

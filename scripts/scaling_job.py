@@ -115,6 +115,45 @@ def main() -> None:
             "cc_round_secs": [round(m["sec"], 3) for m in metrics],
         })
 
+    if "ccdelta" in parts:
+        # delta-frontier CC: per-round work shrinks with the frontier,
+        # so the honest throughput statistic is TOTAL wall time (the
+        # work sequence is deterministic and identical at every level).
+        from adopt_spark.algos.cc import connected_components
+
+        t0 = time.time()
+        labels, metrics = connected_components(spark, edges,
+                                               method="delta")
+        n_comp = labels.select("component").distinct().count()
+        sec = time.time() - t0
+        out.update({
+            "ccdelta_rounds": len(metrics),
+            "ccdelta_components": n_comp,
+            "ccdelta_total_sec": round(sec, 3),
+            "ccdelta_round_secs": [round(m["sec"], 3) for m in metrics],
+            "ccdelta_changed": [m.get("changed") for m in metrics],
+        })
+
+    if "lpadelta" in parts:
+        # frontier-recompute LPA at the same FIXED round count as the
+        # sync measurement — identical labels, work ∝ frontier edges.
+        from adopt_spark.algos.lpa import label_propagation
+
+        LPA_ROUNDS = 5
+        t0 = time.time()
+        labels, metrics = label_propagation(spark, edges,
+                                            max_iter=LPA_ROUNDS,
+                                            mode="delta")
+        n_labels = labels.select("label").distinct().count()
+        sec = time.time() - t0
+        out.update({
+            "lpadelta_rounds": len(metrics),
+            "lpadelta_labels": n_labels,
+            "lpadelta_total_sec": round(sec, 3),
+            "lpadelta_round_secs": [round(m["sec"], 3) for m in metrics],
+            "lpadelta_changed": [m.get("changed") for m in metrics],
+        })
+
     if "lpa" in parts:
         # synchronous LPA capped at a FIXED round count (far below
         # convergence on this graph), so both levels do identical work.

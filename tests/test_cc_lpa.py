@@ -100,6 +100,55 @@ def test_lpa_semi_negative_ids(spark):
     assert len(set(got.values())) == 1, got
 
 
+def test_cc_delta_equals_star(spark, powerlaw_small):
+    """Delta-frontier min-propagation must produce byte-identical
+    labels to the star method, including through the contraction
+    fallback (tiny cap) and on negative / non-int32 ids."""
+    df, pairs = powerlaw_small
+    star = {(r.v, r.component)
+            for r in connected_components(spark, df, method="star")[0].collect()}
+    delta = {(r.v, r.component)
+             for r in connected_components(spark, df, method="delta")[0].collect()}
+    capped = {(r.v, r.component)
+              for r in connected_components(
+                  spark, df, method="delta", delta_rounds_cap=1)[0].collect()}
+    assert star == delta == capped
+
+    wide = spark.createDataFrame(
+        [(-5, -3), (-3, 2), (10**10, 10**10 + 1), (2, 10**10)],
+        "sid long, tid long")
+    s = {(r.v, r.component)
+         for r in connected_components(spark, wide, method="star")[0].collect()}
+    d = {(r.v, r.component)
+         for r in connected_components(spark, wide, method="delta")[0].collect()}
+    assert s == d
+    # schema stays long regardless of internal int narrowing
+    lab, _ = connected_components(spark, df, method="delta")
+    assert [f.dataType.simpleString() for f in lab.schema.fields] == \
+        ["bigint", "bigint"]
+
+
+def test_cc_bad_method(spark):
+    import pytest as _pytest
+
+    one = spark.createDataFrame([(1, 2)], "sid long, tid long")
+    with _pytest.raises(ValueError, match="method"):
+        connected_components(spark, one, method="nope")
+
+
+def test_lpa_delta_equals_sync(spark, powerlaw_small):
+    """Frontier-recompute LPA must equal sync LPA at the same round
+    count (identical votes, identical tie-breaks)."""
+    df, pairs = powerlaw_small
+    for iters in (1, 3, 6):
+        sy = {(r.v, r.label)
+              for r in label_propagation(spark, df, max_iter=iters)[0].collect()}
+        de = {(r.v, r.label)
+              for r in label_propagation(
+                  spark, df, max_iter=iters, mode="delta")[0].collect()}
+        assert sy == de, iters
+
+
 def test_directed_modularity_vs_python(spark):
     from adopt_spark.algos.lpa import directed_modularity
 

@@ -27,6 +27,35 @@ def test_star_hub_zero(spark, star_hub):
     assert triangle_count(df, "csr").collect()[0][0] == 0
 
 
+def test_auto_overhead_bounded(spark):
+    """Regression guard for the r03 driver-bench anomaly (auto 19.5s
+    vs 3.8s for the plan it dispatched to): auto = one probe aggregate
+    + the chosen plan reusing the probed orientation, so its wall time
+    must stay within a small multiple of the standalone strategy.
+    Bounds are generous (bursty-VM tolerance, min-of-2 reps) — this
+    catches a structural 5x regression (orientation recompute, cache
+    eviction), not scheduler jitter."""
+    import time
+
+    from adopt_spark.edges import derived_edges
+
+    edges = derived_edges(spark, "/root/testdata/sf0.01").persist()
+    edges.count()
+
+    def wall(method):
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            triangle_count(edges, method).collect()
+            reps.append(time.time() - t0)
+        return min(reps)
+
+    csr = wall("csr")          # the plan auto picks on this dense graph
+    auto = wall("auto")
+    edges.unpersist()
+    assert auto <= 2.5 * csr + 5.0, (auto, csr)
+
+
 def test_triangle_sampled_matches_python(spark):
     from adopt_spark.algos.triangles import (
         DOULION_A, DOULION_B, DOULION_M, triangle_count_sampled,
