@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from adopt_spark.functions.jpeg_codec import jpeg_decode, jpeg_encode
 from adopt_spark.functions.png_codec import png_decode, png_encode
 from adopt_spark.functions.wav_codec import wav_decode, wav_encode
 
@@ -43,15 +44,16 @@ MEDIA_SCHEMA = (
 def require_real_codecs() -> None:
     """Production gate for formats without a native decoder.
 
-    8-bit grayscale PNG (png_codec.py) and RIFF/WAVE PCM
-    (wav_codec.py) decode natively. Everything else (JPEG, compressed
-    audio, video containers) needs PIL/ffmpeg, absent in this
-    environment — inject a decoder via ``decode_images(...,
-    decoder=...)`` / ``audio_features(..., decoder=...)`` or install
-    the libraries.
+    8-bit PNG (gray/RGB, png_codec.py), baseline JPEG (gray/YCbCr
+    with 4:4:4 / 4:2:2 / 4:2:0 sampling, jpeg_codec.py) and RIFF/WAVE
+    PCM (wav_codec.py) decode natively. Everything else (progressive
+    JPEG, compressed audio, video containers) needs PIL/ffmpeg,
+    absent in this environment — inject a decoder via
+    ``decode_images(..., decoder=...)`` / ``audio_features(...,
+    decoder=...)`` or install the libraries.
     """
     raise NotImplementedError(
-        "only grayscale PNG and PCM WAV have native codecs here; for other "
+        "PNG, baseline JPEG and PCM WAV have native codecs here; for other "
         "formats inject a decoder via decode_images(..., decoder=...) / "
         "audio_features(..., decoder=...) or install PIL/ffmpeg"
     )
@@ -97,10 +99,14 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def default_image_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Default decoder: REAL PNG decode when the payload carries the
-    PNG signature (dimensions come from IHDR, the metadata args are
-    ignored); raw-byte reshape fake otherwise (legacy fixtures)."""
+    PNG signature, REAL baseline-JPEG decode on an SOI marker
+    (jpeg_codec.py — dimensions come from the container in both
+    cases, the metadata args are ignored); raw-byte reshape fake
+    otherwise (legacy fixtures)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode(payload)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode(payload)
     return _fake_decode(payload, width, height)
 
 
@@ -132,6 +138,42 @@ def synthetic_png_media(keys: DataFrame, id_col: str = "media_id") -> DataFrame:
                 "meta": [{"width": w, "height": h, "sample_rate": 0,
                           "n_frames": 1} for w, h in zip(ws, hs)],
             })
+
+    return keys.select(F.col(id_col)).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def synthetic_jpeg_media(keys: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Closed-form baseline-JPEG media table: one REAL JPEG per key.
+
+    Image ``k`` is ``((k%2)+1)*8`` rows x ``((k%3)+1)*8`` cols of
+    8x8-aligned CONSTANT blocks; block ``j`` (row-major) has gray
+    value ``(k*37 + j*59) % 256``. A constant block has DC =
+    8*(v-128) and exactly-zero ACs, so at quality 50 (q00 = 16) the
+    decoded block is the closed form
+
+        clip(floor((v-128)/2 + 0.5)*2 + 128, 0, 255)
+
+    — expressible in ANSI SQL, which gives the full Huffman / DCT /
+    quantization / marker-parse path a value-level DuckDB oracle
+    (oracle_gen-style), the same trick as synthetic_png_media.
+    """
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].to_numpy(np.int64)
+            rows = []
+            for k in ids:
+                bw, bh = int(k % 3 + 1), int(k % 2 + 1)
+                w, h = bw * 8, bh * 8
+                img = np.empty((h, w), dtype=np.uint8)
+                for j in range(bw * bh):
+                    by, bx = divmod(j, bw)
+                    v = (int(k) * 37 + j * 59) % 256
+                    img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+                rows.append((int(k), "image", jpeg_encode(img, quality=50),
+                             {"width": w, "height": h, "sample_rate": 0,
+                              "n_frames": 1}))
+            yield pd.DataFrame(rows, columns=["media_id", "kind",
+                                              "payload", "meta"])
 
     return keys.select(F.col(id_col)).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 

@@ -1,0 +1,511 @@
+"""JOB / IMDB workload slice — the reference's acyclic-join benchmark.
+
+The reference ships the IMDB schema and runs the 113-query
+Join-Order-Benchmark suite over it (/root/reference/imdb/
+skinner.schema.sql:1-169, README.md:7-9; report Table 1 "JOB").
+This module reproduces that workload class for the engine:
+
+  * all 21 IMDB tables, synthesized DETERMINISTICALLY from the TPC-H
+    base tables via engine-neutral SQL laws (integer modular
+    arithmetic + concat/CASE only), so the identical text runs as
+    Spark temp views AND as DuckDB CTEs — the same oracle pattern as
+    edges.DERIVED_EDGE_SQL;
+  * a 17-query JOB subset mirroring the published suite's join
+    graphs: 4- to 9-way acyclic joins, repeated dimension aliases
+    (it1/it2, cct1/cct2), a title self-join (t1/t2 via movie_link),
+    MIN() aggregates, and the JOB predicate vocabulary (LIKE /
+    NOT LIKE / IN / BETWEEN / OR-disjunction / string-range
+    comparisons), with constants adapted to the synthetic laws so
+    every query is satisfiable at sandbox scale.
+
+Spark-first by construction: the queries go through spark.sql
+verbatim and Catalyst does the join ordering — the engine-level
+counterpart of the reference's optimizer benchmark (its UCT learner
+picks join orders at runtime; Catalyst picks them from statistics —
+SURVEY.md §4.1). Every query has a value-level DuckDB oracle via
+job_oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --------------------------------------------------------------- tables
+#
+# Engine-neutral SELECT text per IMDB table. Base TPC-H tables are
+# referenced by name (registered as views in both engines). Sizes
+# scale with the TPC-H sf; every id law is integer-exact.
+
+_TINY = {
+    "kind_type": ("(id, kind)",
+                  "(1,'movie'),(2,'tv series'),(3,'video movie'),"
+                  "(4,'video game'),(5,'tv movie'),(6,'episode'),"
+                  "(7,'tv mini series')"),
+    "company_type": ("(id, kind)",
+                     "(1,'production companies'),(2,'distributors'),"
+                     "(3,'special effects companies'),"
+                     "(4,'miscellaneous companies')"),
+    "info_type": ("(id, info)",
+                  "(1,'top 250 rank'),(2,'rating'),(3,'votes'),"
+                  "(4,'budget'),(5,'genres'),(6,'release dates'),"
+                  "(7,'languages'),(8,'mini biography'),(9,'trivia'),"
+                  "(10,'height')"),
+    "role_type": ("(id, role)",
+                  "(1,'actor'),(2,'actress'),(3,'producer'),"
+                  "(4,'writer'),(5,'cinematographer'),(6,'composer'),"
+                  "(7,'director'),(8,'costume designer'),(9,'editor'),"
+                  "(10,'miscellaneous crew'),(11,'guest')"),
+    "link_type": ("(id, link)",
+                  "(1,'follows'),(2,'followed by'),(3,'remake of'),"
+                  "(4,'remade as'),(5,'references'),(6,'referenced in')"),
+    "comp_cast_type": ("(id, kind)",
+                       "(1,'cast'),(2,'crew'),(3,'complete'),"
+                       "(4,'complete+verified')"),
+}
+
+IMDB_TABLES: dict[str, str] = {
+    name: f"SELECT * FROM (VALUES {rows}) AS _v{cols}"
+    for name, (cols, rows) in _TINY.items()
+}
+
+IMDB_TABLES["title"] = """
+SELECT o_orderkey AS id,
+       concat('t', o_orderkey) AS title,
+       CAST(NULL AS STRING) AS imdb_index,
+       o_orderkey % 7 + 1 AS kind_id,
+       1950 + (o_orderkey * 17) % 70 AS production_year,
+       CAST(NULL AS INT) AS imdb_id,
+       CAST(NULL AS STRING) AS phonetic_code,
+       CAST(NULL AS INT) AS episode_of_id,
+       o_orderkey % 10 AS season_nr,
+       o_orderkey % 100 AS episode_nr,
+       CAST(NULL AS STRING) AS series_years,
+       CAST(NULL AS STRING) AS md5sum
+FROM orders
+""".strip()
+
+IMDB_TABLES["company_name"] = """
+SELECT p_partkey AS id,
+       concat('co', p_partkey) AS name,
+       CASE p_partkey % 6 WHEN 0 THEN '[us]' WHEN 1 THEN '[de]'
+            WHEN 2 THEN '[gb]' WHEN 3 THEN '[jp]' WHEN 4 THEN '[fr]'
+            ELSE '[in]' END AS country_code,
+       CAST(NULL AS INT) AS imdb_id,
+       CAST(NULL AS STRING) AS name_pcode_nf,
+       CAST(NULL AS STRING) AS name_pcode_sf,
+       CAST(NULL AS STRING) AS md5sum
+FROM part WHERE p_partkey <= 200
+""".strip()
+
+IMDB_TABLES["movie_companies"] = """
+SELECT l_orderkey * 8 + l_linenumber AS id,
+       l_orderkey AS movie_id,
+       l_partkey % 200 + 1 AS company_id,
+       l_suppkey % 4 + 1 AS company_type_id,
+       CASE l_partkey % 5 WHEN 0 THEN '(presents)'
+            WHEN 1 THEN '(co-production)'
+            WHEN 2 THEN '(as Metro-Goldwyn-Mayer Pictures)'
+            WHEN 3 THEN '(VHS) (1994)' ELSE NULL END AS note
+FROM lineitem
+""".strip()
+
+IMDB_TABLES["movie_info_idx"] = """
+SELECT l_orderkey * 8 + l_linenumber AS id,
+       l_orderkey AS movie_id,
+       l_partkey % 7 + 1 AS info_type_id,
+       concat(l_partkey % 10, '.', l_suppkey % 10) AS info,
+       CAST(NULL AS STRING) AS note
+FROM lineitem WHERE l_linenumber <= 2
+""".strip()
+
+IMDB_TABLES["movie_info"] = """
+SELECT l_orderkey * 8 + l_linenumber AS id,
+       l_orderkey AS movie_id,
+       l_suppkey % 7 + 1 AS info_type_id,
+       CASE l_partkey % 6 WHEN 0 THEN 'Drama' WHEN 1 THEN 'Comedy'
+            WHEN 2 THEN 'Horror' WHEN 3 THEN 'Action'
+            WHEN 4 THEN 'Thriller' ELSE 'Documentary' END AS info,
+       CAST(NULL AS STRING) AS note
+FROM lineitem WHERE l_linenumber IN (3, 4)
+""".strip()
+
+IMDB_TABLES["keyword"] = """
+SELECT p_partkey AS id,
+       CASE p_partkey WHEN 1 THEN 'sequel'
+            WHEN 2 THEN 'character-name-in-title'
+            WHEN 3 THEN 'based-on-novel' WHEN 4 THEN 'superhero'
+            ELSE concat('kw', p_partkey) END AS keyword,
+       CAST(NULL AS STRING) AS phonetic_code
+FROM part WHERE p_partkey <= 100
+""".strip()
+
+IMDB_TABLES["movie_keyword"] = """
+SELECT l_orderkey * 8 + l_linenumber AS id,
+       l_orderkey AS movie_id,
+       l_partkey % 100 + 1 AS keyword_id
+FROM lineitem WHERE l_linenumber >= 5
+""".strip()
+
+IMDB_TABLES["name"] = """
+SELECT c_custkey AS id,
+       concat('n', c_custkey) AS name,
+       CAST(NULL AS STRING) AS imdb_index,
+       CAST(NULL AS INT) AS imdb_id,
+       CASE WHEN c_custkey % 2 = 0 THEN 'f' ELSE 'm' END AS gender,
+       CAST(NULL AS STRING) AS name_pcode_cf,
+       CAST(NULL AS STRING) AS name_pcode_nf,
+       CAST(NULL AS STRING) AS surname_pcode,
+       CAST(NULL AS STRING) AS md5sum
+FROM customer
+""".strip()
+
+IMDB_TABLES["cast_info"] = """
+SELECT l_orderkey * 8 + l_linenumber AS id,
+       1 + (l_partkey * 31 + l_suppkey) %
+           (SELECT max(c_custkey) FROM customer) AS person_id,
+       l_orderkey AS movie_id,
+       (l_partkey * 3 + l_linenumber) % 500 + 1 AS person_role_id,
+       CASE l_partkey % 4 WHEN 0 THEN '(voice)'
+            WHEN 1 THEN '(uncredited)' WHEN 2 THEN '(producer)'
+            ELSE NULL END AS note,
+       l_linenumber AS nr_order,
+       (l_linenumber - 1) % 11 + 1 AS role_id
+FROM lineitem
+""".strip()
+
+IMDB_TABLES["char_name"] = """
+SELECT p_partkey AS id,
+       concat('ch', p_partkey) AS name,
+       CAST(NULL AS STRING) AS imdb_index,
+       CAST(NULL AS INT) AS imdb_id,
+       CAST(NULL AS STRING) AS name_pcode_nf,
+       CAST(NULL AS STRING) AS surname_pcode,
+       CAST(NULL AS STRING) AS md5sum
+FROM part WHERE p_partkey <= 500
+""".strip()
+
+IMDB_TABLES["movie_link"] = """
+SELECT o_orderkey AS id,
+       o_orderkey AS movie_id,
+       1 + (o_orderkey * 13) % (SELECT max(o_orderkey) FROM orders)
+           AS linked_movie_id,
+       o_orderkey % 6 + 1 AS link_type_id
+FROM orders WHERE o_orderkey % 20 = 0
+""".strip()
+
+IMDB_TABLES["aka_name"] = """
+SELECT c_custkey AS id,
+       c_custkey AS person_id,
+       concat('aka', c_custkey) AS name,
+       CAST(NULL AS STRING) AS imdb_index,
+       CAST(NULL AS STRING) AS name_pcode_cf,
+       CAST(NULL AS STRING) AS name_pcode_nf,
+       CAST(NULL AS STRING) AS surname_pcode,
+       CAST(NULL AS STRING) AS md5sum
+FROM customer WHERE c_custkey % 3 = 0
+""".strip()
+
+IMDB_TABLES["aka_title"] = """
+SELECT o_orderkey AS id,
+       o_orderkey AS movie_id,
+       concat('at', o_orderkey) AS title,
+       CAST(NULL AS STRING) AS imdb_index,
+       o_orderkey % 7 + 1 AS kind_id,
+       1950 + (o_orderkey * 17) % 70 AS production_year,
+       CAST(NULL AS STRING) AS phonetic_code,
+       CAST(NULL AS INT) AS episode_of_id,
+       CAST(NULL AS INT) AS season_nr,
+       CAST(NULL AS INT) AS episode_nr,
+       CAST(NULL AS STRING) AS note,
+       CAST(NULL AS STRING) AS md5sum
+FROM orders WHERE o_orderkey % 11 = 0
+""".strip()
+
+IMDB_TABLES["person_info"] = """
+SELECT c_custkey AS id,
+       c_custkey AS person_id,
+       c_custkey % 3 + 8 AS info_type_id,
+       concat('bio of n', c_custkey) AS info,
+       CAST(NULL AS STRING) AS note
+FROM customer
+""".strip()
+
+IMDB_TABLES["complete_cast"] = """
+SELECT o_orderkey AS id,
+       o_orderkey AS movie_id,
+       o_orderkey % 2 + 1 AS subject_id,
+       (o_orderkey % 11) % 2 + 3 AS status_id
+FROM orders WHERE o_orderkey % 25 = 0
+""".strip()
+
+# --------------------------------------------------------------- queries
+#
+# Join graphs mirror the published JOB queries named in each key
+# (predicate constants adapted to the synthetic laws; structure —
+# alias set, join conditions, aggregate shape — kept).
+
+JOB_QUERIES: dict[str, str] = {}
+
+JOB_QUERIES["job_1a"] = """
+SELECT MIN(mc.note) AS production_note, MIN(t.title) AS movie_title,
+       MIN(t.production_year) AS movie_year
+FROM company_type AS ct, info_type AS it, movie_companies AS mc,
+     movie_info_idx AS mi_idx, title AS t
+WHERE ct.kind = 'production companies' AND it.info = 'top 250 rank'
+  AND mc.note NOT LIKE '%(as Metro-Goldwyn-Mayer Pictures)%'
+  AND (mc.note LIKE '%(co-production)%' OR mc.note LIKE '%(presents)%')
+  AND ct.id = mc.company_type_id AND t.id = mc.movie_id
+  AND t.id = mi_idx.movie_id AND mc.movie_id = mi_idx.movie_id
+  AND it.id = mi_idx.info_type_id
+""".strip()
+
+JOB_QUERIES["job_2a"] = """
+SELECT MIN(t.title) AS movie_title
+FROM company_name AS cn, keyword AS k, movie_companies AS mc,
+     movie_keyword AS mk, title AS t
+WHERE cn.country_code = '[de]' AND k.keyword = 'character-name-in-title'
+  AND cn.id = mc.company_id AND mc.movie_id = t.id
+  AND t.id = mk.movie_id AND mk.keyword_id = k.id
+  AND mc.movie_id = mk.movie_id
+""".strip()
+
+JOB_QUERIES["job_3b"] = """
+SELECT MIN(t.title) AS movie_title
+FROM keyword AS k, movie_info AS mi, movie_keyword AS mk, title AS t
+WHERE k.keyword LIKE '%sequel%' AND mi.info IN ('Horror', 'Drama')
+  AND t.production_year > 2000
+  AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND mk.movie_id = mi.movie_id AND k.id = mk.keyword_id
+""".strip()
+
+JOB_QUERIES["job_4a"] = """
+SELECT MIN(mi_idx.info) AS rating, MIN(t.title) AS movie_title
+FROM info_type AS it, keyword AS k, movie_info_idx AS mi_idx,
+     movie_keyword AS mk, title AS t
+WHERE it.info = 'rating' AND k.keyword LIKE '%sequel%'
+  AND mi_idx.info > '5.0' AND t.production_year > 1990
+  AND t.id = mi_idx.movie_id AND t.id = mk.movie_id
+  AND mk.movie_id = mi_idx.movie_id AND k.id = mk.keyword_id
+  AND it.id = mi_idx.info_type_id
+""".strip()
+
+JOB_QUERIES["job_5c"] = """
+SELECT MIN(t.title) AS american_movie
+FROM company_type AS ct, info_type AS it, movie_companies AS mc,
+     movie_info AS mi, title AS t
+WHERE ct.kind = 'production companies' AND mc.note NOT LIKE '%(VHS)%'
+  AND (mc.note LIKE '%(presents)%' OR mc.note LIKE '%(co-production)%')
+  AND mi.info IN ('Drama', 'Horror', 'Action') AND t.production_year > 1980
+  AND t.id = mi.movie_id AND t.id = mc.movie_id
+  AND mc.movie_id = mi.movie_id AND ct.id = mc.company_type_id
+  AND it.id = mi.info_type_id
+""".strip()
+
+JOB_QUERIES["job_6b"] = """
+SELECT MIN(k.keyword) AS movie_keyword, MIN(n.name) AS actor_name,
+       MIN(t.title) AS hero_movie
+FROM cast_info AS ci, keyword AS k, movie_keyword AS mk, name AS n,
+     title AS t
+WHERE k.keyword = 'superhero' AND n.name LIKE '%n1%'
+  AND t.production_year > 2005
+  AND k.id = mk.keyword_id AND t.id = mk.movie_id AND t.id = ci.movie_id
+  AND ci.movie_id = mk.movie_id AND n.id = ci.person_id
+""".strip()
+
+JOB_QUERIES["job_7b"] = """
+SELECT MIN(n.name) AS of_person, MIN(t.title) AS biography_movie
+FROM aka_name AS an, cast_info AS ci, info_type AS it, link_type AS lt,
+     movie_link AS ml, name AS n, person_info AS pi, title AS t
+WHERE an.name LIKE '%aka%' AND it.info = 'mini biography'
+  AND lt.link = 'references' AND n.gender = 'm'
+  AND t.production_year BETWEEN 1980 AND 2015
+  AND n.id = an.person_id AND n.id = pi.person_id
+  AND ci.person_id = n.id AND t.id = ci.movie_id
+  AND ml.linked_movie_id = t.id AND lt.id = ml.link_type_id
+  AND it.id = pi.info_type_id AND pi.person_id = an.person_id
+  AND pi.person_id = ci.person_id AND an.person_id = ci.person_id
+""".strip()
+
+JOB_QUERIES["job_8a"] = """
+SELECT MIN(an.name) AS actress_pseudonym, MIN(t.title) AS japanese_movie
+FROM aka_name AS an, cast_info AS ci, company_name AS cn,
+     movie_companies AS mc, name AS n, role_type AS rt, title AS t
+WHERE ci.note = '(voice)' AND cn.country_code = '[jp]'
+  AND rt.role = 'actress' AND an.person_id = n.id AND n.id = ci.person_id
+  AND ci.movie_id = t.id AND t.id = mc.movie_id
+  AND mc.company_id = cn.id AND ci.role_id = rt.id
+  AND an.person_id = ci.person_id AND ci.movie_id = mc.movie_id
+""".strip()
+
+JOB_QUERIES["job_10a"] = """
+SELECT MIN(chn.name) AS uncredited_voiced_character,
+       MIN(t.title) AS russian_movie
+FROM char_name AS chn, cast_info AS ci, company_name AS cn,
+     company_type AS ct, movie_companies AS mc, role_type AS rt,
+     title AS t
+WHERE ci.note = '(voice)' AND cn.country_code = '[us]'
+  AND rt.role = 'actress' AND t.production_year > 1990
+  AND t.id = mc.movie_id AND t.id = ci.movie_id
+  AND ci.movie_id = mc.movie_id AND chn.id = ci.person_role_id
+  AND rt.id = ci.role_id AND cn.id = mc.company_id
+  AND ct.id = mc.company_type_id
+""".strip()
+
+JOB_QUERIES["job_11a"] = """
+SELECT MIN(cn.name) AS from_company, MIN(lt.link) AS movie_link_type,
+       MIN(t.title) AS non_polish_sequel_movie
+FROM company_name AS cn, company_type AS ct, keyword AS k,
+     link_type AS lt, movie_companies AS mc, movie_keyword AS mk,
+     movie_link AS ml, title AS t
+WHERE cn.country_code != '[pl]'
+  AND k.keyword IN ('sequel', 'character-name-in-title')
+  AND lt.link LIKE '%follow%' AND mc.note IS NULL
+  AND t.production_year BETWEEN 1980 AND 2010
+  AND lt.id = ml.link_type_id AND ml.movie_id = t.id
+  AND t.id = mk.movie_id AND mk.keyword_id = k.id
+  AND t.id = mc.movie_id AND mc.company_type_id = ct.id
+  AND mc.company_id = cn.id AND ml.movie_id = mk.movie_id
+  AND ml.movie_id = mc.movie_id AND mk.movie_id = mc.movie_id
+""".strip()
+
+JOB_QUERIES["job_13a"] = """
+SELECT MIN(mi.info) AS release_date, MIN(mi_idx.info) AS rating,
+       MIN(t.title) AS german_movie
+FROM company_name AS cn, company_type AS ct, info_type AS it1,
+     info_type AS it2, kind_type AS kt, movie_companies AS mc,
+     movie_info AS mi, movie_info_idx AS mi_idx, title AS t
+WHERE cn.country_code = '[de]' AND ct.kind = 'production companies'
+  AND it1.info = 'rating' AND it2.info = 'release dates'
+  AND kt.kind = 'movie'
+  AND mi.movie_id = t.id AND it2.id = mi.info_type_id
+  AND kt.id = t.kind_id AND mc.movie_id = t.id
+  AND cn.id = mc.company_id AND ct.id = mc.company_type_id
+  AND mi_idx.movie_id = t.id AND it1.id = mi_idx.info_type_id
+  AND mi.movie_id = mi_idx.movie_id AND mi.movie_id = mc.movie_id
+  AND mi_idx.movie_id = mc.movie_id
+""".strip()
+
+JOB_QUERIES["job_14a"] = """
+SELECT MIN(mi_idx.info) AS rating, MIN(t.title) AS northern_dark_movie
+FROM info_type AS it1, info_type AS it2, keyword AS k,
+     kind_type AS kt, movie_info AS mi, movie_info_idx AS mi_idx,
+     movie_keyword AS mk, title AS t
+WHERE it1.info = 'rating' AND it2.info = 'release dates'
+  AND k.keyword IN ('sequel', 'superhero', 'based-on-novel',
+                    'character-name-in-title')
+  AND kt.kind = 'movie'
+  AND mi.info IN ('Drama', 'Horror', 'Action', 'Comedy')
+  AND mi_idx.info < '8.5'
+  AND t.production_year > 1970
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id
+  AND t.id = mk.movie_id AND mk.movie_id = mi.movie_id
+  AND mk.movie_id = mi_idx.movie_id AND mi.movie_id = mi_idx.movie_id
+  AND k.id = mk.keyword_id AND it1.id = mi_idx.info_type_id
+  AND it2.id = mi.info_type_id AND kt.id = t.kind_id
+""".strip()
+
+JOB_QUERIES["job_16a"] = """
+SELECT MIN(an.name) AS cool_actor_pseudonym,
+       MIN(t.title) AS series_named_after_char
+FROM aka_name AS an, cast_info AS ci, company_name AS cn,
+     keyword AS k, movie_companies AS mc, movie_keyword AS mk,
+     name AS n, title AS t
+WHERE cn.country_code = '[us]' AND k.keyword = 'character-name-in-title'
+  AND t.episode_nr >= 5 AND t.episode_nr < 90
+  AND an.person_id = n.id AND n.id = ci.person_id
+  AND ci.movie_id = t.id AND t.id = mk.movie_id
+  AND mk.keyword_id = k.id AND t.id = mc.movie_id
+  AND mc.company_id = cn.id AND an.person_id = ci.person_id
+  AND ci.movie_id = mc.movie_id AND ci.movie_id = mk.movie_id
+  AND mc.movie_id = mk.movie_id
+""".strip()
+
+JOB_QUERIES["job_17a"] = """
+SELECT MIN(n.name) AS member_in_charnamed_american_movie,
+       MIN(n.name) AS a1
+FROM cast_info AS ci, keyword AS k, movie_keyword AS mk, name AS n,
+     title AS t
+WHERE k.keyword = 'character-name-in-title' AND n.name LIKE 'n2%'
+  AND n.id = ci.person_id AND ci.movie_id = t.id
+  AND t.id = mk.movie_id AND mk.keyword_id = k.id
+  AND ci.movie_id = mk.movie_id
+""".strip()
+
+JOB_QUERIES["job_23a"] = """
+SELECT MIN(kt.kind) AS movie_kind, MIN(t.title) AS complete_us_movie
+FROM complete_cast AS cc, comp_cast_type AS cct1,
+     comp_cast_type AS cct2, kind_type AS kt, title AS t
+WHERE cct1.kind = 'cast' AND cct2.kind = 'complete+verified'
+  AND kt.kind = 'movie' AND t.production_year > 1940
+  AND kt.id = t.kind_id AND t.id = cc.movie_id
+  AND cct1.id = cc.subject_id AND cct2.id = cc.status_id
+""".strip()
+
+JOB_QUERIES["job_25a"] = """
+SELECT MIN(mi.info) AS movie_budget, MIN(mi_idx.info) AS movie_votes,
+       MIN(n.name) AS male_writer, MIN(t.title) AS violent_movie_title
+FROM cast_info AS ci, info_type AS it1, info_type AS it2,
+     keyword AS k, movie_info AS mi, movie_info_idx AS mi_idx,
+     movie_keyword AS mk, name AS n, title AS t
+WHERE ci.note = '(producer)' AND it1.info = 'genres'
+  AND it2.info = 'votes' AND k.keyword = 'based-on-novel'
+  AND mi.info IN ('Horror', 'Action', 'Drama') AND mi_idx.info > '3.0'
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id
+  AND t.id = ci.movie_id AND t.id = mk.movie_id
+  AND ci.movie_id = mi.movie_id AND ci.movie_id = mi_idx.movie_id
+  AND ci.movie_id = mk.movie_id AND mi.movie_id = mi_idx.movie_id
+  AND mi.movie_id = mk.movie_id AND mi_idx.movie_id = mk.movie_id
+  AND n.id = ci.person_id AND it1.id = mi.info_type_id
+  AND it2.id = mi_idx.info_type_id AND k.id = mk.keyword_id
+""".strip()
+
+JOB_QUERIES["job_32a"] = """
+SELECT MIN(lt.link) AS link_type, MIN(t1.title) AS first_movie,
+       MIN(t2.title) AS second_movie
+FROM keyword AS k, link_type AS lt, movie_keyword AS mk,
+     movie_link AS ml, title AS t1, title AS t2
+WHERE k.keyword = 'sequel'
+  AND mk.keyword_id = k.id AND t1.id = mk.movie_id
+  AND ml.movie_id = t1.id AND ml.linked_movie_id = t2.id
+  AND lt.id = ml.link_type_id AND mk.movie_id = t1.id
+""".strip()
+
+# 2-table warmup + the selective-predicate shape the reference's
+# per-variable-bound selectivity suite exercises
+JOB_QUERIES["job_0a"] = """
+SELECT MIN(t.title) AS movie_title, MIN(t.production_year) AS movie_year
+FROM kind_type AS kt, title AS t
+WHERE kt.kind = 'episode' AND kt.id = t.kind_id
+  AND t.production_year BETWEEN 1960 AND 1980
+""".strip()
+
+
+_BASE_TABLES = ("orders", "lineitem", "part", "customer")
+
+
+def register_imdb_views(spark: SparkSession, sf_dir: str) -> None:
+    """Create the 21 IMDB temp views over the TPC-H parquet tables."""
+    for t in _BASE_TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    for name, sql in IMDB_TABLES.items():
+        spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
+
+
+def job_query(name: str):
+    """QueryFn running one JOB query through spark.sql (Catalyst does
+    the join ordering — SURVEY.md §4.1)."""
+    sql = JOB_QUERIES[name]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_imdb_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return fn
+
+
+def job_oracle_sql(name: str) -> str:
+    """DuckDB twin: all IMDB tables as CTEs (lazily inlined — only
+    referenced ones execute) + the identical query text."""
+    ctes = ",\n".join(f"{t} AS (\n{sql}\n)"
+                      for t, sql in IMDB_TABLES.items())
+    return f"WITH {ctes}\n{JOB_QUERIES[name]}"

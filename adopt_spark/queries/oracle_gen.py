@@ -504,6 +504,42 @@ SELECT media_id,
 FROM st
 """.strip()
 
+JPEG_FEATURES_SQL = """
+WITH m AS (
+    SELECT o_orderkey AS media_id,
+           CAST(((o_orderkey % 3) + 1) * 8 AS BIGINT) AS w,
+           CAST(((o_orderkey % 2) + 1) * 8 AS BIGINT) AS h
+    FROM orders WHERE o_orderkey % 100 < 2
+), blk AS (
+    -- one row per 8x8 block; raw constant value per the fixture law
+    SELECT media_id, w, h, (media_id * 37 + j * 59) % 256 AS v
+    FROM (SELECT media_id, w, h,
+                 unnest(range(0, (w // 8) * (h // 8))) AS j FROM m)
+), dec AS (
+    -- the baseline-JPEG constant-block decode law at quality 50
+    -- (q00 = 16): clip(floor((v-128)/2 + 0.5)*2 + 128, 0, 255);
+    -- every pixel of the block decodes to this value, so per-pixel
+    -- stats equal equal-weight per-block stats
+    SELECT media_id, w, h,
+           least(greatest(CAST(floor((v - 128) / 2.0 + 0.5) * 2 + 128
+                               AS BIGINT), 0), 255) AS d
+    FROM blk
+), st AS (
+    SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+           avg(d) AS mean_raw, stddev_pop(d) AS std_raw
+    FROM dec GROUP BY media_id
+)
+SELECT media_id,
+       CAST(round(mean_raw, 4) AS DOUBLE) AS mean_px,
+       CAST(round(std_raw, 4) AS DOUBLE) AS std_px,
+       CAST((w + greatest(1, w // 8) - 1) // greatest(1, w // 8) AS INTEGER)
+           AS thumb_w,
+       CAST((h + greatest(1, h // 8) - 1) // greatest(1, h // 8) AS INTEGER)
+           AS thumb_h
+FROM st
+""".strip()
+
+
 def audio_silence_sql(frame: int = 16, threshold: int = 64) -> str:
     """Replica of multimodal.audio_frame_energy + silence_report over
     the synthetic WAV law (same m/s CTEs as AUDIO_FEATURES_SQL):
