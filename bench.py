@@ -173,6 +173,18 @@ def main() -> None:
     timed("t_minhash_near_dup",
           lambda: minhash_near_dup_pairs(docs, threshold=0.8).count())
 
+    # --- JOB/IMDB acyclic-join suite (the reference's published
+    # benchmark workload class) — all 18 queries, one wall-clock line
+    from adopt_spark.queries.job import JOB_QUERIES, job_query, register_imdb_views
+
+    def run_job_suite():
+        register_imdb_views(spark, SF_DIR)
+        for jq in JOB_QUERIES:
+            job_query(jq)(spark, SF_DIR).collect()
+
+    timed("job_suite_18q", run_job_suite)
+    extras["job_suite_queries"] = len(JOB_QUERIES)
+
     # attach the latest two-parallelism scaling evidence if present
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH", "scaling.json")
