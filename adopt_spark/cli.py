@@ -92,23 +92,93 @@ def explain_sql(spark: SparkSession, sql_text: str,
     return out
 
 
+def repl(spark: SparkSession, sf_dir: str,
+         input_fn=input, echo: bool = True) -> int:
+    """Interactive console loop — parity with the reference console's
+    command set (console/SkinnerCmd.java:302-340):
+
+      quit            exit
+      bench <file>    run a ;-separated SQL file with per-statement
+                      timing (BenchAndVerify's loop)
+      exec <file>     run a SQL file
+      explain <sql>   formatted physical plan, no execution
+      list            list registered tables/views
+      load <tbl> <path>  register a parquet/CSV path as a view
+                      (the console's `load` + `compress`/`index all`
+                      are subsumed by parquet's dictionary encoding +
+                      pushdown — documented no-ops here)
+      compress / index all   no-op with a note (see above)
+      help            this text
+      <sql>           execute a SQL statement
+
+    ``input_fn`` is injectable so tests can script a session.
+    """
+    n_err = 0
+    while True:
+        try:
+            line = input_fn("adopt> ").strip()
+        except EOFError:
+            return n_err
+        if not line:
+            continue
+        try:
+            if line == "quit":
+                return n_err
+            elif line == "help":
+                print(repl.__doc__)
+            elif line == "list":
+                for t in spark.catalog.listTables():
+                    print(f"  {t.name}  ({t.tableType.lower()})")
+            elif line in ("compress", "index all"):
+                print("-- no-op: parquet dictionary encoding + predicate "
+                      "pushdown subsume the reference's compress/index "
+                      "steps (SURVEY.md §2.1)")
+            elif line.startswith("bench ") or line.startswith("exec "):
+                run_sql_file(spark, line.split(None, 1)[1], echo=echo)
+            elif line.startswith("explain "):
+                explain_sql(spark, line.split(None, 1)[1], echo=echo)
+            elif line.startswith("load "):
+                parts = line.split()
+                if len(parts) != 3:
+                    print("usage: load <table> <parquet-or-csv-path>")
+                    continue
+                _, tbl, path = parts
+                if path.endswith(".csv"):
+                    from adopt_spark.sources.io import read_csv
+                    read_csv(spark, path).createOrReplaceTempView(tbl)
+                else:
+                    spark.read.parquet(path).createOrReplaceTempView(tbl)
+                print(f"-- registered view {tbl}")
+            else:
+                run_sql(spark, line, echo=echo)
+        except Exception as exc:  # noqa: BLE001 — console must survive
+            n_err += 1
+            print(f"error: {type(exc).__name__}: {exc}")
+
+
 def main(argv: list[str] | None = None) -> int:
     from adopt_spark.session import get_spark
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("sql", help="SQL file path or literal statement")
+    p.add_argument("sql", nargs="?", default=None,
+                   help="SQL file path or literal statement "
+                        "(omit with --interactive)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--edge-view", action="store_true",
                    help="also register the derived `edge` view")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plan instead of "
                         "executing (the reference console's explain mode)")
+    p.add_argument("--interactive", "-i", action="store_true",
+                   help="console loop (the reference's SkinnerCmd REPL)")
     args = p.parse_args(argv)
 
     spark = get_spark("adopt_spark_cli")
     register_testdata(spark, args.sf_dir)
     if args.edge_view:
         register_edge_view(spark, args.sf_dir)
+    if args.interactive or args.sql is None:
+        return min(repl(spark, args.sf_dir), 1)
     try:
         with open(args.sql) as f:
             text = f.read()

@@ -6,9 +6,13 @@ schema, and values) but covers the whole registry, because the driver
 appears to cap its per-round check at 50 entries. Output:
 CORRECTNESS_FULL.json at the repo root.
 
-Usage: python scripts/contract_check.py [sf_dir] [out_json] [only]
+Usage: python scripts/contract_check.py [sf_dir] [out_json] [only] [skip]
 ``only`` is an optional comma-separated entry-name filter for fast
 dev loops (the JSON then covers just those entries — don't commit it).
+``skip`` (use ``-`` for ``only`` to keep the full set) excludes the
+named entries and records them under ``"_skipped"`` in the JSON —
+used by the sf0.1 gate to cap the handful of oracle-side-superlinear
+entries (documented exclusions, not silent truncation).
 """
 
 from __future__ import annotations
@@ -86,10 +90,19 @@ def main() -> None:
                     f"FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     queries, oracles = all_queries(), all_oracles()
-    if len(sys.argv) > 3:
+    if len(sys.argv) > 3 and sys.argv[3] != "-":
         only = set(sys.argv[3].split(","))
         queries = {k: v for k, v in queries.items() if k in only}
+    skipped: list[str] = []
+    if len(sys.argv) > 4:
+        skip = set(sys.argv[4].split(","))
+        skipped = sorted(k for k in queries if k in skip)
+        queries = {k: v for k, v in queries.items() if k not in skip}
     results: dict[str, dict] = {}
+    if skipped:
+        results["_skipped"] = {"names": skipped,
+                               "reason": "oracle-side cost superlinear "
+                                         "at this sf; see COVERAGE.md"}
     for name, fn in queries.items():
         t0 = time.time()
         rec: dict = {"rows_match": None, "schema_match": None,
@@ -118,9 +131,9 @@ def main() -> None:
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    n_ok = sum(1 for r in results.values() if r["hash_match"])
-    n_ro = sum(1 for r in results.values() if r["err"] == "no_oracle")
-    n_bad = len(results) - n_ok - n_ro
+    n_ok = sum(1 for r in results.values() if r.get("hash_match"))
+    n_ro = sum(1 for r in results.values() if r.get("err") == "no_oracle")
+    n_bad = len(results) - n_ok - n_ro - (1 if skipped else 0)
     print(f"\n{len(results)} queries: {n_ok} oracle-PASS, "
           f"{n_ro} rows-only, {n_bad} FAIL -> {out_path}")
     spark.stop()

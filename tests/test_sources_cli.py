@@ -87,3 +87,35 @@ def test_explain_mode_formats_plan_without_executing(spark):
     assert "Physical Plan" in p
     assert "Join" in p            # the join strategy is shown
     assert "Aggregate" in p or "HashAggregate" in p
+
+
+def test_repl_scripted_session(spark, capsys):
+    """Console-loop parity (SkinnerCmd): scripted quit/list/sql/load/
+    no-op commands run without raising; errors are survived."""
+    from adopt_spark.cli import register_testdata, repl
+    from tests.conftest import SF_TINY
+
+    register_testdata(spark, SF_TINY)
+    script = iter([
+        "list",
+        "SELECT count(*) AS n FROM region",
+        "compress",
+        "explain SELECT count(*) AS n FROM nation",
+        "SELECT broken FROM nowhere",     # must not kill the loop
+        "quit",
+    ])
+    n_err = repl(spark, SF_TINY, input_fn=lambda _: next(script))
+    out = capsys.readouterr().out
+    assert n_err == 1
+    assert "region" in out and "1 row(s)" in out
+    assert "no-op" in out and "error:" in out
+    assert "== Physical Plan ==" in out
+
+
+def test_repl_eof_exits(spark):
+    from adopt_spark.cli import repl
+
+    def raise_eof(_prompt):
+        raise EOFError
+
+    assert repl(spark, "/tmp", input_fn=raise_eof) == 0
