@@ -63,3 +63,16 @@ def test_queries_are_nonempty_at_sf001(duck):
         df = duck.execute(job_oracle_sql(name)).fetchdf()
         assert len(df) == 1
         assert not df.isna().all(axis=None), name
+
+
+def test_job_plans_broadcast_dims_no_cartesian(spark):
+    """Design-for-scale: the tiny dimension tables (info_type,
+    company_type, kind_type, ...) must enter as broadcast joins, and
+    no query may plan a cartesian product (JOB's join graphs are
+    connected)."""
+    register_imdb_views(spark, SF_SMALL)
+    for name in ("job_1a", "job_13a", "job_25a", "job_32a"):
+        plan = (spark.sql(JOB_QUERIES[name])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
