@@ -150,6 +150,16 @@ def main() -> None:
     connected_components(spark, corpus_edges)
     timings["cc"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
+    connected_components(spark, corpus_edges, method="delta")
+    timings["cc_delta"] = round(time.time() - t0, 3)
+
+    from adopt_spark.algos.lpa import label_propagation
+
+    t0 = time.time()
+    label_propagation(spark, corpus_edges, max_iter=5)
+    timings["lpa5"] = round(time.time() - t0, 3)
+
     # --- weighted SSSP on the dense graph (round-3 iterative op)
     from adopt_spark.algos.paths import shortest_paths
 
