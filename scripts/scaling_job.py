@@ -139,7 +139,7 @@ def main() -> None:
         # sync measurement — identical labels, work ∝ frontier edges.
         from adopt_spark.algos.lpa import label_propagation
 
-        LPA_ROUNDS = 5
+        LPA_ROUNDS = 8
         t0 = time.time()
         labels, metrics = label_propagation(spark, edges,
                                             max_iter=LPA_ROUNDS,
@@ -157,9 +157,13 @@ def main() -> None:
     if "lpa" in parts:
         # synchronous LPA capped at a FIXED round count (far below
         # convergence on this graph), so both levels do identical work.
+        # 8 rounds (was 5): at the fast level the first 2-3 rounds are
+        # JIT/cache-warmup-inflated, so a 5-round median lands on a
+        # warmup round; 8 rounds lets the median measure steady state
+        # — the regime any 100+-superstep production run lives in.
         from adopt_spark.algos.lpa import label_propagation
 
-        LPA_ROUNDS = 5
+        LPA_ROUNDS = 8
         t0 = time.time()
         labels, metrics = label_propagation(spark, edges,
                                             max_iter=LPA_ROUNDS)
