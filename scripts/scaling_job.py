@@ -50,7 +50,12 @@ def main() -> None:
     from adopt_spark.algos.triangles import triangle_count
     from adopt_spark.session import get_spark
 
-    spark = get_spark(f"scaling_{cpus}", cpus=cpus)
+    # periodic driver GC so the ContextCleaner actually drops shuffle
+    # files from completed supersteps — with a 64g heap the driver may
+    # never GC on its own, and 20+ rounds of 2-4 GB shuffle spill can
+    # fill the sandbox disk (observed: ENOSPC mid-LPA at 8 rounds)
+    spark = get_spark(f"scaling_{cpus}", cpus=cpus,
+                      extra_conf={"spark.cleaner.periodicGC.interval": "120s"})
     edges = spark.read.parquet(edges_path).persist()
     n_edges = edges.count()
     out = {"cpus": cpus, "n_edges": n_edges}
