@@ -204,10 +204,16 @@ def main() -> None:
         extras["scaling_efficiency_pagerank"] = s.get("efficiency_pagerank")
         extras["scaling_efficiency_triangle_join"] = s.get("efficiency_triangle_join")
         extras["scaling_efficiency_triangle_cogroup"] = s.get("efficiency_triangle_cogroup")
-        if s.get("efficiency_cc") is not None:
-            extras["scaling_efficiency_cc"] = s.get("efficiency_cc")
-        if s.get("efficiency_lpa") is not None:
-            extras["scaling_efficiency_lpa"] = s.get("efficiency_lpa")
+        for key in ("efficiency_cc", "efficiency_lpa",
+                    "efficiency_cc_delta", "efficiency_lpa_delta",
+                    "efficiency_cc_delta_bw_normalized",
+                    "efficiency_lpa_bw_normalized"):
+            if s.get(key) is not None:
+                extras[f"scaling_{key}"] = s.get(key)
+        hwb = s.get("hardware_baseline", {})
+        if hwb.get("stream"):
+            extras["scaling_hw_bandwidth_efficiency"] = \
+                hwb["stream"].get("efficiency")
         extras["scaling_low_cpus"] = s.get("low", {}).get("cpus")
         extras["scaling_high_cpus"] = s.get("high", {}).get("cpus")
         extras["scaling_edges"] = s.get("high", {}).get("n_edges")
