@@ -85,9 +85,28 @@ def main() -> None:
 
     spark = get_spark("contract_check", cpus=16, shuffle_partitions=32)
     con = duckdb.connect()
+    # bound the ORACLE side: a runaway DuckDB plan (e.g. a dense-graph
+    # clique enumeration at sf0.1) must fail ITS entry, not OOM-kill
+    # the gate process (observed: 100 GB anon RSS -> kernel OOM killer)
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    oracle_timeout = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0")) or None
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * "
                     f"FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def run_oracle(sql: str):
+        """Execute with an optional wall-clock interrupt."""
+        if not oracle_timeout:
+            return con.execute(sql).fetchdf()
+        import threading
+
+        timer = threading.Timer(oracle_timeout, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            timer.cancel()
 
     queries, oracles = all_queries(), all_oracles()
     if len(sys.argv) > 3 and sys.argv[3] != "-":
@@ -112,7 +131,7 @@ def main() -> None:
             sp = fn(spark, sf_dir).toPandas()
             rec["spark_rows"] = len(sp)
             if name in oracles:
-                oc = con.execute(oracles[name]).fetchdf()
+                oc = run_oracle(oracles[name])
                 rec["oracle_rows"] = len(oc)
                 rec["rows_match"] = len(sp) == len(oc)
                 rec["schema_match"] = sorted(sp.columns) == sorted(oc.columns)

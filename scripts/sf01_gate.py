@@ -59,10 +59,12 @@ def main() -> None:
         out_i = f"/tmp/sf01_slice_{i}.json"
         print(f"== slice {i + 1}/{n_slices} ({len(slices[i])} entries)",
               flush=True)
+        env = dict(**__import__("os").environ,
+                   ORACLE_TIMEOUT_SEC="300")
         subprocess.run(
             [sys.executable, f"{REPO}/scripts/contract_check.py",
              SF_DIR, out_i, only],
-            cwd=REPO, check=False,
+            cwd=REPO, check=False, env=env,
         )
         merged.update(json.load(open(out_i)))
         merged["_skipped"] = {"names": sorted(SKIP),
