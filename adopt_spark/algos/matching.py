@@ -36,11 +36,16 @@ def _edge_pri():
     return (pkey * F.lit(MIS_MULT)) % MIS_PRIME
 
 
-def greedy_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+def greedy_matching(edges: DataFrame, max_rounds: int = 4096) -> DataFrame:
     """Maximal matching of the undirected graph.
 
     Returns DataFrame[sid: long, tid: long] — the matched edges,
-    normalized sid < tid. Raises if not converged in ``max_rounds``.
+    normalized sid < tid. Each round matches >= 1 edge (the globally
+    extremal active edge is always locally dominant), so termination
+    within |matching| rounds is guaranteed; ``max_rounds`` is a
+    safety valve only (the sf0.1 dense contract graph measures 68
+    rounds — the old 64 cap tripped there, round-4 fix).
+    Raises if not converged in ``max_rounds``.
     """
     e = edges.select(F.col("sid").cast("long"), F.col("tid").cast("long")) \
              .where(F.col("sid") != F.col("tid"))
@@ -91,7 +96,7 @@ def greedy_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     raise RuntimeError(f"greedy_matching did not converge in {max_rounds} rounds")
 
 
-def weighted_matching(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+def weighted_matching(edges: DataFrame, max_rounds: int = 4096) -> DataFrame:
     """Locally-dominant weighted matching (Preis / Manne-Bisseling):
     an active edge joins when its (weight, tie) is the strict MAX
     among all active edges sharing either endpoint — the distributed

@@ -122,3 +122,28 @@ def test_weighted_matching_prefers_heavy_edge(spark):
     df = spark.createDataFrame([(0, 9), (9, 10)], "sid long, tid long")
     got = {(r.sid, r.tid): r.w for r in weighted_matching(df).collect()}
     assert got == {(0, 9): 8}
+
+
+def test_matching_monotone_chain_many_rounds(spark):
+    """A path whose canonical edge keys increase monotonically along
+    the chain makes only ONE edge locally dominant per round — the
+    slow-progress regime that tripped the old 64-round cap on the
+    sf0.1 graph (68 rounds measured). The default cap must absorb it;
+    a tiny explicit cap must raise."""
+    import pytest as _pytest
+
+    from adopt_spark.algos.matching import greedy_matching
+
+    n = 40
+    pairs = [(i, i + 1) for i in range(n)]          # path 0-1-...-40
+    df = spark.createDataFrame(pairs, "sid long, tid long")
+    out = greedy_matching(df)                        # default cap
+    got = {(r.sid, r.tid) for r in out.collect()}
+    # maximal matching on a path: no two matched edges share a vertex,
+    # and every unmatched edge touches a matched one
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))
+    for a, b in pairs:
+        assert (a, b) in got or any(v in used for v in (a, b))
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        greedy_matching(df, max_rounds=2)
