@@ -147,6 +147,10 @@ def main() -> None:
                   else ("rows-only" if rec["err"] == "no_oracle" else "FAIL"))
         print(f"{name:28s} {status:9s} rows={rec['spark_rows']} "
               f"({rec['sec']}s)", flush=True)
+        # incremental flush: a killed run (OOM, wall-clock stop on a
+        # pathological entry) keeps every completed entry's record
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
 
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
