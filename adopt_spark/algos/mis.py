@@ -99,8 +99,15 @@ def luby_mis(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
 
 
 def greedy_coloring(edges: DataFrame, max_colors: int = 64,
-                    max_rounds: int = 64) -> DataFrame:
+                    max_rounds: int = 64,
+                    stats: dict | None = None) -> DataFrame:
     """Proper vertex coloring by MIS peeling -> [v, color].
+
+    Pass ``stats={}`` to receive the measured schedule back:
+    ``stats["rounds_per_color"]`` = inner-MIS depth actually used per
+    color. Gates at other scale factors calibrate the unrolled DuckDB
+    oracle's (color, round) budget from this with a 2x margin
+    (scripts/calibrate_oracle_budgets.py).
 
     Color c = the deterministic Luby MIS of the still-uncolored
     induced subgraph; its members take c and leave. Every peel is a
@@ -142,9 +149,11 @@ def greedy_coloring(edges: DataFrame, max_colors: int = 64,
             return out
         und = unc
         mis_parts: list[DataFrame] = []
+        rounds_used = 0
         for _ in range(max_rounds):
             if und.isEmpty():
                 break
+            rounds_used += 1
             uu = (
                 sym.join(und.select("v"), "v")
                    .join(und.select(F.col("v").alias("nbr"),
@@ -171,6 +180,8 @@ def greedy_coloring(edges: DataFrame, max_colors: int = 64,
         else:
             raise RuntimeError(
                 f"greedy_coloring: inner MIS not done in {max_rounds} rounds")
+        if stats is not None:
+            stats.setdefault("rounds_per_color", []).append(rounds_used)
         mis = mis_parts[0]
         for part in mis_parts[1:]:
             mis = mis.unionAll(part)

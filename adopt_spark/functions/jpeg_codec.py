@@ -334,8 +334,12 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError("truncated JPEG stream")
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -368,6 +372,8 @@ class _BitReader:
     def skip_restart(self) -> None:
         """Consume the RSTn marker at the current byte position."""
         self.byte_align()
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG stream")
         if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
             self.pos += 2
 
@@ -458,6 +464,14 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if ns < len(frame["comps"]):
+                # a multi-scan (non-interleaved) baseline JPEG puts each
+                # component in its own SOS; decoding just the first scan
+                # would silently yield a luma-only image — raise instead
+                raise ValueError(
+                    "multi-scan (non-interleaved) baseline JPEG "
+                    f"unsupported: SOS covers {ns} of "
+                    f"{len(frame['comps'])} components")
             scan = []
             for c in range(ns):
                 cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]

@@ -162,9 +162,25 @@ def lpa_fixed_sql(edge_sql: str, k_iters: int = LPA_ITERS,
 # (k=2 cascades 22 rounds at sf0.01; every other stage <= 3). An
 # insufficient budget cannot pass silently: the oracle histogram would
 # disagree with the engine's fully-converged peel.
-KCORE_ROUNDS = {1: 8, 2: 45, 3: 12}
-KCORE_DEFAULT_ROUNDS = 4
-KCORE_K_MAX = 25
+#
+# All unroll budgets are env-overridable (ORACLE_* below) so a gate
+# running at a DIFFERENT scale factor can calibrate them from measured
+# depth at that sf (scripts/sf01_gate.py does this for sf0.1) without
+# touching the sf0.01 driver-contract defaults.
+import json as _json
+import os as _os
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(_os.environ.get(name, default))
+
+
+KCORE_ROUNDS = (_json.loads(_os.environ["ORACLE_KCORE_ROUNDS"])
+                if "ORACLE_KCORE_ROUNDS" in _os.environ
+                else {1: 8, 2: 45, 3: 12})
+KCORE_ROUNDS = {int(k): int(v) for k, v in KCORE_ROUNDS.items()}
+KCORE_DEFAULT_ROUNDS = _env_int("ORACLE_KCORE_DEFAULT_ROUNDS", 4)
+KCORE_K_MAX = _env_int("ORACLE_KCORE_K_MAX", 25)
 
 
 def core_numbers_sql(edge_sql: str, k_max: int = KCORE_K_MAX) -> str:
@@ -1380,8 +1396,11 @@ FROM (
 
 # -------------------------------------------------- MIS-peeling coloring
 
-COLORING_COLORS = 10   # sf0.01 bounded contract subgraph uses 7
-COLORING_ROUNDS = 8    # max inner MIS depth measured there: 4
+# env-overridable for gates at other scale factors (see KCORE_ROUNDS)
+COLORING_COLORS = _env_int("ORACLE_COLORING_COLORS", 10)
+# sf0.01 bounded contract subgraph uses 7 colors
+COLORING_ROUNDS = _env_int("ORACLE_COLORING_ROUNDS", 8)
+# max inner MIS depth measured at sf0.01: 4
 
 
 def coloring_fixed_sql(edge_sql: str, colors: int = COLORING_COLORS,

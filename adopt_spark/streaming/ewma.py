@@ -103,15 +103,18 @@ def ewma_stream(spark: SparkSession, sf_dir: str,
                  .dropDuplicates(["user_id"])
                  .select("user_id", "n_events",
                          F.round("ewma", 6).alias("ewma")))
-        out_schema = final.schema
-        rows = final.collect()
+        # spill the collapsed result to parquet instead of round-tripping
+        # rows through the driver: the returned frame stays a distributed
+        # scan (constant driver memory however many users the stream has)
+        out_dir = tempfile.mkdtemp(prefix="ewma_out_")
+        final.write.mode("overwrite").parquet(out_dir)
     finally:
         spark.catalog.dropTempView(name)
         if own_dir:
             import shutil
 
             shutil.rmtree(source_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out_schema)
+    return spark.read.parquet(out_dir)
 
 
 EWMA_STREAM_SQL = """

@@ -135,15 +135,18 @@ def quota_stream(spark: SparkSession, sf_dir: str, quota: int = 3,
                  .dropDuplicates(["user_id", "bucket_id", "event_id"])
                  .select("user_id", "bucket_id", "event_id", "admit_rank",
                          "n_total"))
-        out_schema = final.schema
-        rows = final.collect()
+        # spill the collapsed result to parquet instead of round-tripping
+        # rows through the driver: the returned frame stays a distributed
+        # scan (constant driver memory however many keys the stream has)
+        out_dir = tempfile.mkdtemp(prefix="quota_out_")
+        final.write.mode("overwrite").parquet(out_dir)
     finally:
         spark.catalog.dropTempView(name)
         if own_dir:
             import shutil
 
             shutil.rmtree(source_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, out_schema)
+    return spark.read.parquet(out_dir)
 
 
 QUOTA_SQL_TMPL = """

@@ -88,7 +88,8 @@ def main() -> None:
     # bound the ORACLE side: a runaway DuckDB plan (e.g. a dense-graph
     # clique enumeration at sf0.1) must fail ITS entry, not OOM-kill
     # the gate process (observed: 100 GB anon RSS -> kernel OOM killer)
-    con.execute("SET memory_limit='24GB'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("ORACLE_MEM", "24GB"))
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     oracle_timeout = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0")) or None
     for t in TABLES:
@@ -96,17 +97,33 @@ def main() -> None:
                     f"FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     def run_oracle(sql: str):
-        """Execute with an optional wall-clock interrupt."""
+        """Execute with an optional wall-clock interrupt.
+
+        Each timed oracle runs on a DEDICATED cursor (same database,
+        same views): if the Timer fires in the window between fetchdf()
+        returning and timer.cancel(), the interrupt lands on a cursor
+        that is about to be discarded — it cannot spuriously cancel the
+        NEXT entry's oracle, which runs on a fresh cursor.
+        """
         if not oracle_timeout:
             return con.execute(sql).fetchdf()
         import threading
 
-        timer = threading.Timer(oracle_timeout, con.interrupt)
+        cur = con.cursor()
+
+        def _interrupt():
+            try:
+                cur.interrupt()
+            except Exception:  # noqa: BLE001 — cursor already closed
+                pass
+
+        timer = threading.Timer(oracle_timeout, _interrupt)
         timer.start()
         try:
-            return con.execute(sql).fetchdf()
+            return cur.execute(sql).fetchdf()
         finally:
             timer.cancel()
+            cur.close()
 
     queries, oracles = all_queries(), all_oracles()
     if len(sys.argv) > 3 and sys.argv[3] != "-":
