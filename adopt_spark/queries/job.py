@@ -10,13 +10,17 @@ This module reproduces that workload class for the engine:
     arithmetic + concat/CASE only), so the identical text runs as
     Spark temp views AND as DuckDB CTEs — the same oracle pattern as
     edges.DERIVED_EDGE_SQL;
-  * a 17-query JOB subset mirroring the published suite's join
-    graphs: 4- to 9-way acyclic joins, repeated dimension aliases
-    (it1/it2, cct1/cct2), a title self-join (t1/t2 via movie_link),
+  * a 48-query JOB subset mirroring the published suite's join
+    graphs: 2- to 17-way acyclic joins, repeated dimension aliases
+    (it1/it2, cct1/cct2, cn1/cn2, kt1/kt2, mc1/mc2, mi_idx1/mi_idx2),
+    title self-joins (t1/t2 via movie_link), complete_cast chains,
     MIN() aggregates, and the JOB predicate vocabulary (LIKE /
-    NOT LIKE / IN / BETWEEN / OR-disjunction / string-range
+    NOT LIKE / IN / BETWEEN / OR-disjunction / IS NULL / string-range
     comparisons), with constants adapted to the synthetic laws so
-    every query is satisfiable at sandbox scale.
+    every query is satisfiable at sandbox scale. The round-5 widening
+    (queries 9-33) covers the shapes the round-4 subset lacked: deep
+    stars with 5+ repeated info_type/comp_cast_type uses, nested IN
+    over multiple dimensions, and the 17-table 29a flagship.
 
 Spark-first by construction: the queries go through spark.sql
 verbatim and Catalyst does the join ordering — the engine-level
@@ -468,6 +472,562 @@ WHERE k.keyword = 'sequel'
   AND mk.keyword_id = k.id AND t1.id = mk.movie_id
   AND ml.movie_id = t1.id AND ml.linked_movie_id = t2.id
   AND lt.id = ml.link_type_id AND mk.movie_id = t1.id
+""".strip()
+
+# ---------------------------------------------------- round-5 widening
+#
+# Variants of already-covered families first (same alias set as the
+# published query, different predicate constants) ...
+
+JOB_QUERIES["job_1b"] = """
+SELECT MIN(mc.note) AS production_note, MIN(t.title) AS movie_title,
+       MIN(t.production_year) AS movie_year
+FROM company_type AS ct, info_type AS it, movie_companies AS mc,
+     movie_info_idx AS mi_idx, title AS t
+WHERE ct.kind = 'production companies' AND it.info = 'votes'
+  AND mc.note LIKE '%(VHS)%' AND t.production_year BETWEEN 2005 AND 2010
+  AND ct.id = mc.company_type_id AND t.id = mc.movie_id
+  AND t.id = mi_idx.movie_id AND mc.movie_id = mi_idx.movie_id
+  AND it.id = mi_idx.info_type_id
+""".strip()
+
+JOB_QUERIES["job_2b"] = """
+SELECT MIN(t.title) AS movie_title
+FROM company_name AS cn, keyword AS k, movie_companies AS mc,
+     movie_keyword AS mk, title AS t
+WHERE cn.country_code = '[jp]' AND k.keyword = 'character-name-in-title'
+  AND cn.id = mc.company_id AND mc.movie_id = t.id
+  AND t.id = mk.movie_id AND mk.keyword_id = k.id
+  AND mc.movie_id = mk.movie_id
+""".strip()
+
+JOB_QUERIES["job_3a"] = """
+SELECT MIN(t.title) AS movie_title
+FROM keyword AS k, movie_info AS mi, movie_keyword AS mk, title AS t
+WHERE k.keyword LIKE '%sequel%'
+  AND mi.info IN ('Drama', 'Action', 'Comedy', 'Thriller')
+  AND t.production_year > 2005
+  AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND mk.movie_id = mi.movie_id AND k.id = mk.keyword_id
+""".strip()
+
+JOB_QUERIES["job_4b"] = """
+SELECT MIN(mi_idx.info) AS rating, MIN(t.title) AS movie_title
+FROM info_type AS it, keyword AS k, movie_info_idx AS mi_idx,
+     movie_keyword AS mk, title AS t
+WHERE it.info = 'rating' AND k.keyword LIKE '%sequel%'
+  AND mi_idx.info > '9.0' AND t.production_year > 2010
+  AND t.id = mi_idx.movie_id AND t.id = mk.movie_id
+  AND mk.movie_id = mi_idx.movie_id AND k.id = mk.keyword_id
+  AND it.id = mi_idx.info_type_id
+""".strip()
+
+JOB_QUERIES["job_5a"] = """
+SELECT MIN(t.title) AS typical_european_movie
+FROM company_type AS ct, info_type AS it, movie_companies AS mc,
+     movie_info AS mi, title AS t
+WHERE ct.kind = 'production companies' AND mc.note LIKE '%(VHS)%'
+  AND mi.info IN ('Documentary', 'Comedy') AND t.production_year > 2000
+  AND t.id = mi.movie_id AND t.id = mc.movie_id
+  AND mc.movie_id = mi.movie_id AND ct.id = mc.company_type_id
+  AND it.id = mi.info_type_id
+""".strip()
+
+JOB_QUERIES["job_6a"] = """
+SELECT MIN(k.keyword) AS movie_keyword, MIN(n.name) AS actor_name,
+       MIN(t.title) AS marvel_movie
+FROM cast_info AS ci, keyword AS k, movie_keyword AS mk, name AS n,
+     title AS t
+WHERE k.keyword = 'superhero' AND n.name LIKE 'n1%'
+  AND t.production_year > 2010
+  AND k.id = mk.keyword_id AND t.id = mk.movie_id AND t.id = ci.movie_id
+  AND ci.movie_id = mk.movie_id AND n.id = ci.person_id
+""".strip()
+
+JOB_QUERIES["job_7a"] = """
+SELECT MIN(n.name) AS of_person, MIN(t.title) AS biography_movie
+FROM aka_name AS an, cast_info AS ci, info_type AS it, link_type AS lt,
+     movie_link AS ml, name AS n, person_info AS pi, title AS t
+WHERE an.name LIKE '%aka%' AND it.info = 'mini biography'
+  AND lt.link = 'references' AND n.gender = 'f'
+  AND t.production_year BETWEEN 1980 AND 1995
+  AND n.id = an.person_id AND n.id = pi.person_id
+  AND ci.person_id = n.id AND t.id = ci.movie_id
+  AND ml.linked_movie_id = t.id AND lt.id = ml.link_type_id
+  AND it.id = pi.info_type_id AND pi.person_id = an.person_id
+  AND pi.person_id = ci.person_id AND an.person_id = ci.person_id
+""".strip()
+
+JOB_QUERIES["job_8c"] = """
+SELECT MIN(an.name) AS writer_pseudonym, MIN(t.title) AS movie_title
+FROM aka_name AS an, cast_info AS ci, company_name AS cn,
+     movie_companies AS mc, name AS n, role_type AS rt, title AS t
+WHERE cn.country_code = '[us]' AND rt.role = 'writer'
+  AND an.person_id = n.id AND n.id = ci.person_id
+  AND ci.movie_id = t.id AND t.id = mc.movie_id
+  AND mc.company_id = cn.id AND ci.role_id = rt.id
+  AND an.person_id = ci.person_id AND ci.movie_id = mc.movie_id
+""".strip()
+
+JOB_QUERIES["job_9a"] = """
+SELECT MIN(an.name) AS alternative_name, MIN(chn.name) AS character_name,
+       MIN(t.title) AS movie
+FROM aka_name AS an, char_name AS chn, cast_info AS ci,
+     company_name AS cn, movie_companies AS mc, name AS n,
+     role_type AS rt, title AS t
+WHERE ci.note IN ('(voice)', '(uncredited)') AND cn.country_code = '[us]'
+  AND n.gender = 'f' AND rt.role = 'actress'
+  AND t.production_year BETWEEN 1990 AND 2015
+  AND ci.movie_id = t.id AND t.id = mc.movie_id
+  AND ci.movie_id = mc.movie_id AND mc.company_id = cn.id
+  AND an.person_id = n.id AND n.id = ci.person_id
+  AND chn.id = ci.person_role_id AND rt.id = ci.role_id
+  AND an.person_id = ci.person_id
+""".strip()
+
+JOB_QUERIES["job_9b"] = """
+SELECT MIN(an.name) AS alternative_name, MIN(chn.name) AS voiced_character,
+       MIN(n.name) AS voicing_actress, MIN(t.title) AS american_movie
+FROM aka_name AS an, char_name AS chn, cast_info AS ci,
+     company_name AS cn, movie_companies AS mc, name AS n,
+     role_type AS rt, title AS t
+WHERE ci.note = '(voice)' AND cn.country_code = '[de]'
+  AND n.gender = 'f' AND rt.role = 'actress' AND t.production_year > 2000
+  AND ci.movie_id = t.id AND t.id = mc.movie_id
+  AND ci.movie_id = mc.movie_id AND mc.company_id = cn.id
+  AND an.person_id = n.id AND n.id = ci.person_id
+  AND chn.id = ci.person_role_id AND rt.id = ci.role_id
+  AND an.person_id = ci.person_id
+""".strip()
+
+JOB_QUERIES["job_12a"] = """
+SELECT MIN(cn.name) AS movie_company, MIN(mi_idx.info) AS rating,
+       MIN(t.title) AS drama_horror_movie
+FROM company_name AS cn, company_type AS ct, info_type AS it1,
+     info_type AS it2, movie_companies AS mc, movie_info AS mi,
+     movie_info_idx AS mi_idx, title AS t
+WHERE cn.country_code = '[us]' AND ct.kind = 'production companies'
+  AND it1.info = 'genres' AND it2.info = 'rating'
+  AND mi.info IN ('Drama', 'Horror') AND mi_idx.info > '2.0'
+  AND t.production_year BETWEEN 1985 AND 2010
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id
+  AND mi.info_type_id = it1.id AND mi_idx.info_type_id = it2.id
+  AND t.id = mc.movie_id AND ct.id = mc.company_type_id
+  AND cn.id = mc.company_id AND mc.movie_id = mi.movie_id
+  AND mc.movie_id = mi_idx.movie_id AND mi.movie_id = mi_idx.movie_id
+""".strip()
+
+JOB_QUERIES["job_12b"] = """
+SELECT MIN(mi.info) AS budget, MIN(t.title) AS unsuccessful_movie
+FROM company_name AS cn, company_type AS ct, info_type AS it1,
+     info_type AS it2, movie_companies AS mc, movie_info AS mi,
+     movie_info_idx AS mi_idx, title AS t
+WHERE cn.country_code != '[fr]' AND ct.kind IS NOT NULL
+  AND it1.info = 'budget' AND it2.info = 'rating'
+  AND mi_idx.info < '3.0' AND t.production_year BETWEEN 2000 AND 2010
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id
+  AND mi.info_type_id = it1.id AND mi_idx.info_type_id = it2.id
+  AND t.id = mc.movie_id AND ct.id = mc.company_type_id
+  AND cn.id = mc.company_id AND mc.movie_id = mi.movie_id
+  AND mc.movie_id = mi_idx.movie_id AND mi.movie_id = mi_idx.movie_id
+""".strip()
+
+JOB_QUERIES["job_14b"] = """
+SELECT MIN(mi_idx.info) AS rating, MIN(t.title) AS western_dark_production
+FROM info_type AS it1, info_type AS it2, keyword AS k,
+     kind_type AS kt, movie_info AS mi, movie_info_idx AS mi_idx,
+     movie_keyword AS mk, title AS t
+WHERE it1.info = 'rating' AND it2.info = 'release dates'
+  AND k.keyword IN ('sequel', 'superhero', 'based-on-novel',
+                    'character-name-in-title')
+  AND kt.kind IN ('movie', 'episode', 'tv series')
+  AND mi.info IN ('Drama', 'Horror', 'Action', 'Comedy')
+  AND mi_idx.info > '2.0' AND t.production_year > 1970
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id
+  AND t.id = mk.movie_id AND mk.movie_id = mi.movie_id
+  AND mk.movie_id = mi_idx.movie_id AND mi.movie_id = mi_idx.movie_id
+  AND k.id = mk.keyword_id AND it1.id = mi_idx.info_type_id
+  AND it2.id = mi.info_type_id AND kt.id = t.kind_id
+""".strip()
+
+JOB_QUERIES["job_16b"] = """
+SELECT MIN(an.name) AS cool_actor_pseudonym,
+       MIN(t.title) AS series_named_after_char
+FROM aka_name AS an, cast_info AS ci, company_name AS cn,
+     keyword AS k, movie_companies AS mc, movie_keyword AS mk,
+     name AS n, title AS t
+WHERE cn.country_code = '[gb]' AND k.keyword = 'character-name-in-title'
+  AND t.episode_nr >= 50 AND t.episode_nr < 100
+  AND an.person_id = n.id AND n.id = ci.person_id
+  AND ci.movie_id = t.id AND t.id = mk.movie_id
+  AND mk.keyword_id = k.id AND t.id = mc.movie_id
+  AND mc.company_id = cn.id AND an.person_id = ci.person_id
+  AND ci.movie_id = mc.movie_id AND ci.movie_id = mk.movie_id
+  AND mc.movie_id = mk.movie_id
+""".strip()
+
+JOB_QUERIES["job_17b"] = """
+SELECT MIN(n.name) AS member_in_charnamed_movie
+FROM cast_info AS ci, keyword AS k, movie_keyword AS mk, name AS n,
+     title AS t
+WHERE k.keyword = 'character-name-in-title' AND n.name LIKE 'n3%'
+  AND n.id = ci.person_id AND ci.movie_id = t.id
+  AND t.id = mk.movie_id AND mk.keyword_id = k.id
+  AND ci.movie_id = mk.movie_id
+""".strip()
+
+# ... then the families the round-4 subset lacked: deep stars with
+# repeated info_type/comp_cast_type dimensions, complete_cast chains,
+# aka_title, the 17-table 29a, and the 33a self-join pair.
+
+JOB_QUERIES["job_15a"] = """
+SELECT MIN(mi.info) AS release_date, MIN(t.title) AS internet_movie
+FROM aka_title AS akt, company_name AS cn, company_type AS ct,
+     info_type AS it1, keyword AS k, movie_companies AS mc,
+     movie_info AS mi, movie_keyword AS mk, title AS t
+WHERE cn.country_code = '[us]' AND it1.info = 'release dates'
+  AND mc.note LIKE '%(presents)%' AND t.production_year > 1990
+  AND t.id = akt.movie_id AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND t.id = mc.movie_id AND mk.movie_id = mi.movie_id
+  AND mk.movie_id = mc.movie_id AND mk.movie_id = akt.movie_id
+  AND mi.movie_id = mc.movie_id AND mi.movie_id = akt.movie_id
+  AND mc.movie_id = akt.movie_id AND k.id = mk.keyword_id
+  AND it1.id = mi.info_type_id AND cn.id = mc.company_id
+  AND ct.id = mc.company_type_id
+""".strip()
+
+JOB_QUERIES["job_18a"] = """
+SELECT MIN(mi.info) AS movie_budget, MIN(mi_idx.info) AS movie_votes,
+       MIN(t.title) AS movie_title
+FROM cast_info AS ci, info_type AS it1, info_type AS it2,
+     movie_info AS mi, movie_info_idx AS mi_idx, name AS n, title AS t
+WHERE ci.note IN ('(producer)', '(uncredited)')
+  AND it1.info = 'budget' AND it2.info = 'votes'
+  AND n.gender = 'm' AND n.name LIKE '%n1%'
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id AND t.id = ci.movie_id
+  AND ci.movie_id = mi.movie_id AND ci.movie_id = mi_idx.movie_id
+  AND mi.movie_id = mi_idx.movie_id AND n.id = ci.person_id
+  AND it1.id = mi.info_type_id AND it2.id = mi_idx.info_type_id
+""".strip()
+
+JOB_QUERIES["job_19a"] = """
+SELECT MIN(n.name) AS voicing_actress, MIN(t.title) AS voiced_movie
+FROM aka_name AS an, char_name AS chn, cast_info AS ci,
+     company_name AS cn, info_type AS it, movie_companies AS mc,
+     movie_info AS mi, name AS n, role_type AS rt, title AS t
+WHERE ci.note = '(voice)' AND cn.country_code = '[us]'
+  AND it.info = 'release dates' AND mc.note IS NOT NULL
+  AND (mc.note LIKE '%(presents)%' OR mc.note LIKE '%(co-production)%')
+  AND n.gender = 'f' AND rt.role = 'actress'
+  AND t.production_year BETWEEN 2000 AND 2010
+  AND t.id = mi.movie_id AND t.id = mc.movie_id AND t.id = ci.movie_id
+  AND mc.movie_id = ci.movie_id AND mc.movie_id = mi.movie_id
+  AND mi.movie_id = ci.movie_id AND cn.id = mc.company_id
+  AND it.id = mi.info_type_id AND n.id = ci.person_id
+  AND rt.id = ci.role_id AND n.id = an.person_id
+  AND ci.person_id = an.person_id AND chn.id = ci.person_role_id
+""".strip()
+
+JOB_QUERIES["job_20a"] = """
+SELECT MIN(t.title) AS complete_hero_movie
+FROM complete_cast AS cc, comp_cast_type AS cct1,
+     comp_cast_type AS cct2, char_name AS chn, cast_info AS ci,
+     keyword AS k, kind_type AS kt, movie_keyword AS mk, name AS n,
+     title AS t
+WHERE cct1.kind = 'cast' AND cct2.kind LIKE '%complete%'
+  AND chn.name LIKE '%ch%' AND k.keyword IN ('superhero', 'sequel',
+                                             'based-on-novel')
+  AND kt.kind IN ('movie', 'tv series', 'video movie')
+  AND t.production_year > 1950
+  AND kt.id = t.kind_id AND t.id = mk.movie_id AND t.id = ci.movie_id
+  AND t.id = cc.movie_id AND mk.movie_id = ci.movie_id
+  AND mk.movie_id = cc.movie_id AND ci.movie_id = cc.movie_id
+  AND chn.id = ci.person_role_id AND n.id = ci.person_id
+  AND k.id = mk.keyword_id AND cct1.id = cc.subject_id
+  AND cct2.id = cc.status_id
+""".strip()
+
+JOB_QUERIES["job_21a"] = """
+SELECT MIN(cn.name) AS company_name, MIN(lt.link) AS link_type,
+       MIN(t.title) AS western_follow_up
+FROM company_name AS cn, company_type AS ct, keyword AS k,
+     link_type AS lt, movie_companies AS mc, movie_info AS mi,
+     movie_keyword AS mk, movie_link AS ml, title AS t
+WHERE cn.country_code != '[pl]' AND k.keyword IN ('sequel', 'based-on-novel')
+  AND lt.link LIKE '%follow%' AND mc.note IS NULL
+  AND mi.info IN ('Drama', 'Documentary')
+  AND t.production_year BETWEEN 1950 AND 2010
+  AND lt.id = ml.link_type_id AND ml.movie_id = t.id AND t.id = mk.movie_id
+  AND mk.keyword_id = k.id AND t.id = mc.movie_id
+  AND mc.company_type_id = ct.id AND mc.company_id = cn.id
+  AND mi.movie_id = t.id AND ml.movie_id = mk.movie_id
+  AND ml.movie_id = mc.movie_id AND mk.movie_id = mc.movie_id
+  AND ml.movie_id = mi.movie_id AND mk.movie_id = mi.movie_id
+  AND mc.movie_id = mi.movie_id
+""".strip()
+
+JOB_QUERIES["job_22a"] = """
+SELECT MIN(cn.name) AS movie_company, MIN(mi_idx.info) AS rating,
+       MIN(t.title) AS western_violent_movie
+FROM company_name AS cn, company_type AS ct, info_type AS it1,
+     info_type AS it2, keyword AS k, kind_type AS kt,
+     movie_companies AS mc, movie_info AS mi, movie_info_idx AS mi_idx,
+     movie_keyword AS mk, title AS t
+WHERE cn.country_code != '[us]' AND it1.info = 'genres'
+  AND it2.info = 'rating'
+  AND k.keyword IN ('sequel', 'superhero', 'based-on-novel',
+                    'character-name-in-title')
+  AND kt.kind IN ('movie', 'episode', 'tv series')
+  AND mi.info IN ('Horror', 'Thriller', 'Documentary', 'Comedy')
+  AND mi_idx.info < '8.5' AND t.production_year > 1970
+  AND kt.id = t.kind_id AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND t.id = mi_idx.movie_id AND t.id = mc.movie_id
+  AND mk.movie_id = mi.movie_id AND mk.movie_id = mi_idx.movie_id
+  AND mk.movie_id = mc.movie_id AND mi.movie_id = mi_idx.movie_id
+  AND mi.movie_id = mc.movie_id AND mc.movie_id = mi_idx.movie_id
+  AND k.id = mk.keyword_id AND it1.id = mi.info_type_id
+  AND it2.id = mi_idx.info_type_id AND ct.id = mc.company_type_id
+  AND cn.id = mc.company_id
+""".strip()
+
+JOB_QUERIES["job_22b"] = """
+SELECT MIN(cn.name) AS movie_company, MIN(mi_idx.info) AS rating,
+       MIN(t.title) AS western_drama
+FROM company_name AS cn, company_type AS ct, info_type AS it1,
+     info_type AS it2, keyword AS k, kind_type AS kt,
+     movie_companies AS mc, movie_info AS mi, movie_info_idx AS mi_idx,
+     movie_keyword AS mk, title AS t
+WHERE cn.country_code != '[de]' AND it1.info = 'genres'
+  AND it2.info = 'rating'
+  AND k.keyword IN ('sequel', 'superhero', 'based-on-novel',
+                    'character-name-in-title')
+  AND kt.kind IN ('movie', 'episode')
+  AND mi.info IN ('Drama', 'Comedy') AND mi_idx.info > '2.0'
+  AND t.production_year > 1970
+  AND kt.id = t.kind_id AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND t.id = mi_idx.movie_id AND t.id = mc.movie_id
+  AND mk.movie_id = mi.movie_id AND mk.movie_id = mi_idx.movie_id
+  AND mk.movie_id = mc.movie_id AND mi.movie_id = mi_idx.movie_id
+  AND mi.movie_id = mc.movie_id AND mc.movie_id = mi_idx.movie_id
+  AND k.id = mk.keyword_id AND it1.id = mi.info_type_id
+  AND it2.id = mi_idx.info_type_id AND ct.id = mc.company_type_id
+  AND cn.id = mc.company_id
+""".strip()
+
+JOB_QUERIES["job_24a"] = """
+SELECT MIN(chn.name) AS voiced_char_name, MIN(n.name) AS voicing_actress,
+       MIN(t.title) AS voiced_action_movie
+FROM aka_name AS an, char_name AS chn, cast_info AS ci,
+     company_name AS cn, info_type AS it, keyword AS k,
+     movie_companies AS mc, movie_info AS mi, movie_keyword AS mk,
+     name AS n, role_type AS rt, title AS t
+WHERE ci.note = '(voice)' AND cn.country_code = '[us]'
+  AND it.info = 'release dates'
+  AND k.keyword IN ('sequel', 'superhero', 'based-on-novel',
+                    'character-name-in-title')
+  AND mi.info IN ('Action', 'Comedy', 'Drama', 'Thriller')
+  AND n.gender = 'f' AND rt.role = 'actress'
+  AND t.production_year > 1950
+  AND t.id = mi.movie_id AND t.id = mc.movie_id AND t.id = ci.movie_id
+  AND t.id = mk.movie_id AND mc.movie_id = ci.movie_id
+  AND mc.movie_id = mi.movie_id AND mc.movie_id = mk.movie_id
+  AND mi.movie_id = ci.movie_id AND mi.movie_id = mk.movie_id
+  AND ci.movie_id = mk.movie_id AND cn.id = mc.company_id
+  AND it.id = mi.info_type_id AND n.id = ci.person_id
+  AND rt.id = ci.role_id AND n.id = an.person_id
+  AND ci.person_id = an.person_id AND chn.id = ci.person_role_id
+  AND k.id = mk.keyword_id
+""".strip()
+
+JOB_QUERIES["job_26a"] = """
+SELECT MIN(chn.name) AS character_name, MIN(mi_idx.info) AS rating,
+       MIN(t.title) AS complete_hero_movie
+FROM complete_cast AS cc, comp_cast_type AS cct1,
+     comp_cast_type AS cct2, char_name AS chn, cast_info AS ci,
+     info_type AS it2, keyword AS k, kind_type AS kt,
+     movie_info_idx AS mi_idx, movie_keyword AS mk, name AS n,
+     title AS t
+WHERE cct1.kind = 'cast' AND cct2.kind LIKE '%complete%'
+  AND chn.name IS NOT NULL AND it2.info = 'rating'
+  AND k.keyword IN ('superhero', 'sequel', 'based-on-novel',
+                    'character-name-in-title')
+  AND kt.kind IN ('movie', 'episode', 'tv series')
+  AND mi_idx.info > '2.0' AND t.production_year > 1950
+  AND kt.id = t.kind_id AND t.id = mk.movie_id AND t.id = ci.movie_id
+  AND t.id = cc.movie_id AND t.id = mi_idx.movie_id
+  AND mk.movie_id = ci.movie_id AND mk.movie_id = cc.movie_id
+  AND mk.movie_id = mi_idx.movie_id AND ci.movie_id = cc.movie_id
+  AND ci.movie_id = mi_idx.movie_id AND cc.movie_id = mi_idx.movie_id
+  AND chn.id = ci.person_role_id AND n.id = ci.person_id
+  AND k.id = mk.keyword_id AND cct1.id = cc.subject_id
+  AND cct2.id = cc.status_id AND it2.id = mi_idx.info_type_id
+""".strip()
+
+JOB_QUERIES["job_27a"] = """
+SELECT MIN(cn.name) AS producing_company, MIN(lt.link) AS link_type,
+       MIN(t.title) AS complete_western_sequel
+FROM complete_cast AS cc, comp_cast_type AS cct1,
+     comp_cast_type AS cct2, company_name AS cn, company_type AS ct,
+     keyword AS k, link_type AS lt, movie_companies AS mc,
+     movie_info AS mi, movie_keyword AS mk, movie_link AS ml,
+     title AS t
+WHERE cct1.kind IN ('cast', 'crew') AND cct2.kind LIKE '%complete%'
+  AND cn.country_code != '[pl]'
+  AND k.keyword IN ('sequel', 'superhero', 'based-on-novel',
+                    'character-name-in-title')
+  AND lt.link IN ('follows', 'remake of', 'references')
+  AND mc.note IS NULL
+  AND mi.info IN ('Drama', 'Horror', 'Action', 'Comedy')
+  AND t.production_year > 1950
+  AND lt.id = ml.link_type_id AND ml.movie_id = t.id AND t.id = mk.movie_id
+  AND mk.keyword_id = k.id AND t.id = mc.movie_id
+  AND mc.company_type_id = ct.id AND mc.company_id = cn.id
+  AND mi.movie_id = t.id AND t.id = cc.movie_id
+  AND cct1.id = cc.subject_id AND cct2.id = cc.status_id
+  AND ml.movie_id = mk.movie_id AND ml.movie_id = mc.movie_id
+  AND mk.movie_id = mc.movie_id AND ml.movie_id = mi.movie_id
+  AND mk.movie_id = mi.movie_id AND mc.movie_id = mi.movie_id
+  AND ml.movie_id = cc.movie_id AND mk.movie_id = cc.movie_id
+  AND mc.movie_id = cc.movie_id AND mi.movie_id = cc.movie_id
+""".strip()
+
+JOB_QUERIES["job_28a"] = """
+SELECT MIN(cn.name) AS movie_company, MIN(mi_idx.info) AS rating,
+       MIN(t.title) AS complete_euro_dark_movie
+FROM complete_cast AS cc, comp_cast_type AS cct1,
+     comp_cast_type AS cct2, company_name AS cn, company_type AS ct,
+     info_type AS it1, info_type AS it2, keyword AS k,
+     kind_type AS kt, movie_companies AS mc, movie_info AS mi,
+     movie_info_idx AS mi_idx, movie_keyword AS mk, title AS t
+WHERE cct1.kind = 'crew' AND cct2.kind != 'complete+verified'
+  AND cn.country_code != '[us]' AND it1.info = 'genres'
+  AND it2.info = 'votes' AND k.keyword LIKE 'kw%'
+  AND kt.kind IN ('movie', 'episode', 'tv series')
+  AND mi.info IN ('Horror', 'Thriller', 'Documentary', 'Comedy')
+  AND mi_idx.info < '8.5' AND t.production_year > 1950
+  AND kt.id = t.kind_id AND t.id = mi.movie_id AND t.id = mk.movie_id
+  AND t.id = mi_idx.movie_id AND t.id = mc.movie_id AND t.id = cc.movie_id
+  AND mk.movie_id = mi.movie_id AND mk.movie_id = mi_idx.movie_id
+  AND mk.movie_id = mc.movie_id AND mi.movie_id = mi_idx.movie_id
+  AND mi.movie_id = mc.movie_id AND mc.movie_id = mi_idx.movie_id
+  AND cc.movie_id = mi.movie_id AND cc.movie_id = mi_idx.movie_id
+  AND cc.movie_id = mk.movie_id AND cc.movie_id = mc.movie_id
+  AND k.id = mk.keyword_id AND it1.id = mi.info_type_id
+  AND it2.id = mi_idx.info_type_id AND ct.id = mc.company_type_id
+  AND cn.id = mc.company_id AND cct1.id = cc.subject_id
+  AND cct2.id = cc.status_id
+""".strip()
+
+JOB_QUERIES["job_29a"] = """
+SELECT MIN(chn.name) AS voiced_char, MIN(n.name) AS voicing_actress,
+       MIN(t.title) AS voiced_animation
+FROM aka_name AS an, complete_cast AS cc, comp_cast_type AS cct1,
+     comp_cast_type AS cct2, char_name AS chn, cast_info AS ci,
+     company_name AS cn, info_type AS it, info_type AS it3,
+     keyword AS k, movie_companies AS mc, movie_info AS mi,
+     movie_keyword AS mk, name AS n, person_info AS pi,
+     role_type AS rt, title AS t
+WHERE cct1.kind = 'cast' AND cct2.kind LIKE '%complete%'
+  AND ci.note IN ('(voice)', '(uncredited)', '(producer)')
+  AND cn.country_code = '[us]'
+  AND it.info = 'release dates'
+  AND it3.info IN ('trivia', 'mini biography', 'height')
+  AND k.keyword LIKE 'kw%'
+  AND mi.info IN ('Comedy', 'Action', 'Drama', 'Thriller')
+  AND n.gender = 'f' AND rt.role IN ('actor', 'actress')
+  AND t.production_year BETWEEN 1950 AND 2019
+  AND t.id = mi.movie_id AND t.id = mc.movie_id AND t.id = ci.movie_id
+  AND t.id = mk.movie_id AND t.id = cc.movie_id
+  AND mc.movie_id = ci.movie_id AND mc.movie_id = mi.movie_id
+  AND mc.movie_id = mk.movie_id AND mc.movie_id = cc.movie_id
+  AND mi.movie_id = ci.movie_id AND mi.movie_id = mk.movie_id
+  AND mi.movie_id = cc.movie_id AND ci.movie_id = mk.movie_id
+  AND ci.movie_id = cc.movie_id AND mk.movie_id = cc.movie_id
+  AND cn.id = mc.company_id AND it.id = mi.info_type_id
+  AND n.id = ci.person_id AND rt.id = ci.role_id
+  AND n.id = an.person_id AND ci.person_id = an.person_id
+  AND chn.id = ci.person_role_id AND n.id = pi.person_id
+  AND ci.person_id = pi.person_id AND an.person_id = pi.person_id
+  AND it3.id = pi.info_type_id AND k.id = mk.keyword_id
+  AND cct1.id = cc.subject_id AND cct2.id = cc.status_id
+""".strip()
+
+JOB_QUERIES["job_30a"] = """
+SELECT MIN(mi.info) AS movie_budget, MIN(mi_idx.info) AS movie_votes,
+       MIN(n.name) AS writer, MIN(t.title) AS complete_violent_movie
+FROM complete_cast AS cc, comp_cast_type AS cct1,
+     comp_cast_type AS cct2, cast_info AS ci, info_type AS it1,
+     info_type AS it2, keyword AS k, movie_info AS mi,
+     movie_info_idx AS mi_idx, movie_keyword AS mk, name AS n,
+     title AS t
+WHERE cct1.kind IN ('cast', 'crew') AND cct2.kind = 'complete'
+  AND ci.note IN ('(producer)', '(uncredited)')
+  AND it1.info = 'genres' AND it2.info = 'votes'
+  AND k.keyword IN ('based-on-novel', 'sequel', 'superhero',
+                    'character-name-in-title')
+  AND mi.info IN ('Horror', 'Action', 'Drama', 'Comedy')
+  AND t.production_year > 1950
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id AND t.id = ci.movie_id
+  AND t.id = mk.movie_id AND t.id = cc.movie_id
+  AND ci.movie_id = mi.movie_id AND ci.movie_id = mi_idx.movie_id
+  AND ci.movie_id = mk.movie_id AND ci.movie_id = cc.movie_id
+  AND mi.movie_id = mi_idx.movie_id AND mi.movie_id = mk.movie_id
+  AND mi.movie_id = cc.movie_id AND mi_idx.movie_id = mk.movie_id
+  AND mi_idx.movie_id = cc.movie_id AND mk.movie_id = cc.movie_id
+  AND n.id = ci.person_id AND it1.id = mi.info_type_id
+  AND it2.id = mi_idx.info_type_id AND k.id = mk.keyword_id
+  AND cct1.id = cc.subject_id AND cct2.id = cc.status_id
+""".strip()
+
+JOB_QUERIES["job_31a"] = """
+SELECT MIN(mi.info) AS movie_budget, MIN(mi_idx.info) AS movie_votes,
+       MIN(n.name) AS writer, MIN(t.title) AS violent_movie
+FROM cast_info AS ci, company_name AS cn, info_type AS it1,
+     info_type AS it2, keyword AS k, movie_companies AS mc,
+     movie_info AS mi, movie_info_idx AS mi_idx, movie_keyword AS mk,
+     name AS n, title AS t
+WHERE ci.note IN ('(producer)', '(voice)') AND cn.name LIKE 'co1%'
+  AND it1.info = 'genres' AND it2.info = 'votes'
+  AND k.keyword IN ('sequel', 'superhero') AND mi.info IN ('Horror', 'Thriller')
+  AND n.gender = 'm'
+  AND t.id = mi.movie_id AND t.id = mi_idx.movie_id AND t.id = ci.movie_id
+  AND t.id = mk.movie_id AND t.id = mc.movie_id
+  AND ci.movie_id = mi.movie_id AND ci.movie_id = mi_idx.movie_id
+  AND ci.movie_id = mk.movie_id AND ci.movie_id = mc.movie_id
+  AND mi.movie_id = mi_idx.movie_id AND mi.movie_id = mk.movie_id
+  AND mi.movie_id = mc.movie_id AND mi_idx.movie_id = mk.movie_id
+  AND mi_idx.movie_id = mc.movie_id AND mk.movie_id = mc.movie_id
+  AND n.id = ci.person_id AND it1.id = mi.info_type_id
+  AND it2.id = mi_idx.info_type_id AND k.id = mk.keyword_id
+  AND cn.id = mc.company_id
+""".strip()
+
+JOB_QUERIES["job_33a"] = """
+SELECT MIN(cn1.name) AS first_company, MIN(cn2.name) AS second_company,
+       MIN(mi_idx1.info) AS first_rating, MIN(mi_idx2.info) AS second_rating,
+       MIN(t1.title) AS first_movie, MIN(t2.title) AS second_movie
+FROM company_name AS cn1, company_name AS cn2, info_type AS it1,
+     info_type AS it2, kind_type AS kt1, kind_type AS kt2,
+     link_type AS lt, movie_companies AS mc1, movie_companies AS mc2,
+     movie_info_idx AS mi_idx1, movie_info_idx AS mi_idx2,
+     movie_link AS ml, title AS t1, title AS t2
+WHERE cn1.country_code != '[pl]' AND it1.info = 'rating'
+  AND it2.info = 'rating'
+  AND kt1.kind IN ('tv series', 'episode', 'movie', 'video movie')
+  AND kt2.kind IN ('tv series', 'episode', 'movie', 'video movie')
+  AND lt.link IN ('follows', 'remake of', 'references')
+  AND mi_idx2.info < '8.0'
+  AND lt.id = ml.link_type_id AND t1.id = ml.movie_id
+  AND t2.id = ml.linked_movie_id AND it1.id = mi_idx1.info_type_id
+  AND t1.id = mi_idx1.movie_id AND kt1.id = t1.kind_id
+  AND cn1.id = mc1.company_id AND t1.id = mc1.movie_id
+  AND ml.movie_id = mi_idx1.movie_id AND ml.movie_id = mc1.movie_id
+  AND mi_idx1.movie_id = mc1.movie_id AND it2.id = mi_idx2.info_type_id
+  AND t2.id = mi_idx2.movie_id AND kt2.id = t2.kind_id
+  AND cn2.id = mc2.company_id AND t2.id = mc2.movie_id
+  AND ml.linked_movie_id = mi_idx2.movie_id
+  AND ml.linked_movie_id = mc2.movie_id
+  AND mi_idx2.movie_id = mc2.movie_id
 """.strip()
 
 # 2-table warmup + the selective-predicate shape the reference's

@@ -1132,6 +1132,68 @@ _R4_DRIVER_HEAD = [
     "r_mv_merge",
 ]
 
+
+
+# Round-5 driver window: the 30 round-5 JOB additions (r_job_1b ...
+# r_job_33a) followed by 20 rotation slots for entries with NO driver
+# row in any of rounds 1-4 (oldest-first from the never-checked
+# backlog; zero overlap with the r1-r4 heads, verified by key-set
+# intersection in scripts/check_subset.py). Everything else keeps its
+# relative order and stays covered by the capless local gate
+# (CORRECTNESS_FULL.json) and the sf0.1 value gate (CORRECTNESS_SF01).
+_R5_DRIVER_HEAD = [
+    "r_job_1b",
+    "r_job_2b",
+    "r_job_3a",
+    "r_job_4b",
+    "r_job_5a",
+    "r_job_6a",
+    "r_job_7a",
+    "r_job_8c",
+    "r_job_9a",
+    "r_job_9b",
+    "r_job_12a",
+    "r_job_12b",
+    "r_job_14b",
+    "r_job_15a",
+    "r_job_16b",
+    "r_job_17b",
+    "r_job_18a",
+    "r_job_19a",
+    "r_job_20a",
+    "r_job_21a",
+    "r_job_22a",
+    "r_job_22b",
+    "r_job_24a",
+    "r_job_26a",
+    "r_job_27a",
+    "r_job_28a",
+    "r_job_29a",
+    "r_job_30a",
+    "r_job_31a",
+    "r_job_33a",
+    "g_walk_cooccur",
+    "g_triangle_sampled",
+    "g_rpq_reach",
+    "a_pregel_cc",
+    "r_file_skipping",
+    "t_chunk_docs",
+    "r_bom_explode",
+    "t_bpe_merges",
+    "t_bpe_encode",
+    "r_nested_hof",
+    "t_pipeline_e2e",
+    "g_orbit3",
+    "g_triangle_null",
+    "t_reshard_plan",
+    "g_negative_samples",
+    "g_lp_eval",
+    "t_semver_resolve",
+    "t_path_rollup",
+    "t_winnow_stats",
+    "t_winnow_matches",
+]
+
 def all_queries() -> dict[str, QueryFn]:
     """Registry in DRIVER-CHECK PRIORITY order.
 
@@ -1628,7 +1690,7 @@ def all_queries() -> dict[str, QueryFn]:
         "t_exact_dedup": q_exact_dedup,
         "t_doc_stats_by_lang": q_doc_stats_by_lang,
     }
-    head = {k: base[k] for k in _R4_DRIVER_HEAD}
+    head = {k: base[k] for k in _R5_DRIVER_HEAD}
     return {**head,
             **{k: v for k, v in base.items() if k not in head}}
 

@@ -184,15 +184,23 @@ def main() -> None:
           lambda: minhash_near_dup_pairs(docs, threshold=0.8).count())
 
     # --- JOB/IMDB acyclic-join suite (the reference's published
-    # benchmark workload class) — all 18 queries, one wall-clock line
+    # benchmark workload class). Two lines: the round-4 18-query set
+    # (round-over-round comparability) and the full round-5 48-query
+    # suite (2- to 17-way joins).
     from adopt_spark.queries.job import JOB_QUERIES, job_query, register_imdb_views
 
-    def run_job_suite():
+    _R4_JOB = ["job_1a", "job_2a", "job_3b", "job_4a", "job_5c", "job_6b",
+               "job_7b", "job_8a", "job_10a", "job_11a", "job_13a",
+               "job_14a", "job_16a", "job_17a", "job_23a", "job_25a",
+               "job_32a", "job_0a"]
+
+    def run_job_suite(names):
         register_imdb_views(spark, SF_DIR)
-        for jq in JOB_QUERIES:
+        for jq in names:
             job_query(jq)(spark, SF_DIR).collect()
 
-    timed("job_suite_18q", run_job_suite)
+    timed("job_suite_18q", lambda: run_job_suite(_R4_JOB))
+    timed("job_suite_48q", lambda: run_job_suite(list(JOB_QUERIES)))
     extras["job_suite_queries"] = len(JOB_QUERIES)
 
     # attach the latest two-parallelism scaling evidence if present
