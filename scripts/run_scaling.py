@@ -230,8 +230,11 @@ def write_outputs(lo: dict, hi: dict, hw: dict) -> None:
         cclpa_note = (
             "Reading the CC/LPA rows: the delta-frontier variants are "
             "the at-scale\nplans (per-round shuffle ∝ changed labels; "
-            "checkpoints are the O(V)\nlabel vector, not the O(E) edge "
-            "frame). " + ccd_line +
+            "since round 5 the CC-delta\ndurable write per round is the "
+            "frontier DELTA, with the O(V) label\nsnapshot only every "
+            "4th round, and the in-memory label vector stays\n"
+            "co-partitioned by v so the update join never exchanges "
+            "it). " + ccd_line +
             "Shuffle-heavy supersteps on one box are bounded\nby shared "
             "memory bandwidth — the STREAM-triad row IS that ceiling "
             "(a real\nN→4N cluster grows bandwidth with N; one box "

@@ -108,7 +108,10 @@ def main() -> None:
         from adopt_spark.algos.cc import connected_components
 
         t0 = time.time()
-        labels, metrics = connected_components(spark, edges)
+        # explicit: the repo default became delta ("auto") in round 5;
+        # this part measures the star plan specifically
+        labels, metrics = connected_components(spark, edges,
+                                               method="star")
         n_comp = labels.select("component").distinct().count()
         cc_sec = time.time() - t0
         per_round = statistics.median(m["sec"] for m in metrics)

@@ -133,6 +133,14 @@ def main() -> None:
     print(f"calibrated budgets: {budgets}", flush=True)
 
     merged = _load(OUT)
+    # fold in partially-completed slice files from an interrupted run
+    # (contract_check flushes per-entry, the gate merges per-slice —
+    # without this, a kill mid-slice would re-pay finished entries)
+    import glob
+    for part_file in sorted(glob.glob("/tmp/sf01_slice_*.json")):
+        for k, v in _load(part_file).items():
+            if not k.startswith("_") and not _green(merged.get(k, {})):
+                merged[k] = v
     todo = [k for k in all_queries()
             if k not in SKIP
             and not _green(merged.get(k, {}))]
