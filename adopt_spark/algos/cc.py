@@ -248,6 +248,7 @@ def _cc_delta(spark: SparkSession, e0: DataFrame, parts: int,
                     .select(F.col("v").alias("u"),
                             F.col("component").alias("lab")))
         changed_n = frontier.count()
+        n_vertices = snap.count()
     else:
         # fused round 0: label = min(self, neighbors) — equals one
         # full propagation round over identity labels, with zero joins
@@ -259,6 +260,7 @@ def _cc_delta(spark: SparkSession, e0: DataFrame, parts: int,
                         .cast("int").alias("changed")))
         snap = cm.save(lab0, 0, sum_cols=("changed",), phase="delta_full")
         changed_n = int(cm.metrics[-1]["sums"]["changed"])
+        n_vertices = int(cm.metrics[-1]["rows"])
         metrics.append({"iteration": 0, "changed": changed_n,
                         "sec": round(time.time() - t0, 4)})
         # keep the vector in memory co-partitioned by v (alias-aware:
@@ -289,23 +291,38 @@ def _cc_delta(spark: SparkSession, e0: DataFrame, parts: int,
                         < F.col("component")).cast("int").alias("changed"))
                .localCheckpoint(eager=True))
         snapshot_round = (it - start_iter) % _SNAP_EVERY == _SNAP_EVERY - 1
+        # resume only ever restarts from a FULL snapshot, so a delta
+        # whose frontier is near-full (early rounds on low-diameter
+        # graphs: changed ≈ V) would be an O(V) disk write that buys
+        # nothing — record its lineage/metrics without durable state
+        frontier_big = changed_n > n_vertices // 20
         if snapshot_round:
             # durable O(V) snapshot (the resume point); changed count
             # rides its lineage scan
             snap = cm.save(new, it, sum_cols=("changed",),
                            phase="delta_full")
+            changed_n = int(cm.metrics[-1]["sums"]["changed"])
+            frontier = (snap.where(F.col("changed") == 1)
+                        .select(F.col("v").alias("u"),
+                                F.col("component").alias("lab")))
+        elif frontier_big:
+            cm.record(new, it, sum_cols=("changed",), phase="delta_mem")
+            changed_n = int(cm.metrics[-1]["sums"]["changed"])
+            frontier = (new.where(F.col("changed") == 1)
+                        .select(F.col("v").alias("u"),
+                                F.col("component").alias("lab")))
         else:
-            # durable write is only the frontier delta — O(changed),
-            # not O(V); it doubles as the next round's frontier
+            # small frontier: the durable write is only the delta —
+            # O(changed) — and doubles as the next round's frontier
             snap = cm.save(new.where(F.col("changed") == 1), it,
                            sum_cols=("changed",), phase="delta_inc")
-        changed_n = int(cm.metrics[-1]["sums"]["changed"])
+            changed_n = int(cm.metrics[-1]["sums"]["changed"])
+            frontier = (snap.where(F.col("changed") == 1)
+                        .select(F.col("v").alias("u"),
+                                F.col("component").alias("lab")))
         metrics.append({"iteration": it, "changed": changed_n,
                         "sec": round(time.time() - t0, 4)})
         labels = new.select("v", "component")
-        frontier = (snap.where(F.col("changed") == 1)
-                    .select(F.col("v").alias("u"),
-                            F.col("component").alias("lab")))
         it += 1
 
     labels = labels.select(F.col("v").cast("long").alias("v"),

@@ -86,6 +86,39 @@ class CheckpointManager:
         self._gc(iteration)
         return out
 
+    def record(self, df: DataFrame, iteration: int,
+               sum_cols: tuple[str, ...] = (), **metrics: Any) -> None:
+        """Per-superstep lineage + metrics record WITHOUT a durable
+        state write — for delta rounds whose frontier is near-full:
+        their durable state rides the periodic full snapshot (resume
+        never restarts from a delta), so writing the ~O(V) delta to
+        disk buys nothing, while the lineage/metrics record keeps the
+        every-superstep observability contract. One in-memory agg job
+        over ``df`` (which the caller has already materialized)."""
+        t0 = time.time()
+        agg_exprs = [F.count(F.lit(1)).alias("rows")]
+        agg_exprs += [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
+        per_part = (df.groupBy(F.spark_partition_id().alias("pid"))
+                    .agg(*agg_exprs).collect())
+        per_part.sort(key=lambda r: r["pid"])
+        lineage = [{"partition": int(r["pid"]), "rows": int(r["rows"])}
+                   for r in per_part]
+        sums = {c: float(sum(r[f"sum_{c}"] or 0.0 for r in per_part))
+                for c in sum_cols}
+        rec = {
+            "iteration": iteration,
+            "path": None,
+            "durable": False,
+            "write_sec": round(time.time() - t0, 4),
+            "partitions": lineage,
+            "rows": sum(p["rows"] for p in lineage),
+            **({"sums": sums} if sum_cols else {}),
+            **metrics,
+        }
+        self.metrics.append(rec)
+        with open(os.path.join(self.root, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     def amend_last(self, **extra: Any) -> None:
         """Fold late-computed metrics (e.g. convergence delta measured
         after the snapshot write) into the last record, on disk too."""

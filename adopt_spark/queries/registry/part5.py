@@ -1134,6 +1134,19 @@ _R4_DRIVER_HEAD = [
 
 
 
+# Round-5: JCC-H-style skewed relational workload (reference report
+# Table 1's robustness row) — skewed tables + 4 query shapes, all
+# value-oracled; see adopt_spark/queries/jcch.py.
+from adopt_spark.queries.jcch import (  # noqa: E402
+    JCCH_QUERIES as _JCCH_QUERIES,
+    jcch_oracle_sql as _jcch_oracle_sql,
+    jcch_query as _jcch_query,
+)
+
+for _jc in _JCCH_QUERIES:
+    ORACLES[f"r_{_jc}"] = _jcch_oracle_sql(_jc)
+
+
 # Round-5 driver window: the 30 round-5 JOB additions (r_job_1b ...
 # r_job_33a) followed by 20 rotation slots for entries with NO driver
 # row in any of rounds 1-4 (oldest-first from the never-checked
@@ -1142,6 +1155,10 @@ _R4_DRIVER_HEAD = [
 # relative order and stays covered by the capless local gate
 # (CORRECTNESS_FULL.json) and the sf0.1 value gate (CORRECTNESS_SF01).
 _R5_DRIVER_HEAD = [
+    "r_jcch_q3_skew",
+    "r_jcch_q5_skew",
+    "r_jcch_q18_skew",
+    "r_jcch_hotkeys",
     "r_job_1b",
     "r_job_2b",
     "r_job_3a",
@@ -1188,10 +1205,6 @@ _R5_DRIVER_HEAD = [
     "t_reshard_plan",
     "g_negative_samples",
     "g_lp_eval",
-    "t_semver_resolve",
-    "t_path_rollup",
-    "t_winnow_stats",
-    "t_winnow_matches",
 ]
 
 def all_queries() -> dict[str, QueryFn]:
@@ -1233,6 +1246,8 @@ def all_queries() -> dict[str, QueryFn]:
         #    (imdb/skinner.schema.sql; 4- to 9-way joins, repeated
         #    dimension aliases, title self-join, JOB predicate shapes)
         **{f"r_{_jq}": _job_query(_jq) for _jq in _JOB_QUERIES},
+        # -- (r5) JCC-H skewed workload (round-5 session)
+        **{f"r_{_jc}": _jcch_query(_jc) for _jc in _JCCH_QUERIES},
         # -- (0q) round-3 session-23: structural equivalence (mirror
         #    detection), local sparsification, TrustRank spam mass,
         #    DSIR importance resampling
