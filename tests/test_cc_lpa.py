@@ -328,3 +328,42 @@ def test_lpa_mixing_two_cliques(spark):
     off = {k: v for k, v in got.items() if k[0] != k[1]}
     assert sorted(diag.values()) == [10, 10]
     assert sum(off.values()) == 1
+
+
+def test_cc_delta_checkpoint_cadence(spark, tmp_path):
+    """Round-5 checkpoint contract: round 0 and every 4th live round
+    write a durable FULL snapshot (phase delta_full — the only resume
+    points); near-full-frontier rounds record lineage/metrics without
+    a durable write (delta_mem); small-frontier rounds write O(changed)
+    deltas (delta_inc). Every superstep must have a metrics record."""
+    import json
+    import os
+
+    # path graph: diameter 30 forces many delta rounds
+    pairs = [(i, i + 1) for i in range(30)]
+    ckpt = str(tmp_path / "cc_cadence")
+    labels, metrics = connected_components(
+        spark, edge_df(spark, pairs), method="delta",
+        checkpoint_dir=ckpt, delta_rounds_cap=20)
+    assert {r["component"] for r in labels.collect()} == {0}
+
+    with open(os.path.join(ckpt, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f if line.strip()]
+    phases = {r["iteration"]: r.get("phase") for r in recs}
+    assert phases[0] == "delta_full"
+    live = [r["iteration"] for r in recs if r["iteration"] > 0]
+    # every live superstep recorded, in order, no gaps
+    assert live == list(range(1, max(live) + 1))
+    # periodic full snapshots: iterations 4, 8, ... are delta_full
+    fulls = sorted(i for i, p in phases.items() if p == "delta_full")
+    assert fulls[0] == 0
+    assert all(i % 4 == 0 for i in fulls[1:3]) and len(fulls) >= 2
+    # the non-durable records carry lineage + the changed sum
+    mems = [r for r in recs if r.get("phase") == "delta_mem"]
+    for r in mems:
+        assert r["path"] is None and r["durable"] is False
+        assert r["partitions"] and "changed" in r["sums"]
+    # durable dirs on disk are only the saved iterations
+    on_disk = {int(n.split("=")[1]) for n in os.listdir(ckpt)
+               if n.startswith("iter=")}
+    assert all(phases[i] != "delta_mem" for i in on_disk)
