@@ -83,7 +83,9 @@ def main() -> None:
     from adopt_spark.queries.registry import all_oracles, all_queries
     from adopt_spark.session import get_spark
 
-    spark = get_spark("contract_check", cpus=16, shuffle_partitions=32)
+    cpus = int(os.environ.get("CONTRACT_CPUS", "16"))
+    spark = get_spark("contract_check", cpus=cpus,
+                      shuffle_partitions=max(2 * cpus, 16))
     con = duckdb.connect()
     # bound the ORACLE side: a runaway DuckDB plan (e.g. a dense-graph
     # clique enumeration at sf0.1) must fail ITS entry, not OOM-kill

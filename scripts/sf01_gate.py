@@ -97,6 +97,9 @@ def _green(rec: dict) -> bool:
     return bool(rec.get("hash_match")) or rec.get("err") == "no_oracle"
 
 
+_MERGE_LOCK = __import__("threading").Lock()
+
+
 def run_slice(names: list[str], merged: dict, extra_env: dict,
               tag: str) -> None:
     if not names:
@@ -109,12 +112,13 @@ def run_slice(names: list[str], merged: dict, extra_env: dict,
          SF_DIR, out_i, ",".join(names)],
         cwd=REPO, check=False, env=env,
     )
-    for k, v in _load(out_i).items():
-        if not k.startswith("_"):
-            merged[k] = v
-    merged["_skipped"] = {"names": sorted(SKIP), "reasons": SKIP}
-    with open(OUT, "w") as f:
-        json.dump(merged, f, indent=1)
+    with _MERGE_LOCK:
+        for k, v in _load(out_i).items():
+            if not k.startswith("_"):
+                merged[k] = v
+        merged["_skipped"] = {"names": sorted(SKIP), "reasons": SKIP}
+        with open(OUT, "w") as f:
+            json.dump(merged, f, indent=1)
 
 
 def main() -> None:
@@ -145,15 +149,31 @@ def main() -> None:
             if k not in SKIP
             and not _green(merged.get(k, {}))]
     heavy = [k for k in todo if k in HEAVY]
-    normal = [k for k in todo if k not in HEAVY]
+    # previously-FAILED rows first (re-proving a recorded failure beats
+    # first-proving a never-run entry if the run is cut short)
+    normal = ([k for k in todo if k not in HEAVY and k in merged]
+              + [k for k in todo if k not in HEAVY and k not in merged])
     print(f"{len(normal)} normal + {len(heavy)} heavy-oracle entries to run",
           flush=True)
 
-    # 2. normal entries: interleaved slices, 300s oracle watchdog
+    # 2. normal entries: interleaved slices, 300s oracle watchdog.
+    # Slices run in a small worker POOL (each worker a fresh
+    # process/JVM with a reduced core share) — correctness gates
+    # tolerate contention, and the serial gate could not finish a
+    # round. Previously-failed entries go in the FIRST slices so a
+    # frozen run still re-proves them.
+    n_workers = int(os.environ.get("SF01_WORKERS", "3"))
     slices = [normal[i::n_slices] for i in range(n_slices)]
-    base_env = dict(budgets, ORACLE_TIMEOUT_SEC="300")
-    for i, sl in enumerate(slices):
-        run_slice(sl, merged, base_env, str(i))
+    base_env = dict(budgets, ORACLE_TIMEOUT_SEC="300",
+                    CONTRACT_CPUS=os.environ.get("SF01_CPUS", "8"),
+                    ORACLE_MEM="16GB")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(n_workers) as pool:
+        futs = [pool.submit(run_slice, sl, merged, base_env, str(i))
+                for i, sl in enumerate(slices)]
+        for f in futs:
+            f.result()
 
     # 3. heavy-oracle retry slice: 1800s + 64GB for the oracle side
     run_slice(heavy, merged, dict(budgets, ORACLE_TIMEOUT_SEC="1800",
