@@ -96,7 +96,8 @@ def greedy_matching(edges: DataFrame, max_rounds: int = 4096) -> DataFrame:
     raise RuntimeError(f"greedy_matching did not converge in {max_rounds} rounds")
 
 
-def weighted_matching(edges: DataFrame, max_rounds: int = 4096) -> DataFrame:
+def weighted_matching(edges: DataFrame, max_rounds: int = 4096,
+                      stats: dict | None = None) -> DataFrame:
     """Locally-dominant weighted matching (Preis / Manne-Bisseling):
     an active edge joins when its (weight, tie) is the strict MAX
     among all active edges sharing either endpoint — the distributed
@@ -136,6 +137,10 @@ def weighted_matching(edges: DataFrame, max_rounds: int = 4096) -> DataFrame:
             for part in matched_parts[1:]:
                 out = out.unionAll(part)
             return out
+        if stats is not None:
+            # rounds actually used — gates at other scale factors
+            # calibrate the unrolled oracle budget from this
+            stats["rounds"] = stats.get("rounds", 0) + 1
         inc = (
             act.select(F.col("a").alias("v"), "pk")
                .unionAll(act.select(F.col("b").alias("v"), "pk"))

@@ -2132,7 +2132,8 @@ trans AS MATERIALIZED (
 SELECT state, CAST(round(p, 6) AS DOUBLE) AS p_absorb FROM p{k_iters}"""
 
 
-WEIGHTED_MATCHING_ROUNDS = 24
+# env-overridable for gates at other scale factors (see KCORE_ROUNDS)
+WEIGHTED_MATCHING_ROUNDS = _env_int("ORACLE_WMATCH_ROUNDS", 24)
 
 
 def weighted_matching_sql(edge_sql: str,

@@ -59,8 +59,19 @@ def main() -> None:
     kcore_rounds = {int(r["core"]) + 1: int(r["rounds"]) for r in per_k}
     k_max_needed = max(kcore_rounds) if kcore_rounds else 1
 
+    # --- weighted matching: full derived graph (same as
+    # q_weighted_matching) — rounds to empty-active is the needed
+    # unroll depth ---
+    from adopt_spark.algos.matching import weighted_matching
+
+    wstats: dict = {}
+    weighted_matching(derived_edges(spark, sf_dir), stats=wstats).count()
+    wmatch_rounds = wstats.get("rounds", 1)
+
     margin = 2
     env = {
+        "ORACLE_WMATCH_ROUNDS": str(wmatch_rounds + max(4,
+                                                        wmatch_rounds // 4)),
         "ORACLE_COLORING_COLORS": str(n_colors + 2),
         "ORACLE_COLORING_ROUNDS": str(max_mis_rounds * margin),
         "ORACLE_KCORE_K_MAX": str(k_max_needed + 1),
@@ -72,6 +83,7 @@ def main() -> None:
             "coloring_colors": n_colors,
             "coloring_rounds_per_color": rounds_per_color,
             "kcore_rounds_per_k": kcore_rounds,
+            "wmatch_rounds": wmatch_rounds,
         }),
     }
     out = f"/tmp/oracle_budgets_{os.path.basename(sf_dir.rstrip('/'))}.json"
