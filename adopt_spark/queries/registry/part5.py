@@ -246,13 +246,18 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale -> threshold) that naive z-scores-on-raw-values gets wrong
     on seasonal series; every stage is individually oracle-green."""
     curve = q_stl_decompose(spark, sf_dir)
+    # med/mad stay UNROUNDED: the curve's residuals sit on a 6dp
+    # lattice, so a rounded even-count median is a half-lattice point
+    # (x.xxxxxx5) ~half the time — exactly the decimal-vs-float-mul
+    # rounding boundary where Spark and DuckDB legally disagree. The
+    # raw interpolated percentiles are bit-identical IEEE averages on
+    # both engines; only the final score is rounded (off-lattice).
     rob = (curve.groupBy("event_type")
-           .agg(F.round(F.percentile("resid", F.lit(0.5)), 6)
-                .alias("med")))
+           .agg(F.percentile("resid", F.lit(0.5)).alias("med")))
     d1 = curve.join(rob, "event_type")
     mad = (d1.groupBy("event_type")
-           .agg(F.round(F.percentile(
-               F.abs(F.col("resid") - F.col("med")), F.lit(0.5)), 6)
+           .agg(F.percentile(
+               F.abs(F.col("resid") - F.col("med")), F.lit(0.5))
                .alias("mad")))
     return (d1.join(mad, "event_type")
             .where(F.col("mad") > 0)
@@ -267,13 +272,13 @@ ORACLES["e_seasonal_anomaly"] = f"""
 WITH curve AS (
 {ORACLES["e_stl_decompose"]}
 ), rob AS (
-    SELECT event_type, round(quantile_cont(resid, 0.5), 6) AS med
+    SELECT event_type, quantile_cont(resid, 0.5) AS med
     FROM curve GROUP BY 1
 ), d1 AS (
     SELECT c.*, r.med FROM curve c JOIN rob r USING (event_type)
 ), mad AS (
     SELECT event_type,
-           round(quantile_cont(abs(resid - med), 0.5), 6) AS mad
+           quantile_cont(abs(resid - med), 0.5) AS mad
     FROM d1 GROUP BY 1
 )
 SELECT d.event_type, d.day, d.m, d.resid,
