@@ -61,6 +61,10 @@ SKIP = {
 HEAVY = [
     "t_near_dup_clusters", "g_csr_4clique", "e_temporal_triangles",
     "t_dedup_report", "g_4clique", "g_range_4clique", "a_core_community",
+    # round-5 discoveries: DuckDB 4-cycle-null enumeration and the
+    # diamond prefix-join cardinality profile both blow the 300s
+    # oracle budget at sf0.1
+    "g_c4_null", "g_order_cardinalities",
 ]
 
 # classification applied to rows that are still non-green at the end
@@ -82,6 +86,15 @@ CLASSIFY = {
         "predicate, same blowup as g_4clique",
     "a_core_community": "oracle-memory: DuckDB unrolled peel+community "
         "plan allocates >64GB at sf0.1; engine side in-slice",
+    "g_c4_null": "oracle-cost: DuckDB 4-cycle enumeration with NULL "
+        "semantics, same superlinear blowup as the 4-clique family at "
+        "sf0.1; engine side in-slice; sf0.01 value-PASS stands",
+    "g_order_cardinalities": "oracle-cost: the diamond pattern's "
+        "per-order PREFIX-join cardinalities are themselves superlinear "
+        "at sf0.1 (the intermediate sizes being measured explode — "
+        "that is the point of the operator); engine aggregates them "
+        "distributed, DuckDB materializes them; sf0.01 value-PASS "
+        "stands",
 }
 
 
