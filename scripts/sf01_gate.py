@@ -53,6 +53,20 @@ SKIP = {
                            "at sf0.01; superlinear in sf",
     "g_7clique": "DuckDB 7-clique enumeration 151s at sf0.01; "
                  "superlinear in sf",
+    # round-5 finding: the ENUMERATION plan (reference-verbatim
+    # multi-join SQL, same text both engines) is infeasible at sf0.1 on
+    # the dense derived graph for BOTH engines — it materializes ~1e12
+    # length-4 paths for the 14.03B 5-cycles. Counting at sf0.1 is
+    # covered by the DP kernels (bench cycle5_kernel, 13s, count
+    # cross-validated against the cogroup/auto plans), and these
+    # entries stay value-gated at sf0.01 (CORRECTNESS_FULL).
+    "g_5cycle": "dense-graph 5-cycle enumeration superlinear at sf0.1 "
+                "(both engines); DP-kernel cross-validation covers it",
+    "g_5clique": "dense-graph 5-clique enumeration superlinear at "
+                 "sf0.1 (both engines); cogroup plan covers counting",
+    "g_sel_5cycle": "selectivity-bounded 5-cycle enumeration still "
+                    "superlinear at sf0.1 (bounds too loose to prune "
+                    "the path explosion)",
 }
 
 # entries whose ORACLE blew the 300s/24GB round-4 budget at sf0.1 —
