@@ -67,6 +67,9 @@ SKIP = {
     "g_sel_5cycle": "selectivity-bounded 5-cycle enumeration still "
                     "superlinear at sf0.1 (bounds too loose to prune "
                     "the path explosion)",
+    "g_pattern_house": "5-vertex house-pattern enumeration over the "
+                       "dense graph, same sf0.1 path explosion as the "
+                       "5-cycle family (both engines)",
 }
 
 # entries whose ORACLE blew the 300s/24GB round-4 budget at sf0.1 —
