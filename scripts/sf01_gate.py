@@ -70,6 +70,15 @@ SKIP = {
     "g_pattern_house": "5-vertex house-pattern enumeration over the "
                        "dense graph, same sf0.1 path explosion as the "
                        "5-cycle family (both engines)",
+    "g_6cycle": "dense-graph 6-cycle enumeration superlinear at sf0.1 "
+                "(651.4B cycles — bench's DP kernel counts them in "
+                "132s; the enumeration plan cannot)",
+    "g_truss_numbers": "engine-side: the iterative k-truss edge-peel "
+                       "on the dense sf0.1 graph exceeded the round's "
+                       "wall budget (the support recompute is "
+                       "per-round O(triangles), and the dense cluster "
+                       "holds most of them); sf0.01 value-PASS stands; "
+                       "future work: delta-support peel",
 }
 
 # entries whose ORACLE blew the 300s/24GB round-4 budget at sf0.1 —
