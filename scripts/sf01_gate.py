@@ -73,12 +73,13 @@ SKIP = {
     "g_6cycle": "dense-graph 6-cycle enumeration superlinear at sf0.1 "
                 "(651.4B cycles — bench's DP kernel counts them in "
                 "132s; the enumeration plan cannot)",
-    "g_truss_numbers": "engine-side: the iterative k-truss edge-peel "
-                       "on the dense sf0.1 graph exceeded the round's "
-                       "wall budget (the support recompute is "
-                       "per-round O(triangles), and the dense cluster "
-                       "holds most of them); sf0.01 value-PASS stands; "
-                       "future work: delta-support peel",
+    "g_truss_numbers": "engine-side KNOWN ISSUE at sf0.1: the k-truss "
+                       "peel ground 3688s through the dense cluster's "
+                       "per-(k,round) support recomputes and then died "
+                       "with a Spark decimal overflow (ArithmeticException: "
+                       "BigInteger would overflow supported range) deep in "
+                       "the long peel lineage; sf0.01 value-PASS stands; "
+                       "future work: delta-support peel + overflow repro",
 }
 
 # entries whose ORACLE blew the 300s/24GB round-4 budget at sf0.1 —
