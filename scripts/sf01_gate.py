@@ -116,6 +116,11 @@ CLASSIFY = {
     "g_c4_null": "oracle-cost: DuckDB 4-cycle enumeration with NULL "
         "semantics, same superlinear blowup as the 4-clique family at "
         "sf0.1; engine side in-slice; sf0.01 value-PASS stands",
+    "g_truss_numbers": "engine-side known issue at sf0.1: the k-truss "
+        "peel ground 3688s through the dense cluster's per-(k,round) "
+        "support recomputes, then died with a Spark decimal overflow "
+        "deep in the long peel lineage; sf0.01 value-PASS stands; "
+        "future work: delta-support peel + overflow repro",
     "g_order_cardinalities": "oracle-cost: the diamond pattern's "
         "per-order PREFIX-join cardinalities are themselves superlinear "
         "at sf0.1 (the intermediate sizes being measured explode — "
