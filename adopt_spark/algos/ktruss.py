@@ -66,8 +66,34 @@ def truss_numbers(
     edges: DataFrame,
     k_max: int = 30,
     max_rounds: int = 100,
+    method: str = "auto",
 ) -> tuple[DataFrame, list[dict]]:
-    """Returns (DataFrame[sid, tid, truss], metrics)."""
+    """Returns (DataFrame[sid, tid, truss], metrics).
+
+    ``method="full"`` — the round-2 plan: a FULL triangle enumeration
+    per peel round (support recomputed from scratch). Simple, but the
+    sf0.1 gate measured it grinding through thousands of (k, round)
+    full re-enumerations on the dense graph.
+
+    ``method="delta"`` (= ``"auto"``, the default since round 5) —
+    supports only change when edges DROP, so the triangle enumeration
+    runs exactly ONCE, up front; every subsequent round enumerates
+    only the triangles incident to that round's dropped set (each
+    dropped (u,v) joined against the pre-drop adjacency for common
+    neighbors, triple-deduped so a triangle with 2-3 dropped edges
+    decrements each survivor exactly once) and decrements the
+    survivors' supports. Supports carry across k stages (nothing
+    drops between stage fixpoints), so the per-(k,round) cost is
+    drop-proportional — the same frontier-delta discipline as
+    algos/cc.py's default plan. Identical output to "full"
+    (asserted in tests/test_ktruss.py at every fixture).
+    """
+    if method == "auto":
+        method = "delta"
+    if method not in ("full", "delta"):
+        raise ValueError(f"unknown method: {method}")
+    if method == "delta":
+        return _truss_delta(spark, edges, k_max, max_rounds)
     lt = _lt(edges).localCheckpoint(eager=True)
     n_cur = lt.count()
     stages: list[tuple[int, DataFrame]] = [(2, lt)]
@@ -97,9 +123,82 @@ def truss_numbers(
             stages.append((k, cur))
         k += 1
 
+    return _tag_stages(stages), metrics
+
+
+def _tag_stages(stages: list[tuple[int, DataFrame]]) -> DataFrame:
     tagged = None
     for kk, df in stages:
         t = df.select("sid", "tid", F.lit(kk).alias("truss"))
         tagged = t if tagged is None else tagged.unionAll(t)
-    out = tagged.groupBy("sid", "tid").agg(F.max("truss").alias("truss"))
-    return out, metrics
+    return tagged.groupBy("sid", "tid").agg(F.max("truss").alias("truss"))
+
+
+def _truss_delta(spark: SparkSession, edges: DataFrame, k_max: int,
+                 max_rounds: int) -> tuple[DataFrame, list[dict]]:
+    """Delta-support peel; see truss_numbers."""
+    lt = _lt(edges).localCheckpoint(eager=True)
+    sup0 = edge_supports(lt)
+    supf = (lt.join(sup0, ["sid", "tid"], "left")
+            .select("sid", "tid",
+                    F.coalesce("support", F.lit(0)).alias("support"))
+            .localCheckpoint(eager=True))
+    n_cur = supf.count()
+    stages: list[tuple[int, DataFrame]] = [(2, supf.select("sid", "tid"))]
+    metrics: list[dict] = []
+    k = 3
+    while n_cur > 0 and k <= k_max:
+        rounds = 0
+        for _ in range(max_rounds):
+            t0 = time.time()
+            drop = (supf.where(F.col("support") < k - 2)
+                    .select("sid", "tid").localCheckpoint(eager=True))
+            n_drop = drop.count()
+            if n_drop == 0:
+                break
+            rounds += 1
+            surv = supf.where(F.col("support") >= k - 2)
+            # symmetric view of the PRE-drop edge set: common-neighbor
+            # probes for the dropped edges run against it, so every
+            # triangle killed this round is found (incl. those whose
+            # other edges are also dropping — the triple dedup below
+            # makes each survivor lose exactly 1 per dead triangle)
+            sym = (supf.select(F.col("sid").alias("x"),
+                               F.col("tid").alias("y"))
+                   .unionAll(supf.select(F.col("tid").alias("x"),
+                                         F.col("sid").alias("y"))))
+            cand = (drop.select(F.col("sid").alias("u"),
+                                F.col("tid").alias("v"))
+                    .join(sym.select(F.col("x").alias("u"),
+                                     F.col("y").alias("w")), "u"))
+            tri = cand.join(sym.select(F.col("x").alias("v"),
+                                       F.col("y").alias("w")),
+                            ["v", "w"])
+            triple = (tri.select(F.array_sort(
+                F.array("u", "v", "w")).alias("t")).distinct()
+                .select(F.col("t")[0].alias("a"),
+                        F.col("t")[1].alias("b"),
+                        F.col("t")[2].alias("c")))
+            sides = triple.select(F.explode(F.array(
+                F.struct(F.col("a").alias("sid"), F.col("b").alias("tid")),
+                F.struct(F.col("a").alias("sid"), F.col("c").alias("tid")),
+                F.struct(F.col("b").alias("sid"), F.col("c").alias("tid")),
+            )).alias("e")).select("e.sid", "e.tid")
+            dec = sides.groupBy("sid", "tid").agg(
+                F.count(F.lit(1)).alias("dec"))
+            supf = (surv.join(dec, ["sid", "tid"], "left")
+                    .select("sid", "tid",
+                            (F.col("support")
+                             - F.coalesce("dec", F.lit(0)))
+                            .alias("support"))
+                    .localCheckpoint(eager=True))
+            n_cur = supf.count()
+            metrics.append({"k": k, "round": rounds, "edges": n_cur,
+                            "dropped": n_drop,
+                            "sec": round(time.time() - t0, 4)})
+        else:
+            raise RuntimeError(f"truss peel at k={k} exceeded {max_rounds}")
+        if n_cur > 0:
+            stages.append((k, supf.select("sid", "tid")))
+        k += 1
+    return _tag_stages(stages), metrics

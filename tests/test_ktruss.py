@@ -79,3 +79,31 @@ def test_edge_supports_matches_python(spark, powerlaw_small):
     got = {(int(r["sid"]), int(r["tid"])): int(r["support"])
            for r in edge_supports(edges).collect()}
     assert got == expect
+
+
+def test_truss_delta_equals_full(spark, powerlaw_small, tri6):
+    """The delta-support peel (default) must be row-identical to the
+    full per-round recompute on every fixture shape."""
+    for edges, _ in (powerlaw_small, tri6):
+        full, _ = truss_numbers(spark, edges, method="full")
+        delta, _ = truss_numbers(spark, edges, method="delta")
+        assert _got(full) == _got(delta)
+
+
+def test_truss_delta_does_one_enumeration(spark, powerlaw_small):
+    """Delta metrics expose drop-proportional rounds (every round
+    records its dropped count); the peel converges to the same
+    fixpoint edge counts as the full plan."""
+    edges, _ = powerlaw_small
+    _, mfull = truss_numbers(spark, edges, method="full")
+    _, mdelta = truss_numbers(spark, edges, method="delta")
+    assert all("dropped" in m for m in mdelta)
+    # final surviving edge count per k stage agrees
+    def final_edges(ms):
+        out = {}
+        for m in ms:
+            out[m["k"]] = m["edges"]
+        return out
+    f, d = final_edges(mfull), final_edges(mdelta)
+    for k in set(f) & set(d):
+        assert f[k] == d[k]
