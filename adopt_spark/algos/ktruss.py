@@ -137,11 +137,17 @@ def _tag_stages(stages: list[tuple[int, DataFrame]]) -> DataFrame:
 def _truss_delta(spark: SparkSession, edges: DataFrame, k_max: int,
                  max_rounds: int) -> tuple[DataFrame, list[dict]]:
     """Delta-support peel; see truss_numbers."""
+    # AQE's partition coalescing sees tiny per-round stats and will
+    # happily collapse the whole peel to ONE partition, serializing
+    # every subsequent round (observed at sf0.1: a 30min single task
+    # for a 10s parallel job) — pin the state frame's partitioning
+    parts = max(8, spark.sparkContext.defaultParallelism)
     lt = _lt(edges).localCheckpoint(eager=True)
     sup0 = edge_supports(lt)
     supf = (lt.join(sup0, ["sid", "tid"], "left")
             .select("sid", "tid",
                     F.coalesce("support", F.lit(0)).alias("support"))
+            .repartition(parts, "sid", "tid")
             .localCheckpoint(eager=True))
     n_cur = supf.count()
     stages: list[tuple[int, DataFrame]] = [(2, supf.select("sid", "tid"))]
@@ -191,6 +197,7 @@ def _truss_delta(spark: SparkSession, edges: DataFrame, k_max: int,
                             (F.col("support")
                              - F.coalesce("dec", F.lit(0)))
                             .alias("support"))
+                    .repartition(parts, "sid", "tid")
                     .localCheckpoint(eager=True))
             n_cur = supf.count()
             metrics.append({"k": k, "round": rounds, "edges": n_cur,
