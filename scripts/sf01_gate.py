@@ -73,13 +73,16 @@ SKIP = {
     "g_6cycle": "dense-graph 6-cycle enumeration superlinear at sf0.1 "
                 "(651.4B cycles — bench's DP kernel counts them in "
                 "132s; the enumeration plan cannot)",
-    "g_truss_numbers": "engine-side KNOWN ISSUE at sf0.1: the k-truss "
-                       "peel ground 3688s through the dense cluster's "
-                       "per-(k,round) support recomputes and then died "
-                       "with a Spark decimal overflow (ArithmeticException: "
-                       "BigInteger would overflow supported range) deep in "
-                       "the long peel lineage; sf0.01 value-PASS stands; "
-                       "future work: delta-support peel + overflow repro",
+    "g_truss_numbers": "engine-side cost at sf0.1: round-5 replaced the "
+                       "per-round full re-enumeration (3688s grind, then a "
+                       "Spark decimal overflow) with a delta-support peel "
+                       "(one enumeration up front, drop-proportional "
+                       "rounds, exact on all fixtures, oracle-PASS at "
+                       "sf0.01), but the dense graph's catastrophic "
+                       "collapse round at the critical k is inherently a "
+                       "full-graph triangle probe and still exceeds "
+                       "practical wall on this box; the unrolled DuckDB "
+                       "oracle is equally infeasible there",
 }
 
 # entries whose ORACLE blew the 300s/24GB round-4 budget at sf0.1 —
@@ -116,11 +119,11 @@ CLASSIFY = {
     "g_c4_null": "oracle-cost: DuckDB 4-cycle enumeration with NULL "
         "semantics, same superlinear blowup as the 4-clique family at "
         "sf0.1; engine side in-slice; sf0.01 value-PASS stands",
-    "g_truss_numbers": "engine-side known issue at sf0.1: the k-truss "
-        "peel ground 3688s through the dense cluster's per-(k,round) "
-        "support recomputes, then died with a Spark decimal overflow "
-        "deep in the long peel lineage; sf0.01 value-PASS stands; "
-        "future work: delta-support peel + overflow repro",
+    "g_truss_numbers": "engine-side cost at sf0.1: round-5 delta-support "
+        "peel (exact, oracle-PASS at sf0.01) removes the old per-round "
+        "full re-enumeration and its overflow, but the catastrophic "
+        "collapse round at the critical k is inherently a full-graph "
+        "triangle probe and still exceeds practical wall on this box",
     "g_order_cardinalities": "oracle-cost: the diamond pattern's "
         "per-order PREFIX-join cardinalities are themselves superlinear "
         "at sf0.1 (the intermediate sizes being measured explode — "
